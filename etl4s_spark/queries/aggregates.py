@@ -1,0 +1,279 @@
+"""Aggregation queries (SURVEY.md §2.B Aggregations).
+
+All group-bys compile to HashAggregateExec with partial (map-side) +
+final aggregation — one shuffle on the grouping keys, no more
+(reference delegates these to Spark: docs/examples-spark.md:27-29).
+At 100 TB the partial-agg shrinks the shuffle to |groups| × partitions
+rows; low-cardinality keys like (l_returnflag, l_linestatus) make the
+shuffle negligible regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                   AS sum_qty,
+           round(sum(l_extendedprice), 4)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship query (SURVEY.md §7.2).
+
+    Plan: parquet scan (pushed filter on l_shipdate, pruned to 8 columns)
+    → partial HashAggregate → shuffle on 2 low-cardinality keys → final
+    HashAggregate → sort. One shuffle; scales linearly in input.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT round(sum(l_quantity), 4)       AS sum_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           round(min(l_discount), 4)       AS min_disc,
+           round(max(l_tax), 4)            AS max_tax,
+           count(*)                        AS n_rows
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: partial agg per partition → single-row final.
+    No per-key shuffle — reduces to one row per partition then one task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_tax"), 4).alias("max_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)  AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)  AS distinct_supps,
+           count(*)                                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — Catalyst expands to a two-phase aggregate
+    (Expand + two HashAggregates); still one logical shuffle chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_agg_approx_distinct")  # approximate → rows-only check (FIXTURES.md §C)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct. At 100 TB this replaces the
+    memory-unbounded exact distinct: fixed-size sketch per group, merges
+    in the partial-agg phase, no distinct-expand shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — Catalyst Expand (3 grouping sets) + one hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) * 2
+             + CAST(grouping(l_linestatus) AS INTEGER) AS gid,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (DataFrame API has no direct equivalent);
+    grouping_id recomputed portably as grouping()-bit arithmetic."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) * 2
+                 + CAST(grouping(l_linestatus) AS INT) AS gid,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT l_partkey, round(sum(l_quantity), 4) AS total_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > 100 AND count(*) >= 3
+    ORDER BY l_partkey
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter; Catalyst keeps it after the final
+    agg (cannot push below) but prunes columns into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter((F.col("_raw_qty") > 100) & (F.col("n") >= 3))
+        .drop("_raw_qty")
+        .orderBy("l_partkey")
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)              AS sd_qty,
+           round(var_samp(l_extendedprice), 4)            AS var_price,
+           round(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. ``median`` (exact interpolated percentile)
+    matches DuckDB quantile_cont; percentile_approx is kept OUT of the
+    oracle-checked set (approximate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber))            AS line_numbers,
+           list_sort(list(DISTINCT l_returnflag))   AS flags
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set with deterministic sort_array wrapping
+    (array order is engine-dependent otherwise — FIXTURES.md §C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -1,0 +1,89 @@
+"""Batch source/sink node factories (SURVEY.md §2.B scans/sources/sinks).
+
+The reference wraps these exact calls in Extract/Load nodes
+(/root/reference/docs/examples-spark.md:19-41); here they are first-class
+factories returning either DataFrames (given a SparkSession) or Layer-A
+``Node``s for pipeline composition.
+
+Scale notes: readers are declarative — column pruning and predicate
+pushdown reach the parquet scan (verify with ``explain_str``); writers
+support ``partition_by`` so downstream reads get partition pruning, and
+``max_records_per_file`` to bound output file sizes at large SF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl4s_spark.core.node import Node
+
+
+def scan_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(header=str(header).lower(), **{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def scan_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).parquet(path)
+    return path
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> str:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return path
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> str:
+    """Partitioned parquet write → downstream partition pruning.
+
+    At 100 TB, choose low-cardinality partition columns (date, region) and
+    bound file counts; high-cardinality partitioning creates a small-files
+    problem.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+    return path
+
+
+# Layer-A node factories -----------------------------------------------------
+
+def extract_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> Node:
+    """Extract node: ignores input, emits the scanned DataFrame (lazy plan)."""
+    return Node(lambda _=None: scan_parquet(spark, path, columns), name=f"scan_parquet({path})")
+
+
+def load_parquet(path: str, mode: str = "overwrite") -> Node:
+    """Load node: writes its input DataFrame, passes the path through."""
+    return Node(lambda df: write_parquet(df, path, mode), name=f"write_parquet({path})")
