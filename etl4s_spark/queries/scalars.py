@@ -1,1 +1,282 @@
-"""Placeholder — filled in by milestone batches (SURVEY.md §7.3)."""
+"""Scalar-function queries (SURVEY.md §2.B: string / date / math / array /
+map / json / cast).
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, inside whole-stage codegen, no Python in the row path. These
+are the building blocks the LLM-data operators reuse (queries/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           lower(p_brand)                                  AS brand_lower,
+           trim(p_type)                                    AS type_trim,
+           substring(p_name, 1, 5)                         AS name_prefix,
+           p_brand || '/' || p_type                        AS brand_type,
+           CAST(length(p_name) AS INTEGER)                 AS name_len,
+           (p_name LIKE '%gold%')                          AS has_gold,
+           regexp_extract(p_brand, '#([0-9]+)', 1)         AS brand_num,
+           CAST(string_split(p_name, ' ') AS VARCHAR[])    AS name_words,
+           replace(p_type, 'ECONOMY', 'ECO')               AS type_short,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.split("p_name", " ").alias("name_words"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)                       AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)                      AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)                        AS order_day,
+           CAST(dayofweek(o_orderdate) AS INTEGER) + 1              AS order_dow,
+           CAST(quarter(o_orderdate) AS INTEGER)                    AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE)           AS order_month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)              AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE),
+                     DATE '2000-01-01')                             AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m-%d')                        AS order_date_str
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions. DuckDB dayofweek is 0=Sunday..6; Spark dayofweek
+    is 1=Sunday..7 — the oracle adds 1 to align. Timestamp outputs are cast
+    to DATE / string (FIXTURES.md §C tz rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_y2k"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7.0, 4)                 AS price_div_round,
+           abs(l_discount - 0.05)                          AS disc_dev,
+           ceil(l_quantity / 7.0)                          AS qty_ceil,
+           floor(l_extendedprice / 1000.0)                 AS price_k_floor,
+           round(power(l_quantity, 2), 4)                  AS qty_sq,
+           round(sqrt(l_extendedprice), 4)                 AS price_sqrt,
+           round(ln(l_extendedprice), 4)                   AS price_ln,
+           round(log10(l_extendedprice), 4)                AS price_log10,
+           CAST(l_quantity AS BIGINT) % 5                  AS qty_mod5,
+           sign(l_discount - 0.05)                         AS disc_sign,
+           round(exp(l_discount), 4)                       AS disc_exp,
+           greatest(l_discount, l_tax)                     AS max_rate,
+           least(l_discount, l_tax)                        AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") / 7.0, 4).alias("price_div_round"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+            F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+            F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+            (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.round(F.exp("l_discount"), 4).alias("disc_exp"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           CAST(embedding[1:4] AS FLOAT[])                         AS head4,
+           list_contains(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding[1] AS DOUBLE))             AS contains_first,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max,
+           CAST(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> round(x * 2.0, 4)) AS DOUBLE[]) AS doubled
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. higher-order transform/aggregate on the embedding
+    column — the primitives behind cosine similarity (queries/llm.py).
+    Floats are widened to double BEFORE arithmetic on both sides so the
+    fold order produces bit-identical sums."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.slice("embedding", 1, 4).alias("head4"),
+            F.array_contains(dvec, F.element_at(dvec, 1)).alias("contains_first"),
+            F.round(
+                F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("vec_sum"),
+            F.round(F.array_max(dvec), 4).alias("vec_max"),
+            F.transform(dvec, lambda x: F.round(x * 2.0, 4)).alias("doubled"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_scalar_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_keys(props) AS VARCHAR[])              AS prop_keys,
+           CAST(json_extract(props, '$.k') AS INTEGER)      AS k_value,
+           (CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL) AS has_k
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the props JSON into map<string,int>, then
+    map_keys / element_at — oracle expressed with DuckDB json functions."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.IntegerType()))
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.map_keys(m).alias("prop_keys"),
+            F.element_at(m, "k").alias("k_value"),
+            F.element_at(m, "k").isNotNull().alias("has_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT)       AS k_int,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 10  AS k_scaled,
+           json_valid(props)                                AS is_valid
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: get_json_object (path-based, no schema) and
+    from_json (schema-full) — both JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        ev.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            parsed.getField("k").alias("k_int"),
+            (parsed.getField("k") * 10).alias("k_scaled"),
+            F.when(F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType())).isNotNull(), True)
+            .otherwise(False)
+            .alias("is_valid"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_scalar_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(12,2))          AS price_dec,
+           CAST(l_quantity AS INTEGER)                     AS qty_int,
+           CAST(l_quantity AS VARCHAR)                     AS qty_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)       AS ship_date_str,
+           CAST(l_linenumber AS DOUBLE)                    AS line_dbl,
+           CAST(round(l_tax * 100, 0) AS SMALLINT)         AS tax_pct
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. decimal(12,2) — decimal math avoids float drift in
+    money columns; at scale prefer decimal for exact-sum requirements."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_date_str"),
+            F.col("l_linenumber").cast("double").alias("line_dbl"),
+            F.round(F.col("l_tax") * 100, 0).cast("smallint").alias("tax_pct"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -31,7 +31,29 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy conf,
+    then floor-truncate to microseconds — identical to how DuckDB's reader
+    truncates ns → µs, so oracle comparisons agree exactly."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_micros = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    return df.select(
+        "event_id",
+        ts_micros.alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
