@@ -1,0 +1,156 @@
+"""Join operators (SURVEY.md §2.B Joins).
+
+Standard joins are thin, documented wrappers over ``DataFrame.join`` —
+Catalyst + AQE pick broadcast / sort-merge / shuffled-hash and handle
+skew. The custom compositions Spark SQL lacks natively:
+
+- ``asof_join``: nearest-earlier-timestamp match via the union+window
+  pattern — ONE shuffle on the keys, linear in input, no range
+  explosion. This is the 100 TB-safe formulation (a naive
+  ``l.ts >= r.ts`` theta join is a per-key cross product).
+- ``interval_join``: equi-key + range predicate — hash join on the key
+  with the range as a post-join filter (Catalyst evaluates it inside the
+  join), falling back to broadcast-nested-loop only when no equi key
+  exists (then the small side MUST be broadcast-sized).
+
+Reference context: etl4s delegates all joins to the host engine
+(/root/reference/docs/examples-spark.md:91-97); these operators are the
+native surface our engine provides instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi/theta join. ``how``: inner, left, right, full, left_semi,
+    left_anti, cross. Catalyst picks the physical strategy; AQE converts
+    to broadcast at runtime if a side turns out small."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with an explicit broadcast hint on the right side. Use for
+    bounded dims (region/nation — 5/25 rows at EVERY scale factor):
+    eliminates the shuffle of the big side entirely."""
+    return left.join(F.broadcast(right), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``keys``
+    (backward direction, inclusive — DuckDB ``ASOF JOIN`` semantics).
+
+    Implementation (union + window, SURVEY.md §7.4):
+      1. Tag right rows side=0 carrying their value columns; left rows
+         side=1 with nulls.
+      2. One window per key, ordered by (ts, side, right_ts): running
+         ``last(value, ignorenulls=True)`` fills each left row with the
+         most recent right payload at-or-before it. side orders right
+         BEFORE left at equal ts → inclusive match.
+      3. Keep the left rows.
+
+    Scale: exactly ONE hash shuffle on ``keys`` + a per-partition sort —
+    identical cost profile to a groupBy. No driver collect, no range
+    cross-product; skewed keys are handled by AQE skew-split on the
+    exchange. ``tolerance`` (a Column interval, e.g. F.expr("INTERVAL 1
+    HOUR")) turns matches older than ``left_ts - tolerance`` into nulls.
+    """
+    keys = list(keys)
+    lcols = left.columns
+    sentinel_ts = "__asof_rts"
+
+    right_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        F.col(right_ts).alias(sentinel_ts),
+        *[F.col(v).alias(f"__asof_v_{v}") for v in right_values],
+        *[F.lit(None).alias(f"__asof_l_{c}") for c in lcols],
+    )
+    left_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(sentinel_ts),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__asof_v_{v}") for v in right_values],
+        *[F.col(c).alias(f"__asof_l_{c}") for c in lcols],
+    )
+
+    unioned = right_tagged.unionByName(left_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col(sentinel_ts), ignorenulls=True).over(w).alias("__asof_matched_ts"),
+        *[
+            F.last(F.col(f"__asof_v_{v}"), ignorenulls=True).over(w).alias(f"__asof_m_{v}")
+            for v in right_values
+        ],
+    )
+
+    out = filled.filter(F.col("__asof_side") == 1)
+    if tolerance is not None:
+        in_window = F.col("__asof_matched_ts") >= (F.col("__asof_ts") - tolerance)
+        out = out.select(
+            "*",
+            *[
+                F.when(in_window, F.col(f"__asof_m_{v}")).alias(f"__asof_mt_{v}")
+                for v in right_values
+            ],
+            F.when(in_window, F.col("__asof_matched_ts")).alias("__asof_mtts"),
+        )
+        matched_ts_col, mprefix = "__asof_mtts", "__asof_mt_"
+    else:
+        matched_ts_col, mprefix = "__asof_matched_ts", "__asof_m_"
+
+    return out.select(
+        *[F.col(f"__asof_l_{c}").alias(c) for c in lcols],
+        F.col(matched_ts_col).alias(f"matched_{right_ts}"),
+        *[F.col(f"{mprefix}{v}").alias(f"matched_{v}") for v in right_values],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[tuple[str, str]],
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + range-predicate join: hash-partitioned on the equi keys
+    with the range condition evaluated inside the join — no cross
+    product. ``equi_keys`` is [(left_col, right_col), ...]. With NO equi
+    key, pass equi_keys=[] — Catalyst falls back to
+    BroadcastNestedLoopJoin; only do that when one side is
+    broadcast-small (bands, calendars, bucket tables)."""
+    cond = range_cond
+    for lc, rc in equi_keys:
+        cond = (left[lc] == right[rc]) & cond
+    return left.join(right, on=cond, how=how)

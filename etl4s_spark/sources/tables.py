@@ -45,7 +45,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_micros = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    # integral `div`, NOT `/`: float division of ~1.7e18 nanos loses the
+    # last microsecond digit (double ulp > 0.5 at that magnitude)
+    ts_micros = F.timestamp_micros(F.expr("ts div 1000"))
     return df.select(
         "event_id",
         ts_micros.alias("ts"),
