@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk``: exact brute-force top-k — query side broadcast, dot
+  products as higher-order expressions (JVM-side), per-query top-k via
+  WindowGroupLimit. Cost O(|queries| × |corpus|); right whenever the
+  query set is broadcast-small (the common "find neighbors for this
+  batch" shape). The corpus is NEVER shuffled — at 100 TB the scan is
+  the only pass.
+
+- ``lsh_bucketed_topk``: approximate — random-hyperplane signatures
+  (deterministic, seed-derived, no stored model) bucket both sides; only
+  same-bucket pairs are scored. Sub-linear candidate count; recall tuned
+  by n_planes/n_tables. The scale path when queries are too many to
+  broadcast.
+
+All vector math widens float→double BEFORE arithmetic (bit-stable vs
+DuckDB's list_cosine_similarity, which computes in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan: broadcast(queries) nested-loop join against the corpus scan →
+    cosine as a codegen'd expression → row_number window partitioned by
+    query → filter rn<=k (WindowGroupLimit pushes the top-k below the
+    shuffle). Self-matches (same id) are excluded.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature (bigint bucket id).
+
+    Plane p's components are derived deterministically from
+    xxhash64(p, component_index, seed) mapped to ±1 — a Rademacher
+    hyperplane; no stored model, any executor regenerates it. Sign of
+    <v, plane_p> contributes bit p."""
+    def plane_component(p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(p), i, F.lit(seed))
+        return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def plane_mult(p: int):
+        # closure factory — a default-arg lambda would be read as a
+        # 3-param lambda and break the 2-arg zip_with contract
+        return lambda x, i: x * plane_component(p, i)
+
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, idx, plane_mult(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket both sides, equi-join on the
+    bucket, score only collisions. One shuffle on the bucket id; recall
+    rises with fewer planes (bigger buckets) or multiple tables
+    (union of several signatures)."""
+    query_id_col = query_id_col or id_col
+    sig = lambda v: hyperplane_signature(v, dim=dim, n_planes=n_planes)  # noqa: E731
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__bucket", sig(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__bucket", sig(F.col("__cv")))
+    scored = (
+        c.join(q, "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

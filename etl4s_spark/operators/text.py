@@ -1,0 +1,143 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Everything is a built-in Column expression (JVM-side, codegen'd) — at
+100 TB these run inside the scan stage with zero shuffles and no Python
+in the row path. Each helper returns a Column so callers compose them
+into a single Project.
+
+Design sources: standard corpus-quality heuristics (length/punctuation/
+stopword ratios à la C4/Gopher rules), n-gram language ID, rolling-hash
+fingerprinting. All deterministic → DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny fixed stopword set — mirrored verbatim in oracle SQL. Real
+# deployments swap in a per-language list; the mechanics are identical.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish token regex: letter runs | digit runs | single non-space symbol.
+# Kept to a dialect subset (character classes only) that Java regex and
+# DuckDB's RE2 interpret identically.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for hashing/dedup: lowercase, collapse non-alnum
+    runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count via regexp matches — the cheap proxy for a
+    real tokenizer when budgeting corpus size."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def avg_word_len(col: Column) -> Column:
+    w = words(col)
+    return F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(w), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    w = words(col)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    n_punct = F.length(F.regexp_replace(col, "[A-Za-z0-9 ]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^A-Z]", "")) / F.greatest(F.length(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: penalize too-short/too-long docs,
+    reward normal stopword density and low punctuation noise — the
+    classic cheap pre-filter before model-based scoring."""
+    wc = word_count(col).cast("double")
+    len_score = F.least(wc / 50.0, F.lit(1.0)) * F.when(wc > 5000, 0.5).otherwise(1.0)
+    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    return F.round(len_score * 0.4 + stop_score * 0.3 + punct_penalty * 0.3, 6)
+
+
+# -- language ID -------------------------------------------------------------
+
+# marker-word lists per language; deterministic scoring = count of marker
+# hits. A production system uses char-n-gram profiles (same plumbing, more
+# markers); synthetic test data carries a `lang` column we report alongside.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "les", "des", "est"),
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    w = words(col)
+
+    def marker_pred(markers: tuple[str, ...]):
+        # closure factory, NOT a default-arg lambda: Spark treats a 2-param
+        # lambda as (element, index) and would bind markers to the index col
+        return lambda x: x.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(w, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker-hit counts; 'und' (undetermined) when all zero.
+    Ties resolve in the fixed en>de>es>fr order (greatest-so-far keeps the
+    FIRST maximum), mirrored in the oracle SQL."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():  # dict order = declaration order
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Identical
+    normalization on the oracle side makes this the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles (array<string>) — the unit for MinHash/Jaccard.
+    Pure higher-order expression: transform over a sequence of start
+    offsets, joining k consecutive words."""
+    w = words(col)
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    k_grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    )
+    # short docs (< k words): the whole normalized text is the one shingle
+    return F.when(n >= k, k_grams).otherwise(F.array(normalize_text(col)))

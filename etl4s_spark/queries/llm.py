@@ -1,1 +1,349 @@
-"""Placeholder — filled in by milestone batches (SURVEY.md §7.3)."""
+"""LLM training-data pipeline queries (SURVEY.md §2.B north-star set):
+text analysis, dedup funnel, similarity search, multimodal join.
+
+SQL-expressible operators carry full DuckDB oracles with the SAME
+normalization/scoring arithmetic mirrored in SQL. MinHash/SimHash/LSH
+use Spark's xxhash64 (no DuckDB equivalent) → rows-only driver checks,
+with determinism + known-duplicate-detection covered in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl4s_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl4s_spark.operators.similarity import as_double, cosine_topk, l2_norm, lsh_bucketed_topk
+from etl4s_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint_md5,
+    lang_id,
+    normalize_text,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+    words,
+)
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+# DuckDB mirror of operators/text.py normalize_text + words
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           count(*)                                            AS n_docs,
+           round(avg(n_chars), 4)                              AS avg_chars,
+           round(avg(len({_WORDS_SQL})), 4)                    AS avg_words,
+           round(avg(len(list_filter({_WORDS_SQL},
+                 w -> w IN ({_STOP_IN})))
+                 / greatest(len({_WORDS_SQL}), 1)), 6)         AS avg_stop_ratio,
+           CAST(max(n_chars) AS BIGINT)                        AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): one scan + one low-cardinality
+    shuffle; all text math in the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(word_count(t)), 4).alias("avg_words"),
+            F.round(F.avg(stopword_ratio(t)), 6).alias("avg_stop_ratio"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_WORDS_SQL})                                          AS wc,
+             len(list_filter({_WORDS_SQL}, w -> w IN ({_STOP_IN})))
+               / CAST(greatest(len({_WORDS_SQL}), 1) AS DOUBLE)         AS stop_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / CAST(greatest(length(text), 1) AS DOUBLE)              AS punct_ratio
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(wc AS INTEGER) AS wc,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(least(wc / 50.0, 1.0) * (CASE WHEN wc > 5000 THEN 0.5 ELSE 1.0 END) * 0.4
+                 + least(stop_ratio * 4.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3, 6)     AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality pre-filter (C4/Gopher-style length + stopword +
+    punctuation heuristics), identical arithmetic mirrored in SQL."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    from etl4s_spark.operators.text import punct_ratio as _punct
+
+    return d.select(
+        "doc_id",
+        word_count(t).alias("wc"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(_punct(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS actual_lang,
+             len(list_filter({_WORDS_SQL}, w -> w IN ('the','and','of','is')))  AS s_en,
+             len(list_filter({_WORDS_SQL}, w -> w IN ('der','die','das','und'))) AS s_de,
+             len(list_filter({_WORDS_SQL}, w -> w IN ('el','la','los','que')))   AS s_es,
+             len(list_filter({_WORDS_SQL}, w -> w IN ('le','les','des','est')))  AS s_fr
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, actual_lang,
+           CASE
+             WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+             WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+             WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax with first-wins ties in fixed
+    en>de>es>fr order — the CASE in the oracle encodes the same order)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_tokens,
+           CAST(len({_WORDS_SQL}) AS INTEGER)                              AS n_words,
+           CAST(length(text) AS INTEGER)                                   AS n_chars_exact
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: BPE-ish regex tokens + whitespace words."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("int").alias("n_tokens"),
+        word_count(t).alias("n_words"),
+        F.length(t).cast("int").alias("n_chars_exact"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per content fingerprint —
+    deterministic row_number formulation, not dropDuplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query("q_dedup_minhash")  # xxhash64 signatures — rows-only; determinism tested in pytest
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (64 perms, 16 bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_perm=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("q_dedup_simhash")  # rows-only; Hamming-distance semantics tested in pytest
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + distance to the corpus' first doc —
+    exercises the zero-shuffle fingerprint and hamming64."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    with_hash = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    first = with_hash.orderBy("doc_id").limit(1).select(F.col("simhash64").alias("ref_hash"))
+    return (
+        with_hash.crossJoin(F.broadcast(first))
+        .select("doc_id", "simhash64", hamming64(F.col("simhash64"), F.col("ref_hash")).alias("dist_to_first"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm
+      FROM documents WHERE doc_id < 120
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 3 THEN
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [norm] END)) AS s
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (≥0.05) on a bounded slice — the
+    verification stage of the dedup funnel, proven against a full SQL
+    mirror of the shingle+join formulation."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=3, min_jaccard=0.05).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                         c.neighbor_id) AS rn
+      FROM q CROSS JOIN c
+      WHERE q.query_id <> c.neighbor_id
+    ) WHERE rn <= 3
+    ORDER BY query_id, rn
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for 5 query vectors vs the corpus —
+    proven against DuckDB list_cosine_similarity. Ranking uses the
+    ROUNDED similarity + id tie-break so both engines rank identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+    ).orderBy("query_id", "rn")
+
+
+@query("q_sim_ann_lsh")  # approximate; recall vs brute force asserted in pytest
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: same output shape as the exact path,
+    scored pairs limited to bucket collisions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=3,
+        n_planes=8,
+    ).orderBy("query_id", "rn")
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           len(e.embedding)                                          AS dim,
+           round(sqrt(list_aggregate(list_transform(
+                 CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum')), 4) AS vec_norm,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding modality join with the array column carried
+    through and reduced (L2 norm) — the canonical multimodal record
+    assembly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm(as_double(F.col("embedding"))), 4).alias("vec_norm"),
+            "label",
+        )
+        .orderBy("doc_id")
+    )

@@ -248,6 +248,28 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udtf_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id, word
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral table function: explode the word array — one output row
+    per (doc, word). The generator runs inside codegen; output cardinality
+    (not input) drives downstream sizing at scale."""
+    from etl4s_spark.operators.text import words as _words
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(_words(F.col("text"))).alias("word")).orderBy(
+        "doc_id", "word"
+    )
+
+
+@query(
     "q_scalar_cast",
     oracle="""
     SELECT l_orderkey, l_linenumber,

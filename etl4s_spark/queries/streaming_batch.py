@@ -1,1 +1,136 @@
-"""Placeholder — filled in by milestone batches (SURVEY.md §7.3)."""
+"""Batch equivalents of the streaming window operators (SURVEY.md §2.B
+Streaming): tumbling / sliding / session windows computed on the static
+``events`` table with full SQL oracles.
+
+The SAME ``F.window`` / ``F.session_window`` expressions run unchanged
+on a ``readStream`` DataFrame — streaming/test coverage replays these
+against files and asserts batch equivalence (tests/test_streaming.py).
+That equivalence is the correctness argument Structured Streaming is
+built on (stream = unbounded table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q_window_tumbling_batch",
+    oracle=f"""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '{_DUCK_FMT}') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type. In streaming this is
+    exactly `readStream → withWatermark → groupBy(window(...))`."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_window_sliding_batch",
+    oracle=f"""
+    WITH offs(off) AS (VALUES (0), (300))
+    SELECT strftime(to_timestamp(floor((epoch(ts) - off) / 600) * 600 + off),
+                    '{_DUCK_FMT}')  AS window_start,
+           count(*)                 AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4)     AS avg_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly 2
+    windows (the oracle reproduces that with the two start offsets).
+
+    avg is computed as an exact decimal sum divided by the count so the
+    result is independent of partial-aggregation order (doubles summed
+    in different orders land on different sides of the round() boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_window_session_batch",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_DUCK_FMT}') AS session_start,
+           count(*)                         AS n_events,
+           round(sum(value), 4)             AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    F.session_window — the oracle reproduces them with the classic
+    gaps-and-islands SQL. Streaming form: identical expression +
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

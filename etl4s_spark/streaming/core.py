@@ -1,0 +1,182 @@
+"""Structured Streaming layer (SURVEY.md §2.B Streaming-only).
+
+Streams are unbounded tables: every factory here takes/returns ordinary
+DataFrames, so the SAME window/session/dedup expressions run in batch
+(queries/streaming_batch.py proves them against DuckDB) and in streaming
+(tests/test_streaming.py proves batch-stream equivalence by file replay).
+
+Watermarks bound state: with watermark W, window state older than
+max_event_time − W is evicted and later rows are dropped — that bound is
+what makes 100 TB/day streams possible with finite executor memory. Every
+stateful factory below requires an explicit watermark for exactly that
+reason.
+
+Reference parity: etl4s has no streaming surface of its own; its Flink
+examples delegate exactly like the Spark ones (docs/examples-flink.md).
+This module is the native replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream. ``max_files_per_trigger`` paces replay —
+    essential for deterministic tests and for backfill throttling."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling windows. In streaming mode state per (window, keys) lives
+    until the watermark passes the window end."""
+    d = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return d.groupBy(F.window(ts_col, window).alias("w"), *keys).agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    d = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return d.groupBy(F.window(ts_col, window, slide).alias("w"), *keys).agg(*aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (dynamic gap-merged state — streaming merges
+    adjacent sessions as events arrive)."""
+    d = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return d.groupBy(F.session_window(ts_col, gap).alias("w"), *keys).agg(*aggs)
+
+
+def stateful_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup. With a ts_col + watermark, uses
+    dropDuplicatesWithinWatermark: state for a key is held only one
+    watermark interval — bounded memory, the at-scale variant. Plain
+    dropDuplicates keeps ALL keys forever (only for bounded key spaces).
+    """
+    if ts_col is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def stateful_running_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Arbitrary stateful processing via applyInPandasWithState: emits the
+    running (count, sum) per key group on every trigger — the canonical
+    custom-operator shape (enrichment caches, CEP, counters).
+
+    State is one (count, sum) pair per key — O(|keys|) memory; with
+    ``state_timeout_ms`` idle keys are evicted (ProcessingTimeTimeout).
+    """
+    out_schema = T.StructType(
+        [
+            *[df.schema[k] for k in keys],
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame([[*key, n, s]], columns=[*keys, "n_events", "total"])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def foreach_batch_collect(collector: list) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink that appends (batch_id, rows) — the test harness
+    for asserting streaming output; production variants write to
+    tables/JDBC with the same signature."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        collector.append((batch_id, batch_df.collect()))
+
+    return sink
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: float = 60.0,
+) -> Any:
+    """Start a memory-sink query, process everything available, stop.
+    Returns the SparkSession-queryable in-memory table name."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(int(timeout_sec))
+    return query_name

@@ -1,0 +1,156 @@
+"""LLM-data operator tests: the semantics the DuckDB oracle can't check
+(MinHash/SimHash/LSH are xxhash64-based) — determinism, known-duplicate
+detection, recall vs brute force, multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl4s_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl4s_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from etl4s_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    attach_fake_payload,
+    extract_features,
+    frame_sample_stub,
+)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest "
+    "while the sun sets slowly behind the tall mountains of the old country"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("quick", "fast")),  # near-duplicate of 1
+        (4, "completely different content about spark query engines and columnar formats"),
+        (5, "yet another unrelated document mentioning benchmarks and shuffle partitions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 (dup of 1) dropped, lowest id kept
+
+
+def test_minhash_finds_near_dups_not_unrelated(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 16  # identical: all 16 bands
+    assert (1, 3) in pairs  # near-dup: shares some bands
+    assert (1, 4) not in pairs and (4, 5) not in pairs  # unrelated: none
+
+
+def test_minhash_deterministic_across_runs(docs):
+    a = sorted(map(tuple, minhash_lsh_candidates(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_lsh_candidates(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_hamming_orders_by_similarity(spark, docs):
+    h = docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+    vals = {r.doc_id: r.sh for r in h.collect()}
+    d = lambda a, b: bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert d(1, 2) == 0  # identical text, identical hash
+    assert d(1, 3) < d(1, 4)  # near-dup closer than unrelated
+    # hamming64 column agrees with the python computation
+    pair = (
+        h.alias("a")
+        .crossJoin(h.alias("b"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("dist"),
+        )
+        .filter((F.col("ia") == 1) & (F.col("ib") == 3))
+        .collect()[0]
+    )
+    assert pair.dist == d(1, 3)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one word changed → most 3-grams shared
+    assert (1, 4) not in pairs or pairs[(1, 4)] == 0.0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    approx = lsh_bucketed_topk(e, q, "vec_id", "embedding", dim=64, k=5, n_planes=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes → 16 buckets over 500 vectors: recall is partial but must
+    # be far above random ((5 picks)/(499 candidates) ≈ 1%)
+    assert recall > 0.15, f"recall {recall:.2%}"
+    # approx similarities are genuine cosines: every reported pair must
+    # match the exact computation (same rounding)
+    joined = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    for r in joined.select(F.col("a.cos_sim").alias("ac"), F.col("e.cos_sim").alias("ec")).collect():
+        assert r.ac == r.ec
+
+
+def test_multimodal_feature_extraction_batches(spark, sf_dir):
+    from etl4s_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = attach_fake_payload(d, "doc_id", "text")
+    feats = extract_features(media, feature_dim=16)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 50
+    r0 = next(r for r in rows if r.media_id == 0)
+    assert len(r0.feature) == 16 and all(0 <= x < 1 for x in r0.feature)
+    assert r0.n_bytes > 0 and len(r0.content_sha) == 64
+    # deterministic across runs
+    rows2 = extract_features(media, feature_dim=16).collect()
+    assert sorted(r.content_sha for r in rows2) == sorted(r.content_sha for r in rows)
+
+
+def test_multimodal_decoder_rejects_unknown_mime(spark):
+    df = spark.createDataFrame(
+        [(1, "application/pdf", bytearray(b"xx"), 1, 1)], schema="media_id long, mime string, payload binary, meta_width int, meta_height int"
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        extract_features(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_frame_sample_stub_fanout(spark, sf_dir):
+    from etl4s_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    media = attach_fake_payload(d, "doc_id", "text")
+    frames = frame_sample_stub(media, every_n=100)
+    n_media = media.count()
+    assert frames.count() >= n_media  # at least one frame per media row
+    assert frames.columns == ["media_id", "mime", "byte_offset"]
