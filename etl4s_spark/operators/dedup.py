@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl4s_spark.operators.text import fingerprint_md5, normalize_text, shingles
+from etl4s_spark.operators.text import (
+    fingerprint_md5,
+    normalize_text,
+    shingles_from_words,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,21 +47,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature (array<bigint>, length num_perm) of the word
-    k-shingle set.
+def minhash_signature(sh: Column, num_perm: int = 64) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) of a
+    MATERIALIZED shingle-array column.
 
-    Permutation i = xxhash64(shingle, seed=i); the signature element is
-    the min over shingles. Entirely higher-order expressions — computed
-    in the scan stage."""
-    sh = shingles(text, k=shingle_k)
-
-    def perm_hash(i: int):
-        # closure factory — a default-arg lambda would become a 2-param
-        # (element, index) lambda and hash with the index instead of the seed
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    return F.array(*[F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_perm)])
+    Permutation p = xxhash64(shingle, p); the signature element is the
+    min over shingles. One nested higher-order expression — transform
+    over the permutation sequence — so the shingle array is referenced
+    once, not duplicated num_perm times (a 64-way duplication of the
+    shingling expression tree re-runs the full-document regex per array
+    element and is ~100× slower)."""
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.transform(
+        perms, lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p)))
+    )
 
 
 def minhash_lsh_candidates(
@@ -67,6 +70,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH.
 
@@ -75,15 +79,39 @@ def minhash_lsh_candidates(
     id_a < id_b.
 
     Scale: the explode is a bands-× row multiplier (16 here) but each row
-    is (key, id) only; the single shuffle partitions by (band_idx,
-    band_hash). Hot buckets (boilerplate docs) are the skew risk —
-    AQE skew-join handles moderate cases; for pathological ones cap
-    bucket size with a per-bucket limit before the self-join
-    (dropping mega-buckets ≈ dropping boilerplate, usually desired).
+    is (key, id) only; the shuffles partition by (band_idx, band_hash)
+    and then by the pair. Hot buckets (boilerplate docs) are the skew
+    risk — max_bucket_size drops them, bounding per-task memory (dropping
+    mega-buckets ≈ dropping boilerplate, usually desired).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
-    banded = df.select(F.col(id_col).alias("doc"), sig.alias("__sig")).select(
+    # Materialize words → shingles as real columns so each stage's
+    # expression is evaluated once per row (see shingles_from_words for
+    # why inlining these is O(n²) per row), then EXPLODE the shingles and
+    # compute the signature as a 64-column min-aggregation. Higher-order
+    # lambdas are interpreted in Spark; a flat projection of num_perm
+    # xxhash64 columns + partial/final HashAggregate stays inside
+    # whole-stage codegen and is ~10× faster. The added shuffle keys on
+    # doc id (well-distributed) and carries num_perm longs per doc —
+    # map-side partial min keeps its volume at |docs| rows regardless of
+    # document length.
+    shingled = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", normalize_text(F.col("__text")))
+        .withColumn("__w", F.split(F.col("__norm"), " "))
+        .select(
+            "doc",
+            F.explode(
+                shingles_from_words(F.col("__w"), F.col("__norm"), k=shingle_k)
+            ).alias("s"),
+        )
+    )
+    sig_df = shingled.select(
+        "doc", *[F.xxhash64("s", F.lit(p)).alias(f"h{p}") for p in range(num_perm)]
+    ).groupBy("doc").agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)])
+    # Band b's key = hash of its rows_per_band signature columns — a
+    # plain codegen'd projection; explode to (doc, band_idx, band_hash).
+    banded = sig_df.select(
         "doc",
         F.explode(
             F.array(
@@ -94,7 +122,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -106,60 +134,85 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pairs via bucket grouping, NOT a self-join: a self-join would
+    # recompute the whole signature pipeline for both sides. One shuffle
+    # groups docs per band key; each bucket emits its doc-pair
+    # combinations (docs sorted, so id_a < id_b); a final shuffle counts
+    # shared bands per pair. Buckets larger than max_bucket_size are
+    # dropped — they are boilerplate mega-clusters whose quadratic pair
+    # blow-up is never wanted, and the cap bounds per-task memory at any
+    # scale.
+    docs_arr = F.col("docs")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc") < F.col("r.doc")),
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        docs_arr,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                docs_arr,
+                                i + 2,
+                                F.greatest(F.size(docs_arr) - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     return pairs
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash of the word set: per word, xxhash64 contributes ±1 to each
-    bit position; the sign of each accumulated bit forms the hash
-    (returned as bigint). Near-dups = small Hamming distance.
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a MATERIALIZED array<bigint> of per-word hashes: each
+    word contributes ±1 to every bit position; the sign of the
+    accumulated bit forms the hash (returned as bigint). Near-dups =
+    small Hamming distance.
 
-    Zero shuffles — a pure per-row fold, usable as a grouping key for
-    bucketed near-dup joins at any scale."""
-    from etl4s_spark.operators.text import words
-
-    w = words(text)
-    hashes = F.transform(w, lambda x: F.xxhash64(x))
-    acc0 = F.array_repeat(F.lit(0), bits)
-    # bit positions unrolled as Python ints — F.shiftright requires a
-    # literal int shift amount, not a Column
-    accumulated = F.aggregate(
-        hashes,
-        acc0,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for b in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
+    Bit b is positive iff more than half the word hashes have bit b set,
+    so each bit is one filter+size pass over the (attribute-referenced)
+    hash array — simple per-element expressions, no array allocation per
+    word. Zero shuffles — usable as a grouping key for bucketed near-dup
+    joins at any scale."""
+    n = F.size(hashes)
     out = F.lit(0).cast("bigint")
     for b in range(bits):
+        set_count = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
         # bit 63 is the sign bit: 1<<63 overflows signed int64, so use its
         # two's-complement value
         bit_val = 1 << b if b < 63 else -(1 << 63)
+        # +1 per set bit, -1 per unset: positive sum ⟺ 2*set_count > n
         out = out.bitwiseOR(
-            F.when(
-                F.element_at(accumulated, b + 1) > 0, F.lit(bit_val).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
+            F.when(set_count * 2 > n, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
         )
     return out
+
+
+def word_hashes(text: Column) -> Column:
+    """Per-word xxhash64 array of the normalized text — the materialized
+    input for simhash_from_hashes."""
+    from etl4s_spark.operators.text import words
+
+    return F.transform(words(text), lambda x: F.xxhash64(x))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash of a raw text column. Convenience form for tiny inputs —
+    hot paths must materialize word_hashes() as a column first, then
+    apply simhash_from_hashes: this inline form duplicates the
+    words/hashing expression tree ``bits`` times."""
+    return simhash_from_hashes(word_hashes(text), bits=bits)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -181,7 +234,17 @@ def ngram_jaccard_pairs(
     size: apply ONLY to LSH candidates or bounded slices; the shuffle key
     is the shingle string."""
     sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles(F.col(text_col), k=shingle_k))).alias("sh"))
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", normalize_text(F.col("__text")))
+        .withColumn("__w", F.split(F.col("__norm"), " "))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    shingles_from_words(F.col("__w"), F.col("__norm"), k=shingle_k)
+                )
+            ).alias("sh"),
+        )
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -129,15 +129,30 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles (array<string>) — the unit for MinHash/Jaccard.
-    Pure higher-order expression: transform over a sequence of start
-    offsets, joining k consecutive words."""
-    w = words(col)
+def shingles_from_words(w: Column, norm: Column, k: int = 3) -> Column:
+    """Word k-shingles (array<string>) from a words array column + the
+    normalized text column.
+
+    Built by zip_with-ing the word array against its own 1..k-1 shifted
+    slices, so the array is only ever a lambda INPUT (evaluated once per
+    row). Referencing an array column inside a transform lambda *body*
+    (e.g. element_at(w, i+j)) makes Spark re-evaluate the underlying
+    expression per element after projection collapsing — O(n²) per row
+    and ~10× slower end-to-end."""
     n = F.size(w)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    k_grams = F.transform(
-        starts, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
-    )
+    acc = w
+    for j in range(1, k):
+        tail = F.slice(w, j + 1, F.greatest(n - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # producing short grams at the tail that the final slice drops
+        acc = F.zip_with(acc, tail, lambda a, b: F.concat_ws(" ", a, b))
+    k_grams = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
     # short docs (< k words): the whole normalized text is the one shingle
-    return F.when(n >= k, k_grams).otherwise(F.array(normalize_text(col)))
+    return F.when(n >= k, k_grams).otherwise(F.array(norm))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of a raw text column. Convenience form for small
+    inputs/tests; hot paths should materialize words first and use
+    shingles_from_words (see its scaling note)."""
+    return shingles_from_words(words(col), normalize_text(col), k=k)

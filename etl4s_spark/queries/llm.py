@@ -18,7 +18,8 @@ from etl4s_spark.operators.dedup import (
     hamming64,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash,
+    simhash_from_hashes,
+    word_hashes,
 )
 from etl4s_spark.operators.similarity import as_double, cosine_topk, l2_norm, lsh_bucketed_topk
 from etl4s_spark.operators.text import (
@@ -219,7 +220,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + distance to the corpus' first doc —
     exercises the zero-shuffle fingerprint and hamming64."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    with_hash = d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+    with_hash = d.select("doc_id", word_hashes(F.col("text")).alias("__wh")).select(
+        "doc_id", simhash_from_hashes(F.col("__wh")).alias("simhash64")
+    )
     first = with_hash.orderBy("doc_id").limit(1).select(F.col("simhash64").alias("ref_hash"))
     return (
         with_hash.crossJoin(F.broadcast(first))
