@@ -79,6 +79,44 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and cosine ≥ threshold.
+
+    O(n²/2) all-pairs — the verification tier of the dedup funnel. Use
+    directly only on broadcast-small inputs (one side is broadcast, the
+    other streamed, so the big side is never shuffled); at corpus scale
+    feed it LSH bucket candidates (hyperplane_signature) instead of the
+    raw table, exactly like ngram_jaccard_pairs vs minhash_lsh_candidates.
+    """
+    # Norms are computed once per ROW before the join (n of them), so the
+    # O(n²) pair stage only pays for the dot product.
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("__va")
+    ).withColumn("__na", l2_norm(F.col("__va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("__vb")
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
+    right = F.broadcast(b) if broadcast_right else b
+    return (
+        a.join(right, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature (bigint bucket id).
 

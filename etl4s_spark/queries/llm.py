@@ -21,7 +21,13 @@ from etl4s_spark.operators.dedup import (
     simhash_from_hashes,
     word_hashes,
 )
-from etl4s_spark.operators.similarity import as_double, cosine_topk, l2_norm, lsh_bucketed_topk
+from etl4s_spark.operators.similarity import (
+    as_double,
+    cosine_topk,
+    embedding_neardup_pairs,
+    l2_norm,
+    lsh_bucketed_topk,
+)
 from etl4s_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
@@ -236,7 +242,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS (
       SELECT doc_id, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm
-      FROM documents WHERE doc_id < 120
+      FROM documents WHERE doc_id < 250
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(w) >= 3 THEN
@@ -264,7 +270,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs (≥0.05) on a bounded slice — the
     verification stage of the dedup funnel, proven against a full SQL
     mirror of the shingle+join formulation."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=3, min_jaccard=0.05).orderBy(
         "id_a", "id_b"
     )
@@ -301,6 +307,30 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=3,
     ).orderBy("query_id", "rn")
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, bounded slice) — the
+    embedding tier of the dedup funnel, proven against DuckDB
+    list_cosine_similarity. At corpus scale the same operator runs on
+    LSH bucket candidates instead of all pairs."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query("q_sim_ann_lsh")  # approximate; recall vs brute force asserted in pytest
