@@ -29,8 +29,15 @@ from etl4s_spark.core.node import (  # noqa: F401
     Transform,
     Load,
     Pipeline,
-    node,
+    Result,
+    branch,
     identity,
+    node,
+    parallel,
     pure,
 )
-from etl4s_spark.core.reader import Reader  # noqa: F401
+from etl4s_spark.core.reader import Context, Reader, curried  # noqa: F401
+from etl4s_spark.core.trace import Trace, TraceReport  # noqa: F401
+from etl4s_spark.core.telemetry import ConsoleTelemetry, Tel, TelemetryProvider  # noqa: F401
+from etl4s_spark.core.lineage import Lineage, LineageGraph  # noqa: F401
+from etl4s_spark.core.validation import Check, ValidationException  # noqa: F401
