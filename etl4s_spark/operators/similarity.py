@@ -79,6 +79,102 @@ def cosine_topk(
     )
 
 
+def _dot_with_literal(vec: Column, const: list[float]) -> Column:
+    """Dot product of a vector column with a Python-side constant vector,
+    unrolled as element_at terms — plain codegen'd arithmetic, no
+    interpreted higher-order lambdas."""
+    terms = [F.element_at(vec, i + 1) * F.lit(float(x)) for i, x in enumerate(const)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic IVF coarse centroids: the n_cells vectors with the
+    smallest xxhash64(id, seed) — a seeded pseudo-random sample, so any
+    run (or executor) derives the same cells with no stored model.
+
+    This is the one intentional driver-side collect in the similarity
+    stack: n_cells × dim floats — model parameters, not data. (A Lloyd
+    refinement sweep would be the same broadcast-assign + groupBy-avg
+    pattern; the sample quantizer keeps the operator deterministic.)"""
+    rows = (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h", "id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by descending <vec, centroid> — index 1
+    is the home cell; the first n_probe entries are the probe set."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-_dot_with_literal(vec, cv)).alias("neg_sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cv in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.array_sort(scored), lambda s: s["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF(-FLAT) index expressed as dataflow:
+    corpus vectors are assigned to their nearest coarse centroid (one
+    codegen'd projection — the 'index build'), queries probe their
+    n_probe nearest cells, and only same-cell pairs are scored.
+
+    One shuffle on the cell id; candidate count ≈ |corpus| × n_probe /
+    n_cells. The corpus is scanned once and never broadcast — the scale
+    path when both sides are large. Recall is tuned by n_probe/n_cells;
+    misses happen only when a true neighbor lives in an unprobed cell."""
+    query_id_col = query_id_col or id_col
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cell", ivf_cell_ranking(F.col("__cv"), cents)[0])
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+        )
+        .withColumn(
+            "__cell",
+            F.explode(F.slice(ivf_cell_ranking(F.col("__qv"), cents), 1, n_probe)),
+        )
+    )
+    scored = (
+        c.join(q, "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -25,6 +25,7 @@ from etl4s_spark.operators.similarity import (
     as_double,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     l2_norm,
     lsh_bucketed_topk,
 )
@@ -331,6 +332,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query("q_sim_ann_ivf")  # approximate; recall vs brute force asserted in pytest
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic sampled coarse centroids, corpus
+    assigned to home cells, queries probe the 2 nearest of 8 cells —
+    same output shape as the exact path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+        n_cells=8,
+        n_probe=2,
+    ).orderBy("query_id", "rn")
 
 
 @query("q_sim_ann_lsh")  # approximate; recall vs brute force asserted in pytest

@@ -117,6 +117,34 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
         assert r.ac == r.ec
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from etl4s_spark.operators.similarity import ivf_centroids, ivf_topk
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    approx = ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 2 of 8 cells covers ~25% of the corpus but the probe cells
+    # are chosen by similarity, so recall must beat that handily
+    assert recall > 0.3, f"recall {recall:.2%}"
+    # reported similarities are genuine cosines (same rounding as exact)
+    joined = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    for r in joined.select(F.col("a.cos_sim").alias("ac"), F.col("e.cos_sim").alias("ec")).collect():
+        assert r.ac == r.ec
+    # centroid derivation is deterministic
+    assert ivf_centroids(e, "vec_id", "embedding", n_cells=4) == ivf_centroids(
+        e, "vec_id", "embedding", n_cells=4
+    )
+
+
 def test_multimodal_feature_extraction_batches(spark, sf_dir):
     from etl4s_spark.sources.tables import load_table
 
