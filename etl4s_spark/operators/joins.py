@@ -154,3 +154,38 @@ def interval_join(
     for lc, rc in equi_keys:
         cond = (left[lc] == right[rc]) & cond
     return left.join(right, on=cond, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi join: a hot key's rows no longer land in one
+    task. The left (big, skewed) side gets a per-row salt derived from
+    xxhash64 of the whole row; the right side is replicated salt_buckets×
+    via explode; the join key becomes (keys..., salt), splitting each hot
+    key across salt_buckets tasks at the cost of a salt_buckets× blow-up
+    of the (smaller) right side.
+
+    Supported ``how``: inner, left, left_semi, left_anti — modes where
+    replicated right rows can't fabricate unmatched-row output. (right /
+    full outer would emit one null-padded row per *replica*; use AQE
+    skew-join for those.) Prefer AQE's automatic skew splitting first —
+    this operator is for the cases AQE can't see: skew materializing
+    mid-pipeline after AQE planned, or aggregation-free pipelines where a
+    specific hot key is known in advance."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_salted, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -77,6 +77,31 @@ def write_partitioned(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> str:
+    """Bucketed managed-table write (bucketBy requires saveAsTable).
+
+    Two tables bucketed by the same keys into the same bucket count join
+    WITHOUT a shuffle — each task reads matching bucket files from both
+    sides (the plan shows SortMergeJoin with no Exchange under it;
+    asserted in tests/test_plans.py). This is THE pattern for a fact
+    table joined repeatedly on the same key at 100 TB: pay the shuffle
+    once at write time, never again. ``sort_by`` additionally skips the
+    per-task sort."""
+    writer = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+    return table
+
+
 # Layer-A node factories -----------------------------------------------------
 
 def extract_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> Node:

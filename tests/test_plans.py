@@ -62,3 +62,68 @@ def test_whole_stage_codegen_covers_project(spark, sf_dir):
     plan = plan_str(df)
     # '*' prefix in the formatted tree marks whole-stage-codegen'd operators
     assert "* Project" in plan, plan
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark, sf_dir):
+    from etl4s_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    # manufacture skew: fold most keys into one hot key
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(F.col("l_orderkey"))
+    )
+    dim = (
+        skewed.select("k").distinct().withColumn("attr", F.col("k") * 10)
+    )
+    plain = skewed.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    ).collect()[0]
+    salted = salted_join(skewed, dim, on=["k"], salt_buckets=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    # anti join: rows with no dim match survive identically
+    dim_partial = dim.filter(F.col("k") != 1)
+    plain_anti = skewed.join(dim_partial, "k", "left_anti").count()
+    salted_anti = salted_join(skewed, dim_partial, on=["k"], how="left_anti", salt_buckets=8).count()
+    assert plain_anti == salted_anti
+    # the hot key's rows really do spread across several salt buckets
+    spread = (
+        skewed.filter(F.col("k") == 1)
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)),
+        )
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert spread >= 6, spread
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    import uuid
+
+    from etl4s_spark.sources.batch import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, f"li_b_{suffix}", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    write_bucketed(od, f"od_b_{suffix}", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    a = spark.table(f"li_b_{suffix}")
+    b = spark.table(f"od_b_{suffix}")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    # co-bucketed join: SortMergeJoin with NO Exchange anywhere in the plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(a.join(b, a.l_orderkey == b.o_orderkey))
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree, tree
+        assert "Exchange" not in tree, tree
+        assert joined.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS od_b_{suffix}")
