@@ -93,6 +93,63 @@ def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rollup_hierarchy",
+    oracle=f"""
+    WITH v AS (
+      SELECT ts, event_type, CAST(value AS DECIMAL(18,6)) AS dv FROM events
+    )
+    SELECT 'minute' AS resolution,
+           strftime(date_trunc('minute', ts), '{_DUCK_FMT}') AS bucket_start,
+           event_type, count(*) AS n_events,
+           round(CAST(sum(dv) AS DOUBLE), 4) AS total_value,
+           round(CAST(min(dv) AS DOUBLE), 4) AS min_value,
+           round(CAST(max(dv) AS DOUBLE), 4) AS max_value,
+           round(CAST(sum(dv) AS DOUBLE) / count(*), 4) AS avg_value
+    FROM v GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', strftime(date_trunc('hour', ts), '{_DUCK_FMT}'),
+           event_type, count(*),
+           round(CAST(sum(dv) AS DOUBLE), 4),
+           round(CAST(min(dv) AS DOUBLE), 4),
+           round(CAST(max(dv) AS DOUBLE), 4),
+           round(CAST(sum(dv) AS DOUBLE) / count(*), 4)
+    FROM v GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '{_DUCK_FMT}'),
+           event_type, count(*),
+           round(CAST(sum(dv) AS DOUBLE), 4),
+           round(CAST(min(dv) AS DOUBLE), 4),
+           round(CAST(max(dv) AS DOUBLE), 4),
+           round(CAST(sum(dv) AS DOUBLE) / count(*), 4)
+    FROM v GROUP BY 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: minute → hour →
+    day rollups per event_type, each coarser level re-aggregated from the
+    finer one (raw scanned once; see operators/rollup.py). The oracle
+    aggregates each level straight from raw — results match exactly
+    because sums are carried as decimals (order-independent)."""
+    from etl4s_spark.operators.rollup import rollup_hierarchy
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dv", F.col("value").cast("decimal(18,6)")
+    )
+    r = rollup_hierarchy(ev, "ts", "dv", keys=["event_type"])
+    return r.select(
+        "resolution",
+        F.date_format("bucket_start", _TS_FMT).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 4).alias("total_value"),
+        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
+        F.round(F.col("total_value").cast("double") / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("resolution", "bucket_start", "event_type")
+
+
+@query(
     "q_window_session_batch",
     oracle=f"""
     WITH marked AS (
