@@ -123,6 +123,34 @@ def lang_id(col: Column) -> Column:
 
 # -- fingerprinting ----------------------------------------------------------
 
+def rolling_fingerprint(norm: Column, k: int = 8, mod: int = 2_147_483_647) -> Column:
+    """Winnowing-style rolling-hash fingerprint: the minimum polynomial
+    hash over all k-char windows of the ALREADY-NORMALIZED text column
+    (h = Σ code(cᵢ)·31ⁱ mod M). Robust to content being shifted by
+    prepended/appended bytes — unlike whole-document md5 — because the
+    window set is position-free.
+
+    Plain integer arithmetic, so it is DuckDB-mirrorable
+    (q_text_rolling_fp). Pass a MATERIALIZED normalized column (plain
+    reference, not the normalize_text expression): it is read inside the
+    transform lambda body k times per window, and a non-trivial
+    expression there re-evaluates per element (see shingles_from_words)."""
+    n = F.length(norm)
+
+    def whash(i: Column) -> Column:
+        h = F.lit(0).cast("bigint")
+        p = 1
+        for j in range(k):
+            h = h + F.ascii(norm.substr(i + F.lit(j), F.lit(1))).cast("bigint") * F.lit(p).cast(
+                "bigint"
+            )
+            p = (p * 31) % mod
+        return F.pmod(h, F.lit(mod))
+
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_min(F.transform(starts, whash))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint: md5 of the normalized text. Identical
     normalization on the oracle side makes this the exact-dedup key."""

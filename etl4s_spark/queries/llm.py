@@ -195,6 +195,46 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_rolling_fp",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(norm) - 7, 1)),
+             i -> (CAST(unicode(substr(norm, i, 1)) AS BIGINT) * 1
+                 + CAST(unicode(substr(norm, i+1, 1)) AS BIGINT) * 31
+                 + CAST(unicode(substr(norm, i+2, 1)) AS BIGINT) * 961
+                 + CAST(unicode(substr(norm, i+3, 1)) AS BIGINT) * 29791
+                 + CAST(unicode(substr(norm, i+4, 1)) AS BIGINT) * 923521
+                 + CAST(unicode(substr(norm, i+5, 1)) AS BIGINT) * 28629151
+                 + CAST(unicode(substr(norm, i+6, 1)) AS BIGINT) * 887503681
+                 + CAST(unicode(substr(norm, i+7, 1)) AS BIGINT) * 1742810347) % 2147483647
+           )) AS rolling_fp
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (min 8-char polynomial window
+    hash) — shift-robust content identity, proven against a DuckDB
+    mirror of the same arithmetic.
+
+    Note the oracle's coefficients are 31^j mod M — the Spark side
+    reduces each term mod M the same way, and (a·(31^j mod M)) mod M =
+    (a·31^j) mod M, so the window hashes agree exactly."""
+    from etl4s_spark.operators.text import rolling_fingerprint
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .withColumn("__norm", normalize_text(F.col("text")))
+    )
+    return d.select(
+        "doc_id", rolling_fingerprint(F.col("__norm")).alias("rolling_fp")
+    ).orderBy("doc_id")
+
+
+@query(
     "q_dedup_exact",
     oracle=f"""
     SELECT doc_id, lang, source
