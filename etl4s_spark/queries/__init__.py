@@ -53,6 +53,7 @@ def load_all() -> None:
         scans,
         setops,
         sorts,
+        sql_entry,
         streaming_batch,
         windows,
     )

@@ -1,0 +1,125 @@
+"""SQL-entry queries: subqueries and pivot (SURVEY.md §2.B extensions).
+
+These run through ``spark.sql`` over temp views — the second front door
+of the engine (everything else uses the DataFrame builder API; both
+compile to the same Catalyst plans). Subqueries specifically exercise
+Catalyst's decorrelation: the scalar subquery becomes a broadcast of a
+1-row aggregate, the correlated EXISTS becomes a left-semi hash join —
+no per-row re-execution anywhere (the naive reading of correlated SQL
+would be O(n²) at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    vname = f"__{name}"
+    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 1.8× the mean price.
+    Catalyst plans the subquery as its own 1-row aggregate reused via
+    ReusedSubquery/broadcast — the big table is scanned once."""
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM {o}
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM {o})
+        ORDER BY o_orderkey
+    """)
+
+
+@query(
+    "q_subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q_subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi
+    join on the correlation key (one hash join, not per-row probes)."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name
+        FROM {c} c
+        WHERE EXISTS (
+          SELECT 1 FROM {o} o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+    """)
+
+
+@query(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT c_custkey
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      AND c_custkey < 500
+    ORDER BY c_custkey
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery → null-aware left-anti join (Catalyst handles the
+    three-valued-logic trap NOT IN carries when the list has nulls)."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey
+        FROM {c}
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM {o} WHERE o_totalprice > 300000)
+          AND c_custkey < 500
+        ORDER BY c_custkey
+    """)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus with explicit value list (never pivot on an
+    unbounded-cardinality column — the implicit-values form runs an extra
+    distinct job and explodes the schema). Compiles to one regular
+    aggregate with CASE expressions — exactly the oracle's shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .fillna(0.0, subset=["F", "O"])
+        .orderBy("l_returnflag")
+    )
+    return out
