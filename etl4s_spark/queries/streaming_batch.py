@@ -93,6 +93,66 @@ def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_tumbling_replay",
+    oracle=f"""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '{_DUCK_FMT}') AS window_start,
+           event_type,
+           count(*)                                              AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED tumbling windows: events are re-materialized as
+    a multi-file directory, replayed through a file-source stream in
+    paced micro-batches into an in-memory complete-mode sink, and the
+    final state is proven equal to the one-shot SQL aggregation — the
+    stream-is-an-unbounded-table guarantee, checked by the oracle gate
+    itself rather than only by pytest.
+
+    Sums are carried as decimals so the micro-batch accumulation order
+    cannot move the rounded result."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_replay_")
+    ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    sink = f"replay_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "q_rollup_hierarchy",
     oracle=f"""
     WITH v AS (
