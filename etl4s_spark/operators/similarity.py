@@ -79,15 +79,17 @@ def cosine_topk(
     )
 
 
-def _dot_with_literal(vec: Column, const: list[float]) -> Column:
-    """Dot product of a vector column with a Python-side constant vector,
-    unrolled as element_at terms — plain codegen'd arithmetic, no
-    interpreted higher-order lambdas."""
-    terms = [F.element_at(vec, i + 1) * F.lit(float(x)) for i, x in enumerate(const)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _dot_sql(vec_name: str, const: list[float]) -> str:
+    """SQL text for the dot product of a vector column with a constant
+    vector, unrolled as element_at terms — plain codegen'd arithmetic.
+
+    Built as ONE expression string parsed JVM-side: constructing the
+    same tree through Column operators costs a py4j round trip per
+    operator (~1,500 for 8 cells × 64 dims ≈ seconds of pure plan-build
+    latency). float repr round-trips exactly to double."""
+    return " + ".join(
+        f"element_at({vec_name}, {i + 1}) * {float(x)!r}" for i, x in enumerate(const)
+    )
 
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42) -> list[list[float]]:
@@ -109,19 +111,16 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, s
     return [list(r["v"]) for r in rows]
 
 
-def ivf_cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of cell ids ordered by descending <vec, centroid> — index 1
-    is the home cell; the first n_probe entries are the probe set."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-_dot_with_literal(vec, cv)).alias("neg_sim"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cv in enumerate(centroids)
-        ]
+def ivf_cell_ranking(vec_name: str, centroids: list[list[float]]) -> Column:
+    """Array of cell ids ordered by descending <vec, centroid> — element
+    1 is the home cell; the first n_probe entries are the probe set.
+    ``vec_name`` is the (materialized) vector column's name — the whole
+    ranking is one F.expr string (see _dot_sql for why)."""
+    cells = ", ".join(
+        f"named_struct('neg_sim', -({_dot_sql(vec_name, cv)}), 'cell', {ci})"
+        for ci, cv in enumerate(centroids)
     )
-    return F.transform(F.array_sort(scored), lambda s: s["cell"])
+    return F.expr(f"transform(array_sort(array({cells})), s -> s.cell)")
 
 
 def ivf_topk(
@@ -148,14 +147,14 @@ def ivf_topk(
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cell", ivf_cell_ranking(F.col("__cv"), cents)[0])
+    ).withColumn("__cell", ivf_cell_ranking("__cv", cents)[0])
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
         )
         .withColumn(
             "__cell",
-            F.explode(F.slice(ivf_cell_ranking(F.col("__qv"), cents), 1, n_probe)),
+            F.explode(F.slice(ivf_cell_ranking("__qv", cents), 1, n_probe)),
         )
     )
     scored = (
