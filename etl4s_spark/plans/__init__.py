@@ -1,3 +1,4 @@
+from etl4s_spark.plans.plan_lineage import lineage_from_plan  # noqa: F401
 from etl4s_spark.plans.observe import (  # noqa: F401
     ObservedMetrics,
     RunReport,

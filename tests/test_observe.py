@@ -67,3 +67,18 @@ def test_explain_str_modes(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     assert "Scan parquet" in explain_str(li, "simple")
     assert "== Physical Plan ==" in explain_str(li, "formatted")
+
+
+def test_lineage_from_plan_sees_through_join(spark, sf_dir):
+    from etl4s_spark.core.lineage import LineageGraph
+    from etl4s_spark.plans import lineage_from_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).select("l_orderkey", "o_totalprice")
+    ln = lineage_from_plan(joined, "enrich", outputs=("warehouse.enriched",))
+    assert f"{sf_dir}/lineitem.parquet" in ln.inputs
+    assert f"{sf_dir}/orders.parquet" in ln.inputs
+    # derived lineage renders like hand lineage
+    g = LineageGraph.build([ln])
+    assert "enrich" in g.to_mermaid() and "lineitem" in g.to_json()
