@@ -106,32 +106,24 @@ def minhash_lsh_candidates(
             ).alias("s"),
         )
     )
-    sig_df = shingled.select(
-        "doc", *[F.xxhash64("s", F.lit(p)).alias(f"h{p}") for p in range(num_perm)]
-    ).groupBy("doc").agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)])
+    # selectExpr strings: one py4j call for the whole 64-column
+    # projection / aggregation instead of one per Column operator
+    sig_df = shingled.selectExpr(
+        "doc", *[f"xxhash64(s, {p}) AS h{p}" for p in range(num_perm)]
+    ).groupBy("doc").agg(*[F.expr(f"min(h{p}) AS h{p}") for p in range(num_perm)])
     # Band b's key = hash of its rows_per_band signature columns — a
     # plain codegen'd projection; explode to (doc, band_idx, band_hash).
+    band_structs = ", ".join(
+        "named_struct('band_idx', {b}, 'band_hash', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sig_df.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "doc", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc", "band.band_idx", "band.band_hash")
 
     # Pairs via bucket grouping, NOT a self-join: a self-join would
@@ -170,33 +162,50 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
     """SimHash from a MATERIALIZED array<bigint> of per-word hashes: each
     word contributes ±1 to every bit position; the sign of the
     accumulated bit forms the hash (returned as bigint). Near-dups =
     small Hamming distance.
 
-    Bit b is positive iff more than half the word hashes have bit b set,
-    so each bit is one filter+size pass over the (attribute-referenced)
-    hash array — simple per-element expressions, no array allocation per
-    word. Zero shuffles — usable as a grouping key for bucketed near-dup
-    joins at any scale."""
-    n = F.size(hashes)
-    out = F.lit(0).cast("bigint")
+    Bit b is positive iff more than half the word hashes have bit b set
+    (+1 per set bit, −1 per unset: positive sum ⟺ 2·set_count > n), so
+    each bit is one filter+size pass over the hash array. Zero shuffles —
+    usable as a grouping key for bucketed near-dup joins at any scale.
+
+    Pass the hash array column's NAME: the 64-bit fold is emitted as ONE
+    SQL expression string parsed JVM-side — building the same tree via
+    Column operators costs a py4j round trip per operator (~3s of pure
+    plan-build latency; execution itself is 0.2s). A Column is accepted
+    for tiny-input convenience paths only."""
+    if not isinstance(hashes, str):
+        # Column path (convenience/tests): wrap via a generated name-free
+        # fold — delegate to the string builder against a subquery alias
+        # is impossible, so keep a minimal slow loop here.
+        n = F.size(hashes)
+        out = F.lit(0).cast("bigint")
+        for b in range(bits):
+            set_count = F.size(
+                F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+            )
+            bit_val = 1 << b if b < 63 else -(1 << 63)
+            out = out.bitwiseOR(
+                F.when(set_count * 2 > n, F.lit(bit_val).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+        return out
+    col = hashes
+    terms = []
     for b in range(bits):
-        set_count = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
         # bit 63 is the sign bit: 1<<63 overflows signed int64, so use its
         # two's-complement value
         bit_val = 1 << b if b < 63 else -(1 << 63)
-        # +1 per set bit, -1 per unset: positive sum ⟺ 2*set_count > n
-        out = out.bitwiseOR(
-            F.when(set_count * 2 > n, F.lit(bit_val).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+        terms.append(
+            f"(CASE WHEN size(filter({col}, h -> (shiftright(h, {b}) & 1) = 1)) * 2"
+            f" > size({col}) THEN CAST({bit_val} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
-    return out
+    return F.expr("(" + " | ".join(terms) + ")")
 
 
 def word_hashes(text: Column) -> Column:

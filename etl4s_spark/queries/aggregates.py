@@ -113,15 +113,41 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # approximate → rows-only check (FIXTURES.md §C)
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS approx_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct. At 100 TB this replaces the
     memory-unbounded exact distinct: fixed-size sketch per group, merges
-    in the partial-agg phase, no distinct-expand shuffle."""
+    in the partial-agg phase, no distinct-expand shuffle.
+
+    Oracle-checked as a BOUNDED-ERROR query: the exact count plus a flag
+    asserting the HLL estimate (rsd=2%) landed within 10% of it — the
+    sketch's accuracy contract becomes part of the hash-matched result
+    instead of an unchecked rows-only pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.1 * F.col("exact_parts")
+            ).alias("approx_within_10pct"),
+        )
         .orderBy("l_returnflag")
     )
 

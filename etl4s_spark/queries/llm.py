@@ -268,7 +268,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the zero-shuffle fingerprint and hamming64."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     with_hash = d.select("doc_id", word_hashes(F.col("text")).alias("__wh")).select(
-        "doc_id", simhash_from_hashes(F.col("__wh")).alias("simhash64")
+        "doc_id", simhash_from_hashes("__wh").alias("simhash64")
     )
     first = with_hash.orderBy("doc_id").limit(1).select(F.col("simhash64").alias("ref_hash"))
     return (
