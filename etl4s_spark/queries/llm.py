@@ -408,6 +408,35 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image/fake'                        AS mime,
+           octet_length(encode(text))          AS n_bytes,
+           sha256(text)                        AS payload_sha
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY media_id
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column processing in the oracle-checked surface: byte
+    length + SHA-256 computed ON the binary payload column (operators/
+    multimodal.py plumbing). Metadata predicates never touch the bytes —
+    here the filter is on the id, pushed to the scan."""
+    from etl4s_spark.operators.multimodal import attach_fake_payload
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_fake_payload(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        "mime",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    ).orderBy("media_id")
+
+
+@query(
     "q_multimodal_join",
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars,
