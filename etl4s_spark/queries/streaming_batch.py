@@ -140,6 +140,10 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        # the memory sink holds the rows; the replay files are dead weight
+        import shutil
+
+        shutil.rmtree(replay_dir, ignore_errors=True)
     return (
         spark.table(sink)
         .select(
