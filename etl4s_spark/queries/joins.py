@@ -319,6 +319,44 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN CAST(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) END AS matched_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.value END             AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance: matches older than
+    left_ts − 1h are nulled (stale quotes don't count). The oracle
+    applies the same cutoff as CASE over DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("matched_ts", fmt).alias("matched_ts"),
+        F.col("matched_value").alias("matched_value"),
+    ).orderBy("event_id")
+
+
+@query(
     "q_join_interval",
     oracle="""
     SELECT o.o_orderkey, count(l.l_orderkey) AS n_shipped_30d,
