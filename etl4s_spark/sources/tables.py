@@ -31,6 +31,10 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Queries must behave identically in ANY caller-provided session (the
+    # driver builds its own): timestamp formatting/bucketing is only
+    # deterministic vs the DuckDB oracle under UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
