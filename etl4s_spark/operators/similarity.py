@@ -111,6 +111,33 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, s
     return [list(r["v"]) for r in rows]
 
 
+def ivf_refine_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    sweeps: int = 1,
+) -> list[list[float]]:
+    """Lloyd refinement of IVF coarse centroids: assign every vector to
+    its nearest centroid (codegen'd ranking projection), average each
+    cell element-wise (one groupBy over ≤n_cells groups — the avg
+    aggregates are dim unrolled columns, map-side combined), collect the
+    n_cells × dim result. Cells that lose all members keep their old
+    centroid. Each sweep costs one scan + one tiny shuffle; recall
+    typically saturates after 1-2 sweeps for coarse quantizers."""
+    dim = len(centroids[0])
+    cents = [list(c) for c in centroids]
+    for _ in range(sweeps):
+        assigned = df.select(as_double(F.col(vec_col)).alias("__v")).withColumn(
+            "__cell", ivf_cell_ranking("__v", cents)[0]
+        )
+        rows = assigned.groupBy("__cell").agg(
+            *[F.expr(f"avg(element_at(__v, {i + 1})) AS c{i}") for i in range(dim)]
+        ).collect()
+        for r in rows:
+            cents[r["__cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+    return cents
+
+
 def ivf_cell_ranking(vec_name: str, centroids: list[list[float]]) -> Column:
     """Array of cell ids ordered by descending <vec, centroid> — element
     1 is the home cell; the first n_probe entries are the probe set.
@@ -132,6 +159,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    refine_sweeps: int = 0,
     query_id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF(-FLAT) index expressed as dataflow:
@@ -145,6 +173,8 @@ def ivf_topk(
     misses happen only when a true neighbor lives in an unprobed cell."""
     query_id_col = query_id_col or id_col
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
+    if refine_sweeps:
+        cents = ivf_refine_centroids(corpus, vec_col, cents, sweeps=refine_sweeps)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cell", ivf_cell_ranking("__cv", cents)[0])

@@ -143,6 +143,13 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert ivf_centroids(e, "vec_id", "embedding", n_cells=4) == ivf_centroids(
         e, "vec_id", "embedding", n_cells=4
     )
+    # one Lloyd sweep must not DEGRADE recall below the unrefined floor
+    refined = ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2, refine_sweeps=1
+    )
+    refined_set = {(r.query_id, r.neighbor_id) for r in refined.collect()}
+    refined_recall = len(exact_set & refined_set) / len(exact_set)
+    assert refined_recall >= 0.3, f"refined recall {refined_recall:.2%}"
 
 
 def test_multimodal_feature_extraction_batches(spark, sf_dir):
