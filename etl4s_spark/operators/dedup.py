@@ -162,6 +162,60 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def dedup_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full near-dup funnel composed end-to-end: MinHash-LSH proposes
+    candidate pairs (sub-quadratic), exact n-gram Jaccard verifies them,
+    only pairs ≥ min_jaccard survive. Returns (id_a, id_b, jaccard).
+
+    Scale shape: the quadratic verifier runs ONLY on the candidate set —
+    the semi-join below shrinks the shingle join to candidate docs before
+    any pairwise work. This is the standard corpus-dedup architecture
+    (propose cheaply, verify exactly)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    ).select("id_a", "id_b")
+    # Verify per candidate pair: attach each side's distinct-shingle SET
+    # (two joins with the small candidate set broadcast — the corpus
+    # shingle projection is scanned, never shuffled), then exact Jaccard
+    # via array_intersect. |A∪B| = |A|+|B|−|A∩B|.
+    sh_df = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("__norm", normalize_text(F.col("__text")))
+        .withColumn("__w", F.split(F.col("__norm"), " "))
+        .select(
+            "doc",
+            F.array_distinct(
+                shingles_from_words(F.col("__w"), F.col("__norm"), k=shingle_k)
+            ).alias("sh_set"),
+        )
+    )
+    a = sh_df.select(F.col("doc").alias("id_a"), F.col("sh_set").alias("__sa"))
+    b = sh_df.select(F.col("doc").alias("id_b"), F.col("sh_set").alias("__sb"))
+    return (
+        a.join(F.broadcast(cands), "id_a")
+        .join(b, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter")
+                / (F.size("__sa") + F.size("__sb") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
     """SimHash from a MATERIALIZED array<bigint> of per-word hashes: each
     word contributes ±1 to every bit position; the sign of the

@@ -262,6 +262,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_funnel")  # LSH proposal uses xxhash64 → rows-only; funnel completeness tested in pytest
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup funnel: MinHash-LSH candidates verified by
+    exact 3-gram Jaccard ≥ 0.8 — the production corpus-dedup pipeline as
+    one composed operator."""
+    from etl4s_spark.operators.dedup import dedup_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_funnel(d, "doc_id", "text", min_jaccard=0.8).orderBy("id_a", "id_b")
+
+
 @query("q_dedup_simhash")  # rows-only; Hamming-distance semantics tested in pytest
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + distance to the corpus' first doc —

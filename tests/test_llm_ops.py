@@ -117,6 +117,28 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
         assert r.ac == r.ec
 
 
+def test_dedup_funnel_finds_what_exhaustive_jaccard_finds(spark, sf_dir):
+    from etl4s_spark.operators.dedup import dedup_funnel
+    from etl4s_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    funnel = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_funnel(d, "doc_id", "text", min_jaccard=0.8).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", min_jaccard=0.8).collect()
+    }
+    # soundness: every funnel pair is a true >=0.8 pair with the exact score
+    for pair, j in funnel.items():
+        assert exhaustive[pair] == j
+    # completeness: 16 bands / 4 rows-per-band makes missing a 0.8+ pair
+    # astronomically unlikely — require full recall on this corpus
+    assert set(funnel) == set(exhaustive), set(exhaustive) - set(funnel)
+    assert len(exhaustive) > 0  # the corpus does contain near-dups
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     from etl4s_spark.operators.similarity import ivf_centroids, ivf_topk
     from etl4s_spark.sources.tables import load_table
