@@ -37,8 +37,12 @@ def rollup_hierarchy(
     n_events, total_value, min_value, max_value, avg_value — avg derived
     from the carried (sum, count) so every level is exact.
 
-    One shuffle per level, each on strictly smaller data; level 0
-    shuffles the raw table on (keys, bucket) exactly once."""
+    One shuffle per level, each on strictly smaller data. The finest
+    level's subtree appears under every union branch in the STATIC plan,
+    but AQE's exchange reuse executes it once at runtime (the executed
+    plan shows ReusedExchange for the coarser branches — asserted in
+    tests/test_plans.py), so the raw table is scanned and shuffled
+    exactly once."""
     if not resolutions:
         raise ValueError("need at least one resolution")
     for r in resolutions:

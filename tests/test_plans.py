@@ -127,3 +127,15 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS od_b_{suffix}")
+
+
+def test_rollup_hierarchy_reuses_finest_exchange_at_runtime(spark, sf_dir):
+    from etl4s_spark.operators.rollup import rollup_hierarchy
+
+    ev = load_table(spark, sf_dir, "events")
+    df = rollup_hierarchy(ev, "ts", "value", keys=["event_type"])
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # hour and day branches must reuse the minute-level shuffle instead of
+    # rescanning/re-aggregating the raw table
+    assert executed.count("ReusedExchange") >= 2, executed[:2000]
