@@ -1,0 +1,80 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample()`` / ``sampleBy()`` are rand()-based: resampling on retry,
+different rows per run, unverifiable. At corpus scale you want CONTENT-
+ADDRESSED sampling — keep a row iff a hash of its id clears a threshold:
+
+- identical output on every run/cluster/engine (oracle-checkable),
+- stable under repartitioning and retries,
+- composable: disjoint hash ranges give overlap-free splits
+  (train/val/test) without coordination.
+
+The hash is md5 of (seed, id): its first 8 hex chars are uniform on
+[0, 16^8); comparing the hex PREFIX STRING against the threshold's hex
+form avoids any integer conversion and works identically in every engine
+that lowercases md5 output (Spark and DuckDB both do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**8
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def sample_hash(id_col: Column, seed: int = 42) -> Column:
+    """First 8 hex chars of md5(seed || ':' || id) — the sampling key."""
+    return F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by content hash — same rows every
+    run. One scan, zero shuffles; the predicate pushes past projections."""
+    return df.filter(sample_hash(F.col(id_col), seed) < _threshold_hex(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    web text to 10% while keeping 100% of books). Zero shuffles."""
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(stratum_col) == value, F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.filter(sample_hash(F.col(id_col), seed) < thr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Overlap-free split column from disjoint hash ranges:
+    [0, val) → 'val', [val, val+test) → 'test', rest → 'train'.
+    Membership is a pure function of the id — no coordination, no
+    shuffles, stable across runs and engines."""
+    h = sample_hash(F.col(id_col), seed)
+    t_val = _threshold_hex(val_fraction)
+    t_test = _threshold_hex(val_fraction + test_fraction)
+    return df.withColumn(
+        "split",
+        F.when(h < t_val, F.lit("val")).when(h < t_test, F.lit("test")).otherwise(F.lit("train")),
+    )

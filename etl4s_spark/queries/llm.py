@@ -419,6 +419,52 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    ORDER BY doc_id
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 20% sample — identical rows on every run and
+    engine (md5-prefix threshold), unlike rand()-based sample(). The
+    oracle literally re-derives the same membership."""
+    from etl4s_spark.operators.sampling import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.2).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "q_sample_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc' THEN 'val'
+                WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-free train/val/test assignment from disjoint hash ranges
+    (5%/5%/90%) — membership is a pure function of the id, verified by
+    the oracle recomputing the same ranges."""
+    from etl4s_spark.operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", val_fraction=0.05, test_fraction=0.05)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+@query(
     "q_multimodal_binary",
     oracle="""
     SELECT doc_id AS media_id,

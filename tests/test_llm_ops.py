@@ -211,3 +211,30 @@ def test_frame_sample_stub_fanout(spark, sf_dir):
     n_media = media.count()
     assert frames.count() >= n_media  # at least one frame per media row
     assert frames.columns == ["media_id", "mime", "byte_offset"]
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, sf_dir):
+    from etl4s_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_val_test_split,
+    )
+    from etl4s_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.count()
+    # determinism: two runs agree row-for-row
+    a = sorted(r.doc_id for r in deterministic_sample(d, "doc_id", 0.3).select("doc_id").collect())
+    b = sorted(r.doc_id for r in deterministic_sample(d, "doc_id", 0.3).select("doc_id").collect())
+    assert a == b and 0.15 * total < len(a) < 0.45 * total
+    # stratified: unlisted strata drop to default (0), listed keep ~their rate
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    keep_lang = sorted(langs)[0]
+    s = stratified_sample(d, "doc_id", "lang", {keep_lang: 1.0})
+    assert {r.lang for r in s.select("lang").distinct().collect()} == {keep_lang}
+    assert s.count() == d.filter(F.col("lang") == keep_lang).count()
+    # split: a partition of the corpus, stable under reordering
+    sp = train_val_test_split(d.repartition(7), "doc_id")
+    counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == total
+    assert counts.get("train", 0) > counts.get("val", 0) >= 0
