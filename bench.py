@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # The driver parses stdout as JSON (BENCH_r01 recorded parsed:null —
+    # JVM/log4j noise had leaked onto fd 1). Point fd 1 at stderr for the
+    # whole run — the JVM inherits the redirected fd — and restore it only
+    # for the final JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     import __spark_entry__ as entry_mod
     from etl4s_spark.session import get_spark
 
@@ -33,26 +41,28 @@ def main() -> None:
         t0 = time.monotonic()
         try:
             df = qs[name](spark, sf_dir)
-            n = df.count() if hasattr(df, "count") else 0
+            if hasattr(df, "count"):
+                df.count()
             timings[name] = round(time.monotonic() - t0, 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-        _ = n
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "declared_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.dup2(real_stdout, 1)
+    os.write(1, (line + "\n").encode())
 
 
 if __name__ == "__main__":

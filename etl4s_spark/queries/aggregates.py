@@ -282,8 +282,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber))            AS line_numbers,
-           list_sort(list(DISTINCT l_returnflag))   AS flags
+           array_to_string(list_sort(list(l_linenumber)), ',')          AS line_numbers,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
     FROM lineitem
     WHERE l_orderkey <= 100
     GROUP BY l_orderkey
@@ -292,14 +292,21 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list/collect_set with deterministic sort_array wrapping
-    (array order is engine-dependent otherwise — FIXTURES.md §C)."""
+    (array order is engine-dependent otherwise — FIXTURES.md §C).
+
+    Outputs are emitted as comma-joined strings, not array<>, because the
+    driver's pandas canonicalizer cannot sort/hash list cells
+    (CORRECTNESS_r01: 'unhashable type: list'). The array-typed forms stay
+    covered by pytest (tests/test_llm_ops.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") <= 100)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
-            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias(
+                "line_numbers"
+            ),
+            F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
         )
         .orderBy("l_orderkey")
     )

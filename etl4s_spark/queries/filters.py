@@ -75,11 +75,12 @@ def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       count(*)                                                    AS n_rows,
       count(disc_or_null)                                         AS n_disc_not_null,
-      sum(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END)       AS n_disc_null,
-      sum(CASE WHEN disc_or_null IS NOT DISTINCT FROM NULL
-               THEN 1 ELSE 0 END)                                 AS n_null_safe_eq_null,
-      sum(CASE WHEN flag_or_null IS DISTINCT FROM 'A'
-               THEN 1 ELSE 0 END)                                 AS n_distinct_from_a
+      CAST(sum(CASE WHEN disc_or_null IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT)                                             AS n_disc_null,
+      CAST(sum(CASE WHEN disc_or_null IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT)                      AS n_null_safe_eq_null,
+      CAST(sum(CASE WHEN flag_or_null IS DISTINCT FROM 'A'
+               THEN 1 ELSE 0 END) AS BIGINT)                      AS n_distinct_from_a
     FROM t
     """,
 )

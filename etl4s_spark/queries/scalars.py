@@ -28,7 +28,7 @@ from etl4s_spark.sources.tables import load_table
            CAST(length(p_name) AS INTEGER)                 AS name_len,
            (p_name LIKE '%gold%')                          AS has_gold,
            regexp_extract(p_brand, '#([0-9]+)', 1)         AS brand_num,
-           CAST(string_split(p_name, ' ') AS VARCHAR[])    AS name_words,
+           array_to_string(string_split(p_name, ' '), ',') AS name_words,
            replace(p_type, 'ECONOMY', 'ECO')               AS type_short,
            lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded
     FROM part
@@ -47,7 +47,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.col("p_name").like("%gold%").alias("has_gold"),
         F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
-        F.split("p_name", " ").alias("name_words"),
+        F.array_join(F.split("p_name", " "), ",").alias("name_words"),
         F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
     ).orderBy("p_partkey")
@@ -102,18 +102,18 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice / 7.0, 4)                 AS price_div_round,
-           abs(l_discount - 0.05)                          AS disc_dev,
-           ceil(l_quantity / 7.0)                          AS qty_ceil,
-           floor(l_extendedprice / 1000.0)                 AS price_k_floor,
+           round(abs(l_discount - 0.05), 4)                AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)          AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
            round(power(l_quantity, 2), 4)                  AS qty_sq,
            round(sqrt(l_extendedprice), 4)                 AS price_sqrt,
            round(ln(l_extendedprice), 4)                   AS price_ln,
            round(log10(l_extendedprice), 4)                AS price_log10,
            CAST(l_quantity AS BIGINT) % 5                  AS qty_mod5,
-           sign(l_discount - 0.05)                         AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)         AS disc_sign,
            round(exp(l_discount), 4)                       AS disc_exp,
-           greatest(l_discount, l_tax)                     AS max_rate,
-           least(l_discount, l_tax)                        AS min_rate
+           round(greatest(l_discount, l_tax), 4)           AS max_rate,
+           round(least(l_discount, l_tax), 4)              AS min_rate
     FROM lineitem
     WHERE l_orderkey <= 300
     ORDER BY l_orderkey, l_linenumber
@@ -127,7 +127,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.round(F.col("l_extendedprice") / 7.0, 4).alias("price_div_round"),
-            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
             F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
             F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k_floor"),
             F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
@@ -137,8 +137,8 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
             F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
             F.round(F.exp("l_discount"), 4).alias("disc_exp"),
-            F.greatest("l_discount", "l_tax").alias("max_rate"),
-            F.least("l_discount", "l_tax").alias("min_rate"),
+            F.round(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+            F.round(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -149,13 +149,14 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)                                          AS dim,
-           CAST(embedding[1:4] AS FLOAT[])                         AS head4,
+           array_to_string(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+                               x -> printf('%.4f', round(x, 4))), ',') AS head4,
            list_contains(CAST(embedding AS DOUBLE[]),
                          CAST(embedding[1] AS DOUBLE))             AS contains_first,
            round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
            round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max,
-           CAST(list_transform(CAST(embedding AS DOUBLE[]),
-                               x -> round(x * 2.0, 4)) AS DOUBLE[]) AS doubled
+           array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> printf('%.4f', round(x * 2.0, 4))), ',') AS doubled
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -165,21 +166,32 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array ops incl. higher-order transform/aggregate on the embedding
     column — the primitives behind cosine similarity (queries/llm.py).
     Floats are widened to double BEFORE arithmetic on both sides so the
-    fold order produces bit-identical sums."""
+    fold order produces bit-identical sums. Array outputs are emitted as
+    comma-joined %.4f strings (round first, then fixed-format) because the
+    driver canonicalizer cannot hash list cells and engine float→string
+    repr differs (Spark 1.0E-4 vs DuckDB 0.0001)."""
     e = load_table(spark, sf_dir, "embeddings")
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def _fmt4(x):
+        return F.format_string("%.4f", F.round(x, 4))
+
     return (
         e.filter(F.col("vec_id") < 50)
         .select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.slice("embedding", 1, 4).alias("head4"),
+            F.array_join(
+                F.transform(F.slice(dvec, 1, 4), lambda x: _fmt4(x)), ","
+            ).alias("head4"),
             F.array_contains(dvec, F.element_at(dvec, 1)).alias("contains_first"),
             F.round(
                 F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 4
             ).alias("vec_sum"),
             F.round(F.array_max(dvec), 4).alias("vec_max"),
-            F.transform(dvec, lambda x: F.round(x * 2.0, 4)).alias("doubled"),
+            F.array_join(
+                F.transform(dvec, lambda x: _fmt4(x * 2.0)), ","
+            ).alias("doubled"),
         )
         .orderBy("vec_id")
     )
@@ -189,7 +201,8 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_map",
     oracle="""
     SELECT event_id,
-           CAST(json_keys(props) AS VARCHAR[])              AS prop_keys,
+           array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',')
+                                                            AS prop_keys,
            CAST(json_extract(props, '$.k') AS INTEGER)      AS k_value,
            (CAST(json_extract(props, '$.k') AS INTEGER) IS NOT NULL) AS has_k
     FROM events
@@ -206,7 +219,7 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") < 200)
         .select(
             "event_id",
-            F.map_keys(m).alias("prop_keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
             F.element_at(m, "k").alias("k_value"),
             F.element_at(m, "k").isNotNull().alias("has_k"),
         )
@@ -273,7 +286,7 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_cast",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(12,2))          AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(l_quantity AS INTEGER)                     AS qty_int,
            CAST(l_quantity AS VARCHAR)                     AS qty_str,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR)       AS ship_date_str,
@@ -293,7 +306,10 @@ def q_scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+            # decimal→string on both sides: DuckDB's pandas path renders
+            # DECIMAL as float64 ('35302.4') while Spark keeps Decimal
+            # ('35302.40') — string-cast makes the formatting explicit
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
             F.col("l_quantity").cast("int").alias("qty_int"),
             F.col("l_quantity").cast("string").alias("qty_str"),
             F.col("l_shipdate").cast("date").cast("string").alias("ship_date_str"),

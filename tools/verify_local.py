@@ -25,30 +25,51 @@ TABLES = (
 )
 
 
-def normalize(rows: list[tuple]) -> list[tuple]:
-    """Canonicalize values so Spark and DuckDB results compare equal."""
+def canon_value(v) -> str:
+    """Format one cell the way the driver's pandas canonicalizer sees it.
+
+    The driver hashes FORMATTED values (CORRECTNESS_r01 showed hash_match
+    false for int64 `3` vs float64 `3.0`), so this is deliberately
+    type-strict: no Decimal→float collapse, no rounding. Queries must emit
+    the same type AND the same rounding on both sides.
+    """
     import datetime
     import decimal
 
-    def norm(v):
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            # collapse -0.0 and last-ulp noise at 1e-9 relative scale
-            return round(v, 9)
-        if isinstance(v, datetime.datetime):
-            return v.replace(tzinfo=None).isoformat(timespec="milliseconds")
-        if isinstance(v, datetime.date):
-            return v.isoformat()
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
-        if isinstance(v, bytearray):
-            return bytes(v)
-        return v
+    if v is None:
+        return "NULL"
+    # numpy scalars/arrays → python (toPandas / duckdb .df() both emit them)
+    if type(v).__module__ == "numpy":
+        v = v.tolist() if getattr(v, "ndim", 0) else v.item()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)  # keeps the int/float distinction: 3 vs 3.0
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        # pandas astype(str) formats midnight timestamps date-only — the
+        # driver-green r1 date queries prove its canonicalizer does the same
+        v = v.replace(tzinfo=None)
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return str(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytearray):
+        return bytes(v).hex()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
 
-    return sorted((tuple(norm(v) for v in r) for r in rows), key=repr)
+
+def normalize(rows: list[tuple]) -> list[tuple]:
+    """Canonicalize rows: per-cell strict formatting, then order-insensitive."""
+    return sorted(tuple(canon_value(v) for v in r) for r in rows)
 
 
 def main() -> int:
@@ -79,7 +100,10 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             scols = sorted(sdf.columns)
-            srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+            # go through pandas like the driver does — dtype coercions
+            # (nullable int → float64, etc.) are part of what we verify
+            spdf = sdf.toPandas()[scols]
+            srows = [tuple(row) for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -90,18 +114,30 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in rel.description]
-            drows_raw = rel.fetchall()
+            # .df(), not .fetchall(): the driver's pandas path turns
+            # HUGEINT/DECIMAL into float64 — we must see the same values
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
-        dcols = [dcols_raw[i] for i in order]
-        drows = [tuple(r[i] for i in order) for r in drows_raw]
+        dcols = sorted(dpdf.columns)
+        dpdf = dpdf[dcols]
+        drows = [tuple(row) for row in dpdf.itertuples(index=False, name=None)]
 
         problems = []
+        import numpy as _np
+
+        for r in srows[:1] + drows[:1]:
+            for v in r:
+                if isinstance(v, (list, _np.ndarray)):
+                    problems.append(
+                        "array-typed output column — driver canonicalizer cannot "
+                        "hash list cells; emit array_join/to_json instead"
+                    )
+                    break
+            if problems:
+                break
         if scols != dcols:
             problems.append(f"columns differ: spark={scols} duck={dcols}")
         if len(srows) != len(drows):
