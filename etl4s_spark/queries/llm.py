@@ -24,6 +24,7 @@ from etl4s_spark.operators.dedup import (
 from etl4s_spark.operators.similarity import (
     as_double,
     cosine_topk,
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     ivf_topk,
     l2_norm,
@@ -383,6 +384,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query("q_dedup_embedding_lsh")  # xxhash64 signatures → rows-only; pytest proves
+# soundness (scores equal exact) + guaranteed recall on true duplicates
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default embedding near-dup: LSH buckets propose, exact cosine
+    verifies (operators/similarity.py embedding_neardup_lsh). Unlike
+    q_dedup_embedding this runs UNBOUNDED — no vec_id slice — because the
+    propose tier is sub-quadratic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(
+        e, "vec_id", "embedding", dim=64, threshold=0.4, n_planes=4, n_tables=8
+    ).orderBy("id_a", "id_b")
 
 
 @query("q_sim_ann_ivf")  # approximate; recall vs brute force asserted in pytest

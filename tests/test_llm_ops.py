@@ -139,6 +139,53 @@ def test_dedup_funnel_finds_what_exhaustive_jaccard_finds(spark, sf_dir):
     assert len(exhaustive) > 0  # the corpus does contain near-dups
 
 
+def test_embedding_neardup_lsh_sound_and_finds_true_dups(spark, sf_dir):
+    from etl4s_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant true duplicates: id+1000 carries the same vector scaled ×2 —
+    # cosine is exactly 1.0 and every hyperplane signature is identical
+    # (sign of the dot is scale-invariant), so LSH MUST find all of them
+    dup = e.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(dup)
+    found = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_lsh(
+            corpus, "vec_id", "embedding", dim=64, threshold=0.99
+        ).collect()
+    }
+    n = e.count()
+    planted = {(i, i + 1000) for i in range(n)}
+    assert planted <= set(found), f"missed {len(planted - set(found))} planted dups"
+    for pair in planted:
+        assert found[pair] == 1.0
+    # soundness vs the exact operator: every reported pair is a true
+    # >=threshold pair with the identical rounded score
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs(
+            corpus, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    }
+    for pair, s in found.items():
+        assert exact[pair] == s
+    # determinism: seed-derived planes give identical output on a re-run
+    again = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_lsh(
+            corpus, "vec_id", "embedding", dim=64, threshold=0.99
+        ).collect()
+    }
+    assert again == found
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     from etl4s_spark.operators.similarity import ivf_centroids, ivf_topk
     from etl4s_spark.sources.tables import load_table
