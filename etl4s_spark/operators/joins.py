@@ -67,10 +67,13 @@ def asof_join(
     Implementation (union + window, SURVEY.md §7.4):
       1. Tag right rows side=0 carrying their value columns; left rows
          side=1 with nulls.
-      2. One window per key, ordered by (ts, side, right_ts): running
-         ``last(value, ignorenulls=True)`` fills each left row with the
-         most recent right payload at-or-before it. side orders right
-         BEFORE left at equal ts → inclusive match.
+      2. One window per key, ordered by (ts, side, value columns):
+         running ``last(value, ignorenulls=True)`` fills each left row
+         with the most recent right payload at-or-before it. side orders
+         right BEFORE left at equal ts → inclusive match; the value
+         columns make the ordering total among right rows sharing a
+         timestamp, so ties resolve identically on every run (the
+         greatest value tuple wins) instead of partition-order-dependent.
       3. Keep the left rows.
 
     Scale: exactly ONE hash shuffle on ``keys`` + a per-partition sort —
@@ -103,7 +106,11 @@ def asof_join(
     unioned = right_tagged.unionByName(left_tagged)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+        .orderBy(
+            F.col("__asof_ts").asc(),
+            F.col("__asof_side").asc(),
+            *[F.col(f"__asof_v_{v}").asc_nulls_first() for v in right_values],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

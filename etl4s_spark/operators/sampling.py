@@ -28,7 +28,13 @@ _SPACE = 16**8
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+    if fraction >= 1.0:
+        # "g" sorts after every [0-9a-f] hex prefix, so `hash < 'g'` keeps
+        # ALL rows. Clamping to 0xffffffff with strict `<` would silently
+        # drop rows whose md5 prefix is exactly 'ffffffff' (~1 in 4.3B —
+        # real at 100 TB scale; ADVICE r1).
+        return "g"
+    return format(int(fraction * _SPACE), "08x")
 
 
 def sample_hash(id_col: Column, seed: int = 42) -> Column:

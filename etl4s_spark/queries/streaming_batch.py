@@ -219,7 +219,7 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -241,7 +241,10 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via
     F.session_window — the oracle reproduces them with the classic
-    gaps-and-islands SQL. Streaming form: identical expression +
+    gaps-and-islands SQL. Spark's session_window is half-open
+    [start, start+gap): an event exactly 30 minutes after the previous
+    one starts a NEW session, so the oracle's new-session predicate is
+    ``>=`` (ADVICE r1). Streaming form: identical expression +
     watermark."""
     ev = load_table(spark, sf_dir, "events")
     return (

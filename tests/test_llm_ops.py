@@ -280,6 +280,12 @@ def test_stratified_sample_respects_per_stratum_fractions(spark, sf_dir):
     s = stratified_sample(d, "doc_id", "lang", {keep_lang: 1.0})
     assert {r.lang for r in s.select("lang").distinct().collect()} == {keep_lang}
     assert s.count() == d.filter(F.col("lang") == keep_lang).count()
+    # fraction=1.0 keeps EVERY row — including a hypothetical md5 prefix
+    # of exactly 'ffffffff' (threshold sentinel 'g' sorts after all hex)
+    from etl4s_spark.operators.sampling import _threshold_hex
+
+    assert _threshold_hex(1.0) == "g" and "ffffffff" < "g"
+    assert deterministic_sample(d, "doc_id", 1.0).count() == total
     # split: a partition of the corpus, stable under reordering
     sp = train_val_test_split(d.repartition(7), "doc_id")
     counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
