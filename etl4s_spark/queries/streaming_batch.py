@@ -157,6 +157,148 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_watermark_replay",
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 30 MINUTE AS w1
+      FROM events WHERE event_id < 20000 AND event_id % 2 = 0
+    ),
+    kept AS (
+      SELECT ts, value FROM events
+      WHERE event_id < 20000
+        AND (event_id % 2 = 0
+             OR to_timestamp(floor(epoch(ts) / 600) * 600 + 600) > (SELECT w1 FROM wm))
+    )
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '{_DUCK_FMT}') AS window_start,
+           count(*)                                                    AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM kept
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED watermark semantics, oracle-gated: events replay
+    through a file stream in three controlled micro-batches —
+
+      batch 1: even-event_id rows (sets watermark W1 = max(even ts) − 30m),
+      batch 2: an EMPTY settling file — the stateful operator picks a new
+               watermark up one batch after it is computed (measured on
+               pyspark 4.1.2: a late row in the very next batch is still
+               accepted), so this batch locks W1 in before the late data,
+      batch 3: odd-event_id rows — those in windows already closed under
+               W1 (window end <= W1) are DROPPED as late data,
+      batch 4: a '__sentinel' row 2 h past max(ts), pushing the watermark
+               past every real window; the trailing no-data micro-batch
+               applies it and append mode emits them all.
+
+    The oracle re-derives exactly which odd rows survive (window end >
+    W1) with plain SQL — proving Spark's late-data drop rule equals the
+    batch filter. File processing order is forced with explicit mtimes +
+    maxFilesPerTrigger=1; decimal-carried sums make the result
+    independent of accumulation order.
+
+    Covers the reference's streaming watermark/late-data bullet
+    (SURVEY.md §2.B) with a hard driver-gate check rather than only
+    pytest equivalence."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # bounded slice: replay cost is micro-batch/state-store overhead, not
+    # data volume — 20k events exercise identical semantics at any sf
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_wm_replay_")
+
+    # ONE Spark scan; the replay files are tiny and written driver-side
+    # (this is test-harness staging, not a data path)
+    tbl = ev.toArrow()
+    mx_scalar = pc.max(tbl["ts"])
+    mx_ts = mx_scalar.as_py()
+    even_mask = pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0)
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], tbl.schema.field("event_id").type),
+            "ts": pa.array(
+                [mx_ts + datetime.timedelta(hours=2)], tbl.schema.field("ts").type
+            ),
+            "user_id": pa.array([-1], tbl.schema.field("user_id").type),
+            "event_type": pa.array(["__sentinel"], tbl.schema.field("event_type").type),
+            "value": pa.array([0.0], tbl.schema.field("value").type),
+            "props": pa.array(["{}"], tbl.schema.field("props").type),
+        }
+    ).select([f.name for f in tbl.schema])
+    batches = [
+        tbl.filter(even_mask),
+        tbl.slice(0, 0),  # settling batch: applies W1 to the operator
+        tbl.filter(pc.invert(even_mask)),
+        sentinel,
+    ]
+    t0 = _time.time()
+    for i, b in enumerate(batches):
+        dst = os.path.join(replay_dir, f"batch-{i}.parquet")
+        pq.write_table(b, dst)
+        # the file source orders by modification time — pin it explicitly
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    sink = f"wm_replay_{uuid.uuid4().hex[:8]}"
+    # state-store cost is per (micro-batch × shuffle partition); 2 state
+    # partitions are plenty for a bounded replay and cut wall time ~3×.
+    # (A real cluster deployment would size this to the key cardinality.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        # the sentinel's own window never finalizes, but filter defensively
+        # in case emission semantics ever include it (real windows all
+        # start at or before the max real event time)
+        .filter(F.col("w.start") <= F.lit(mx_ts))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
     "q_rollup_hierarchy",
     oracle=f"""
     WITH v AS (
