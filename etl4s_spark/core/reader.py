@@ -112,6 +112,17 @@ class Reader:
     def with_metadata(self, metadata: Any) -> "Reader":
         return Reader(self.run, metadata=metadata)
 
+    def zip(self) -> "Reader":
+        """Flatten nested tuple output post-provide (reference Reader zip
+        passthrough — Node zip + Flatten, src-3/Etl4s.scala:638-639)."""
+        return Reader(lambda cfg: self.run(cfg).zip())
+
+    def run_async(self, cfg: Any, a: Any = None, executor: Any = None):
+        """Provide the environment and execute on a worker thread —
+        ``reader.run_async(cfg)`` ≡ ``reader.provide(cfg).run_async()``
+        (reference runAsync on provided readers, :615)."""
+        return self.provide(cfg).run_async(a, executor=executor)
+
     # -- config-aware validation (reference :2374-2392) ----------------------
 
     def ensure(self, input=None, output=None, parallel: bool = False) -> "Reader":

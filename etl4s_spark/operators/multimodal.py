@@ -19,12 +19,18 @@ Scale posture: binary payloads dominate row size, so
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# A decoder turns (payload_bytes, mime, feature_dim) into a feature
+# vector. Implementations are plain callables — they get pickled into the
+# mapInPandas closure and run executor-side, so a real PIL/torchaudio/
+# ffmpeg decoder plugs in without touching this module.
+Decoder = Callable[[bytes, str, int], "list[float]"]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -71,13 +77,22 @@ def _decode_stub(payload: bytes, mime: str, feature_dim: int) -> list[float]:
     return [digest[i % 32] / 256.0 for i in range(feature_dim)]
 
 
-def extract_features(df: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(
+    df: DataFrame, feature_dim: int = 16, decoder: Decoder | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each pandas batch is processed vectorized-per-row in
     Python; the JVM never copies payloads more than once. Output schema is
     fixed (FEATURE_SCHEMA) so downstream plans are stable regardless of
-    decoder."""
+    decoder.
+
+    ``decoder`` is the pluggable seam: any ``(payload, mime,
+    feature_dim) -> list[float]`` callable, shipped to executors inside
+    the closure — injecting a real codec requires no edit here
+    (tests/test_llm_ops.py injects a custom one). Defaults to the
+    documented environment stub."""
+    decode = decoder if decoder is not None else _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +105,7 @@ def extract_features(df: DataFrame, feature_dim: int = 16) -> DataFrame:
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "feature": [
-                        _decode_stub(p, m, feature_dim)
+                        decode(p, m, feature_dim)
                         for p, m in zip(pdf["payload"], pdf["mime"])
                     ],
                 }

@@ -153,6 +153,52 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+           TRUE                                           AS p50_within_1pct,
+           TRUE                                           AS p95_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch). At 100 TB this
+    replaces exact percentile's full-sort/collect per group: fixed-size
+    sketch per group, merged map-side, no sort shuffle.
+
+    Bounded-error oracle in the q_agg_approx_distinct pattern: the exact
+    quantile plus flags asserting the approx (accuracy 10000) landed
+    within 1% — the sketch's contract becomes hash-matched instead of
+    rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("exact_p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("exact_p95"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("__a95"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p95",
+            (F.abs(F.col("__a50") - F.col("exact_p50")) <= 0.01 * F.col("exact_p50")).alias(
+                "p50_within_1pct"
+            ),
+            (F.abs(F.col("__a95") - F.col("exact_p95")) <= 0.01 * F.col("exact_p95")).alias(
+                "p95_within_1pct"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -329,6 +329,20 @@ def test_reader_fanout():
     assert (r1 & r2).provide(Cfg(min_v=5)).run(10) == (15, 5)
 
 
+def test_reader_zip_and_run_async_passthroughs():
+    # Layer-A symmetry: zip flattens nested fan-out tuples post-provide;
+    # run_async(cfg) ≡ provide(cfg).run_async() (VERDICT r1 item 9)
+    r1 = Node.requires(lambda cfg: node(lambda x: x + cfg.min_v))
+    r3 = Node.requires(lambda cfg: node(lambda x: x * cfg.factor))
+    nested = Node.requires(
+        lambda cfg: node(lambda x: ((x, x + cfg.min_v), x * cfg.factor))
+    )
+    assert nested.provide(Cfg(min_v=5, factor=2)).run(10) == ((10, 15), 20)
+    assert nested.zip().provide(Cfg(min_v=5, factor=2)).run(10) == (10, 15, 20)
+    fut = (r1 >> r3).run_async(Cfg(min_v=5, factor=2), 10)
+    assert fut.result(timeout=10) == 30
+
+
 def test_reader_ctx_branch():
     # reference IfCtx: route purely on config (Etl4sSpec.scala:2113-2138)
     full = node(lambda _: "full_scan")
