@@ -277,37 +277,81 @@ def embedding_neardup_pairs(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
-    """Random-hyperplane LSH signature (bigint bucket id).
+def _plane_signs(dim: int, n_planes: int, seed: int) -> list[list[int]]:
+    """Deterministic Rademacher (±1) hyperplane matrix, derived
+    driver-side from sha256(seed:plane:component) — no stored model, any
+    run/process regenerates the identical planes."""
+    import hashlib
 
-    Plane p's components are derived deterministically from
-    xxhash64(p, component_index, seed) mapped to ±1 — a Rademacher
-    hyperplane; no stored model, any executor regenerates it. Sign of
-    <v, plane_p> contributes bit p."""
-    def plane_component(p: int, i: Column) -> Column:
-        h = F.xxhash64(F.lit(p), i, F.lit(seed))
-        return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return [
+        [
+            1 if hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
-    def plane_mult(p: int):
-        # closure factory — a default-arg lambda would be read as a
-        # 3-param lambda and break the 2-arg zip_with contract
-        return lambda x, i: x * plane_component(p, i)
 
-    idx = F.sequence(F.lit(1), F.lit(dim))
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(vec, idx, plane_mult(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket assignments: one row (id, table, sig)
+    per input row × table, sig = bigint whose bit p is the sign of
+    <v, plane_{table,p}>. Positively-scaled (and exactly equal) vectors
+    share every bit.
+
+    Formulation chosen by measurement, 64-dim × 48 planes on 2k rows:
+    - higher-order-lambda dots: interpreted, ~1.6 ms/row;
+    - one unrolled ±element SQL string: O(planes×dim) expression terms —
+      Janino compile time explodes (tens of seconds PER PLAN) exactly
+      like the r1 IVF finding;
+    - THIS: posexplode the vector (id, i, x), broadcast-join the ±1
+      plane-sign table (plain DATA — constant plan size at any
+      dim × planes × tables), partial-aggregated sum per (id, table,
+      plane), sign-bit assembly per (id, table). All codegen'd, two
+      map-side-combined shuffles whose volume is |rows| × n_tables ×
+      n_planes longs.
+
+    Projections are summed as 2^30-scaled LONGS (float components scale
+    exactly in double; the truncation is a deterministic function of the
+    component), so the signature is EXACTLY order-independent —
+    deterministic across runs and partitionings, with none of the cost of
+    decimal aggregation (measured 10× slower than long sums on the 6M-row
+    partial-agg input) and no float-sum sign flips near zero."""
+    spark = df.sparkSession
+    rows = [
+        (t, p, i, s)
+        for t in range(n_tables)
+        for p, prow in enumerate(_plane_signs(dim, n_planes, seed + 7919 * t))
+        for i, s in enumerate(prow)
+    ]
+    planes = spark.createDataFrame(rows, "table INT, p INT, i INT, s INT")
+    el = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "x")
+    )
+    proj = (
+        el.join(F.broadcast(planes), "i")
+        .groupBy("id", "table", "p")
+        .agg(
+            F.sum(
+                (F.col("x").cast("double") * F.lit(float(1 << 30))).cast("bigint")
+                * F.col("s")
+            ).alias("proj")
         )
-        bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    )
+    return proj.groupBy("id", "table").agg(
+        F.sum(
+            F.when(
+                F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("sig")
+    )
 
 
 def embedding_neardup_lsh(
@@ -343,19 +387,8 @@ def embedding_neardup_lsh(
     identical (or positively-scaled) vectors share every signature, so
     true duplicates are always found."""
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_signature(
-                    F.col("__v"), dim=dim, n_planes=n_planes, seed=seed + 7919 * t
-                ).alias("sig"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    buckets = base.select("id", F.explode(sigs).alias("b")).select(
-        "id", "b.table", "b.sig"
+    buckets = hyperplane_buckets(
+        df, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
     )
     ids_arr = F.col("ids")
     cands = (
@@ -410,25 +443,39 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    n_tables: int = 1,
     query_id_col: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket both sides, equi-join on the
-    bucket, score only collisions. One shuffle on the bucket id; recall
-    rises with fewer planes (bigger buckets) or multiple tables
-    (union of several signatures)."""
+    """Approximate top-k: hyperplane-bucket both sides, equi-join on
+    (table, bucket), score only collisions. One shuffle on the bucket id
+    per stage; recall rises with fewer planes (bigger buckets) or more
+    tables (union of independent signatures) — n_tables is the recall
+    knob that does NOT grow bucket sizes, so use it first on
+    weakly-similar corpora. Candidate pairs are deduplicated across
+    tables BEFORE scoring, so each collision pays one dot product."""
     query_id_col = query_id_col or id_col
-    sig = lambda v: hyperplane_signature(v, dim=dim, n_planes=n_planes)  # noqa: E731
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("__bucket", sig(F.col("__qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__bucket", sig(F.col("__cv")))
-    scored = (
-        c.join(q, "__bucket")
+    qb = hyperplane_buckets(
+        queries, query_id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    cb = hyperplane_buckets(
+        corpus, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    cand = (
+        cb.select(F.col("id").alias("neighbor_id"), "table", "sig")
+        .join(qb.select(F.col("id").alias("query_id"), "table", "sig"), ["table", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -392,10 +392,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-default embedding near-dup: LSH buckets propose, exact cosine
     verifies (operators/similarity.py embedding_neardup_lsh). Unlike
     q_dedup_embedding this runs UNBOUNDED — no vec_id slice — because the
-    propose tier is sub-quadratic."""
+    propose tier is sub-quadratic. n_planes trades candidate volume
+    against recall at low thresholds: 6 planes ≈ 1-2% of all pairs
+    proposed per table on near-orthogonal corpora (true duplicates are
+    signature-identical and always proposed)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(
-        e, "vec_id", "embedding", dim=64, threshold=0.4, n_planes=4, n_tables=8
+        e, "vec_id", "embedding", dim=64, threshold=0.4, n_planes=6, n_tables=8
     ).orderBy("id_a", "id_b")
 
 
@@ -419,7 +422,8 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_sim_ann_lsh")  # approximate; recall vs brute force asserted in pytest
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN: same output shape as the exact path,
-    scored pairs limited to bucket collisions."""
+    scored pairs limited to bucket collisions, recall boosted by 4
+    independent tables (candidates deduped before scoring)."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(
         corpus=e,
@@ -428,7 +432,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=64,
         k=3,
-        n_planes=8,
+        n_planes=6,
+        n_tables=4,
     ).orderBy("query_id", "rn")
 
 

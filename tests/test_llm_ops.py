@@ -99,12 +99,14 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
-    approx = lsh_bucketed_topk(e, q, "vec_id", "embedding", dim=64, k=5, n_planes=4)
+    approx = lsh_bucketed_topk(
+        e, q, "vec_id", "embedding", dim=64, k=5, n_planes=4, n_tables=4
+    )
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 4 planes → 16 buckets over 500 vectors: recall is partial but must
-    # be far above random ((5 picks)/(499 candidates) ≈ 1%)
+    # 4 planes × 4 tables over 500 near-orthogonal vectors measures ~32%;
+    # floor at half that — far above random ((5 picks)/(499 cands) ≈ 1%)
     assert recall > 0.15, f"recall {recall:.2%}"
     # approx similarities are genuine cosines: every reported pair must
     # match the exact computation (same rounding)
