@@ -62,6 +62,32 @@ def normalize_group_pandas(df, key_col: str, value_col: str):
     return df.groupBy(key_col).applyInPandas(norm, schema)
 
 
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 table function): one input string → one row
+    per sentence with its index and char length — the template for
+    fan-out logic that genuinely needs Python (custom parsers, model
+    tokenizers). Register and use in SQL as a lateral table function:
+
+        spark.udtf.register("sentences", sentence_split_udtf())
+        spark.sql("SELECT d.doc_id, s.* FROM docs d,
+                   LATERAL sentences(d.text) s")
+
+    For anything expressible with explode()/split() built-ins, use those
+    — a UDTF is row-path Python (same ladder position as F.udf)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string, n_chars: int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if not text:
+                return
+            parts = [p.strip() for p in text.replace("!", ".").replace("?", ".").split(".")]
+            for i, p in enumerate(p for p in parts if p):
+                yield i, p, len(p)
+
+    return SentenceSplit
+
+
 def py_classify_price(threshold: float = 200000.0):
     """Row-at-a-time Python UDF — the DISCOURAGED escape hatch, kept as
     the contract example. Equivalent built-in: F.when(...). ~100× slower

@@ -156,6 +156,22 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_replay_files(tables, replay_dir: str) -> None:
+    """Write arrow tables as ordered single-file micro-batches: the file
+    stream source orders by modification time, so mtimes are pinned 60 s
+    apart to force the batch sequence."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    t0 = _time.time()
+    for i, b in enumerate(tables):
+        dst = os.path.join(replay_dir, f"batch-{i}.parquet")
+        pq.write_table(b, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+
 @query(
     "q_stream_watermark_replay",
     oracle=f"""
@@ -202,15 +218,12 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.B) with a hard driver-gate check rather than only
     pytest equivalence."""
     import datetime
-    import os
     import shutil
     import tempfile
-    import time as _time
     import uuid
 
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     # bounded slice: replay cost is micro-batch/state-store overhead, not
     # data volume — 20k events exercise identical semantics at any sf
@@ -235,18 +248,15 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props": pa.array(["{}"], tbl.schema.field("props").type),
         }
     ).select([f.name for f in tbl.schema])
-    batches = [
-        tbl.filter(even_mask),
-        tbl.slice(0, 0),  # settling batch: applies W1 to the operator
-        tbl.filter(pc.invert(even_mask)),
-        sentinel,
-    ]
-    t0 = _time.time()
-    for i, b in enumerate(batches):
-        dst = os.path.join(replay_dir, f"batch-{i}.parquet")
-        pq.write_table(b, dst)
-        # the file source orders by modification time — pin it explicitly
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    _stage_replay_files(
+        [
+            tbl.filter(even_mask),
+            tbl.slice(0, 0),  # settling batch: applies W1 to the operator
+            tbl.filter(pc.invert(even_mask)),
+            sentinel,
+        ],
+        replay_dir,
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -353,6 +363,113 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
         F.round(F.col("total_value").cast("double") / F.col("n_events"), 4).alias("avg_value"),
     ).orderBy("resolution", "bucket_start", "event_type")
+
+
+@query(
+    "q_stream_session_replay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE event_id < 20000
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_DUCK_FMT}')                            AS session_start,
+           count(*)                                                    AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED session windows (30-min gap) per user, append
+    mode + watermark, proven equal to the batch gaps-and-islands SQL:
+    events replay as one micro-batch, then a far-future '__sentinel' row
+    advances the watermark past every session end so append emits the
+    final merged sessions (Spark merges session state as data arrives;
+    the trailing no-data micro-batch flushes once the watermark passes).
+    Same staging as q_stream_watermark_replay; decimal-carried sums keep
+    the result independent of accumulation order."""
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_sess_replay_")
+    tbl = ev.toArrow()
+    mx_ts = pc.max(tbl["ts"]).as_py()
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1], tbl.schema.field("event_id").type),
+            "ts": pa.array(
+                [mx_ts + datetime.timedelta(hours=2)], tbl.schema.field("ts").type
+            ),
+            "user_id": pa.array([-1], tbl.schema.field("user_id").type),
+            "event_type": pa.array(["__sentinel"], tbl.schema.field("event_type").type),
+            "value": pa.array([0.0], tbl.schema.field("value").type),
+            "props": pa.array(["{}"], tbl.schema.field("props").type),
+        }
+    ).select([f.name for f in tbl.schema])
+    _stage_replay_files([tbl, sentinel], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    sink = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)  # the sentinel's session never emits
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
 
 
 @query(

@@ -47,8 +47,34 @@ def scan_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def scan_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (columnar,
+    predicate pushdown reaches the reader; Spark ships the ORC datasource
+    built in)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def scan_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text scan → single ``value`` string
+    column — the raw-corpus entry point for the text operators
+    (operators/text.py)."""
+    return spark.read.option("wholetext", str(whole_text).lower()).text(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).parquet(path)
+    return path
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).orc(path)
+    return path
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Text sink: requires a single string column (Spark contract)."""
+    df.write.mode(mode).text(path)
     return path
 
 

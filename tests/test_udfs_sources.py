@@ -11,9 +11,19 @@ from etl4s_spark.functions import (
     grouped_weighted_avg,
     normalize_group_pandas,
     py_classify_price,
+    sentence_split_udtf,
     vec_l2_normalize,
 )
-from etl4s_spark.sources.batch import scan_csv, scan_json, write_csv, write_partitioned
+from etl4s_spark.sources.batch import (
+    scan_csv,
+    scan_json,
+    scan_orc,
+    scan_text,
+    write_csv,
+    write_orc,
+    write_partitioned,
+    write_text,
+)
 from etl4s_spark.sources.tables import load_table
 
 
@@ -84,6 +94,51 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     src.write.mode("overwrite").json(path)
     back = scan_json(spark, path, schema=src.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "customer_orc")
+    write_orc(src, path)
+    back = scan_orc(spark, path, columns=["c_custkey", "c_name"])
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.select("c_custkey", "c_name").collect())
+    )
+    from etl4s_spark.plans import explain_str
+
+    plan = explain_str(scan_orc(spark, path).filter(F.col("c_custkey") < 100), "formatted")
+    assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_text_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", "[\\r\\n]+", " ").alias("value")
+    ).limit(50)
+    path = str(tmp_path / "docs_text")
+    write_text(src, path)
+    back = scan_text(spark, path)
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == sorted(r.value for r in src.collect())
+
+
+def test_python_udtf_sentence_split(spark):
+    tf = sentence_split_udtf()
+    spark.udtf.register("sentences", tf)
+    df = spark.createDataFrame(
+        [(1, "One. Two two! Three?"), (2, ""), (3, "Solo")], "doc_id int, text string"
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM udtf_docs d, LATERAL sentences(d.text) s ORDER BY d.doc_id, s.sent_idx"
+    ).collect()
+    got = [(r.doc_id, r.sent_idx, r.sentence, r.n_chars) for r in out]
+    assert got == [
+        (1, 0, "One", 3),
+        (1, 1, "Two two", 7),
+        (1, 2, "Three", 5),
+        (3, 0, "Solo", 4),
+    ]
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
