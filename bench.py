@@ -48,13 +48,18 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line = json.dumps(
         {
             "metric": "declared_queries_total_wall",
             "value": total,
             "unit": "sec",
+            # the declared surface grows per round — normalize for
+            # cross-round comparison against BASELINE.md (r1: 79 queries)
+            "n_queries": len(ok),
+            "mean_sec_per_query": round(total / len(ok), 4) if ok else -1.0,
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }

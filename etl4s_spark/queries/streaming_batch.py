@@ -114,12 +114,17 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sums are carried as decimals so the micro-batch accumulation order
     cannot move the rounded result."""
+    import shutil
     import tempfile
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_replay_")
-    ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    # one Spark scan; 4 ordered micro-batch files staged driver-side
+    tbl = ev.toArrow()
+    n = tbl.num_rows
+    step = (n + 3) // 4
+    _stage_replay_files([tbl.slice(i * step, step) for i in range(4)], replay_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -135,15 +140,23 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"replay_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # the memory sink holds the rows; the replay files are dead weight
+            shutil.rmtree(replay_dir, ignore_errors=True)
     finally:
-        q.stop()
-        # the memory sink holds the rows; the replay files are dead weight
-        import shutil
-
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink)
         .select(
