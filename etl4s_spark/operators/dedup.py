@@ -218,6 +218,87 @@ def dedup_funnel(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the stage
+    that turns PAIRS into CLUSTERS so one canonical doc per cluster can
+    be kept. Returns (id, component) where component = the smallest id
+    reachable from ``id``; rows not appearing in any pair are simply
+    absent (they are their own singleton cluster by definition).
+
+    Algorithm: iterative min-label propagation. Each sweep joins the
+    (undirected) edge list against current labels, takes the min over
+    each node's neighborhood ∪ itself, and stops when no label changed —
+    convergence after O(component diameter) sweeps, which for dedup
+    clusters (dense little cliques from LSH verification) is 2-3.
+
+    Scale posture: each sweep is one shuffle join (edges ⨝ labels on the
+    dst) + one groupBy(src) min — both partition on ids, both map-side
+    combined. ``localCheckpoint`` truncates the growing lineage so plan
+    size stays constant across sweeps (without it, sweep N replans the
+    whole history). For graphs with huge diameter (chains), swap in the
+    large-star/small-star variant; dedup graphs never need it.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("component").alias("nc")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("nbr_min"))
+            .select(F.col("src").alias("id"), "nbr_min")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+) -> DataFrame:
+    """Keep one canonical row (the smallest id) per near-dup cluster:
+    drop every row whose id appears in ``components`` with a component
+    label different from itself. One shuffle (left_anti join on the id);
+    rows outside any cluster pass through untouched."""
+    losers = components.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
 def simhash_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
     """SimHash from a MATERIALIZED array<bigint> of per-word hashes: each
     word contributes ±1 to every bit position; the sign of the

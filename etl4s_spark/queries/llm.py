@@ -402,6 +402,45 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "q_dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    )
+    SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach
+    GROUP BY id ORDER BY id
+    """,
+)
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final stage: near-dup PAIRS → connected-
+    component CLUSTERS (iterative min-label propagation,
+    operators/dedup.py connected_components) so one canonical doc per
+    cluster survives. The oracle computes the same components with a
+    recursive-CTE transitive closure — feasible for DuckDB at the checked
+    scale, while the Spark formulation (O(diameter) shuffle sweeps with
+    checkpointed lineage) is the one that survives 100 TB."""
+    from etl4s_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs).orderBy("id")
+
+
 @query("q_sim_ann_ivf")  # approximate; recall vs brute force asserted in pytest
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: deterministic sampled coarse centroids, corpus

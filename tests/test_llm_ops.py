@@ -240,6 +240,29 @@ def test_multimodal_feature_extraction_batches(spark, sf_dir):
     assert sorted(r.content_sha for r in rows2) == sorted(r.content_sha for r in rows)
 
 
+def test_connected_components_and_canonical_dedup(spark):
+    from etl4s_spark.operators.dedup import connected_components, dedup_by_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (3, 7)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    # {1,2,3,7} and {5,6}; component = min id of the cluster
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_by_components(docs, "doc_id", connected_components(pairs)).collect())
+    # canonical 1 and 5 survive; 2,3,6,7 dropped; 4,8 untouched (no pairs)
+    assert kept == [1, 4, 5, 8]
+    # long chain converges to a single component (diameter > 1 sweep)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a long, id_b long"
+    )
+    ccomp = {r.id: r.component for r in connected_components(chain).collect()}
+    assert set(ccomp.values()) == {10} and len(ccomp) == 11
+
+
 def test_multimodal_decoder_is_pluggable_without_module_edit(spark, sf_dir):
     from etl4s_spark.sources.tables import load_table
 
