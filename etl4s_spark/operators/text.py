@@ -80,6 +80,44 @@ def quality_score(col: Column) -> Column:
     return F.round(len_score * 0.4 + stop_score * 0.3 + punct_penalty * 0.3, 6)
 
 
+# -- repetition (Gopher-style) -----------------------------------------------
+
+def dup_word_fraction(w: Column) -> Column:
+    """Fraction of words that are repeats of an earlier word:
+    1 − |distinct words| / |words| — the Gopher repetition signal at word
+    granularity. Input: a MATERIALIZED words array column."""
+    n = F.greatest(F.size(w), F.lit(1))
+    return F.lit(1.0) - F.size(F.array_distinct(w)) / n
+
+
+def dup_ngram_fraction(w: Column, norm: Column, k: int = 3) -> Column:
+    """Fraction of word k-grams that are repeats: 1 − |distinct k-grams| /
+    |k-grams|. High values mean within-document boilerplate/looping text —
+    the Gopher 'duplicate n-gram' filter. Same shingle construction as the
+    dedup tier (shingles_from_words), so it shares its zero-shuffle,
+    lambda-input-only scaling properties."""
+    sh = shingles_from_words(w, norm, k=k)
+    n = F.greatest(F.size(sh), F.lit(1))
+    return F.lit(1.0) - F.size(F.array_distinct(sh)) / n
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+# Dialect-safe regexes (character classes only — Java regex and DuckDB RE2
+# agree): production lists add many more patterns; the plumbing — chained
+# regexp_replace inside one Project, zero shuffles — is identical.
+PII_EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_REGEX = "[+][0-9]{1,3}[ ][0-9]{3}[-][0-9]{2,6}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails and phone numbers to typed placeholders. Spark's
+    regexp_replace is global by default (the DuckDB mirror needs the 'g'
+    flag)."""
+    out = F.regexp_replace(col, PII_EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_REGEX, "<PHONE>")
+
+
 # -- language ID -------------------------------------------------------------
 
 # marker-word lists per language; deterministic scoring = count of marker

@@ -33,10 +33,13 @@ from etl4s_spark.operators.similarity import (
 from etl4s_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
+    dup_ngram_fraction,
+    dup_word_fraction,
     fingerprint_md5,
     lang_id,
     normalize_text,
     quality_score,
+    scrub_pii,
     stopword_ratio,
     token_count,
     word_count,
@@ -400,6 +403,140 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(
         e, "vec_id", "embedding", dim=64, threshold=0.4, n_planes=6, n_tables=8
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [norm] END AS sh
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER)                                       AS n_words,
+           round(1 - len(list_distinct(w))  / CAST(len(w) AS DOUBLE), 6)  AS dup_word_frac,
+           round(1 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6) AS dup_3gram_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-word and
+    duplicate-3-gram fractions — scan-stage expressions, zero shuffles,
+    mirrored exactly in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.withColumn("__norm", normalize_text(F.col("text"))).withColumn(
+        "__w", F.split(F.col("__norm"), " ")
+    )
+    return base.select(
+        "doc_id",
+        F.size("__w").alias("n_words"),
+        F.round(dup_word_fraction(F.col("__w")), 6).alias("dup_word_frac"),
+        F.round(dup_ngram_fraction(F.col("__w"), F.col("__norm"), k=3), 6).alias(
+            "dup_3gram_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle="""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555-0' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents WHERE doc_id < 200
+    ), scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '[+][0-9]{1,3}[ ][0-9]{3}[-][0-9]{2,6}', '<PHONE>', 'g') AS s
+      FROM pii
+    )
+    SELECT doc_id,
+           substring(s, length(s) - 39, 40)                              AS scrubbed_tail,
+           CAST(len(regexp_extract_all(s, '<EMAIL>|<PHONE>')) AS INTEGER) AS n_redactions
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email + phone → typed placeholders) as chained
+    regexp_replace in one Project — zero shuffles. Synthetic PII is
+    injected deterministically per doc so every row exercises both
+    patterns (the raw corpus contains none); the oracle mirrors injection
+    and scrub, and both engines must agree on the scrubbed text and the
+    redaction count."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    s = scrub_pii(t)
+    return d.select(
+        "doc_id",
+        F.substring(s, F.length(s) - 39, F.lit(40)).alias("scrubbed_tail"),
+        F.regexp_count(s, F.lit("<EMAIL>|<PHONE>")).alias("n_redactions"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_quality_filter_funnel",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             len(w) < 25                                                AS too_short,
+             1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) > 0.6   AS too_repetitive,
+             len(list_filter(w, x -> x IN ({_STOP_IN})))
+               / CAST(len(w) AS DOUBLE) < 0.02                          AS no_stopwords
+      FROM docs
+    )
+    SELECT doc_id, too_short, too_repetitive, no_stopwords,
+           (NOT too_short AND NOT too_repetitive AND NOT no_stopwords)  AS keep
+    FROM flags
+    ORDER BY doc_id
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter composition: per-doc drop REASONS
+    (length, repetition, stopword density) plus the final keep flag —
+    the standard pre-training corpus filter, with every rule mirrored in
+    SQL. One scan, zero shuffles; at 100 TB this is the shape that
+    matters (reasons kept as columns so downstream can audit drop
+    rates per rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.withColumn("__norm", normalize_text(F.col("text"))).withColumn(
+        "__w", F.split(F.col("__norm"), " ")
+    )
+    n = F.greatest(F.size("__w"), F.lit(1))
+    n_stop = F.size(F.filter(F.col("__w"), lambda x: x.isin(*STOPWORDS)))
+    flags = base.select(
+        "doc_id",
+        (F.size("__w") < 25).alias("too_short"),
+        (dup_word_fraction(F.col("__w")) > 0.6).alias("too_repetitive"),
+        ((n_stop / n) < 0.02).alias("no_stopwords"),
+    )
+    return flags.select(
+        "doc_id",
+        "too_short",
+        "too_repetitive",
+        "no_stopwords",
+        (~F.col("too_short") & ~F.col("too_repetitive") & ~F.col("no_stopwords")).alias(
+            "keep"
+        ),
+    ).orderBy("doc_id")
 
 
 @query(

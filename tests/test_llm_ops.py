@@ -240,6 +240,30 @@ def test_multimodal_feature_extraction_batches(spark, sf_dir):
     assert sorted(r.content_sha for r in rows2) == sorted(r.content_sha for r in rows)
 
 
+def test_scrub_pii_and_repetition(spark):
+    from etl4s_spark.operators.text import dup_word_fraction, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org call +44 123-4567 done"),
+            (2, "clean text"),
+            (3, "a a a a b"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: r.s for r in df.select("id", scrub_pii(F.col("t")).alias("s")).collect()}
+    assert out[1] == "mail <EMAIL> and <EMAIL> call <PHONE> done"
+    assert out[2] == "clean text"
+    fr = {
+        r.id: r.f
+        for r in df.select(
+            "id", F.round(dup_word_fraction(F.split("t", " ")), 2).alias("f")
+        ).collect()
+    }
+    assert fr[3] == 0.6  # 5 words, 2 distinct -> 1 - 2/5
+    assert fr[2] == 0.0
+
+
 def test_connected_components_and_canonical_dedup(spark):
     from etl4s_spark.operators.dedup import connected_components, dedup_by_components
 
