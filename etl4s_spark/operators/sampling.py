@@ -66,6 +66,42 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(id_col), seed) < thr)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    budgets: Mapping[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Mixture weighting for training-data assembly: sample each stratum
+    (source/domain) down to ~its token budget. fraction_s = min(1,
+    budget_s / total_tokens_s); strata without a budget drop to 0.
+
+    Pass 1 aggregates per-stratum token totals (BPE-ish regex count,
+    operators/text.py TOKEN_REGEX) — the collect is #strata rows of
+    model parameters, not data. Pass 2 is the zero-shuffle
+    content-addressed stratified filter, so the selected rows are stable
+    across runs/engines/retries — resampling a 100 TB mixture because a
+    job retried is not a thing that happens here."""
+    from etl4s_spark.operators.text import TOKEN_REGEX
+
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))).alias("t"))
+        .collect()
+    }
+    fractions = {
+        s: min(1.0, budgets[s] / t) if t else 0.0
+        for s, t in totals.items()
+        if s in budgets
+    }
+    return stratified_sample(
+        df, id_col, stratum_col, fractions, default_fraction=0.0, seed=seed
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

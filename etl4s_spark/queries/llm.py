@@ -614,6 +614,51 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt
+      FROM documents
+    ), totals AS (
+      SELECT source, sum(nt) AS tt FROM tok GROUP BY source
+    ), fr AS (
+      SELECT source,
+             least(1.0, CASE source WHEN 'src0' THEN 700
+                                    WHEN 'src1' THEN 100000
+                                    WHEN 'src2' THEN 200
+                                    ELSE 0 END / CAST(tt AS DOUBLE)) AS frac
+      FROM totals
+    ), thr AS (
+      SELECT source,
+             CASE WHEN frac >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(frac * 4294967296) AS BIGINT))), 8, '0')
+             END AS th
+      FROM fr
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+    ORDER BY d.doc_id
+    """,
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: per-source token budgets → deterministic
+    per-stratum sample fractions (operators/sampling.py
+    token_budget_sample). src1's budget exceeds its total (keep-all path,
+    incl. the fraction>=1 'g' sentinel), src0/src2 downsample, every
+    other source drops to 0. The oracle re-derives fractions AND
+    thresholds from the same data in SQL."""
+    from etl4s_spark.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        d, "doc_id", "text", "source", {"src0": 700, "src1": 100000, "src2": 200}
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
     "q_sample_deterministic",
     oracle="""
     SELECT doc_id, lang

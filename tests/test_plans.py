@@ -64,6 +64,60 @@ def test_whole_stage_codegen_covers_project(spark, sf_dir):
     assert "* Project" in plan, plan
 
 
+def test_ivf_plan_size_constant_in_cells_and_dims(spark, sf_dir):
+    """The r1 scale fix: centroids travel as DATA (one-row broadcast
+    matrix), so the PLAN must not grow with n_cells × dim. The old
+    unrolled-SQL formulation grew the plan by ~n_cells × dim terms."""
+    from etl4s_spark.operators.similarity import (
+        as_double,
+        centroid_matrix_frame,
+        rank_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def assignment_plan(n_cells: int) -> str:
+        cents = [[float(i + j) for j in range(64)] for i in range(n_cells)]
+        cmat = centroid_matrix_frame(spark, cents)
+        df = (
+            e.select("vec_id", as_double(F.col("embedding")).alias("__cv"))
+            .crossJoin(F.broadcast(cmat))
+            .select("vec_id", F.element_at(rank_cells(F.col("__cv")), 1).alias("__cell"))
+        )
+        return plan_str(df)
+
+    p8, p64 = assignment_plan(8), assignment_plan(64)
+    assert "BroadcastNestedLoopJoin" in p8
+    # 8× the centroids must not inflate the plan text (same operators,
+    # same expressions — the matrix is data, not plan)
+    assert abs(len(p64) - len(p8)) < 0.1 * len(p8), (len(p8), len(p64))
+
+
+def test_hyperplane_buckets_plan_is_codegen_join_agg(spark, sf_dir):
+    """LSH signatures must be the explode → broadcast-join(±1 sign table)
+    → partial-agg shape: codegen'd, no interpreted higher-order lambdas,
+    plan size independent of planes × tables."""
+    from etl4s_spark.operators.similarity import hyperplane_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p1 = plan_str(hyperplane_buckets(e, "vec_id", "embedding", 64, 6, 2))
+    p2 = plan_str(hyperplane_buckets(e, "vec_id", "embedding", 64, 12, 8))
+    assert "BroadcastHashJoin" in p1 and "posexplode" in p1
+    assert "transform(" not in p1  # no higher-order lambdas in the plan
+    assert abs(len(p2) - len(p1)) < 0.1 * len(p1), (len(p1), len(p2))
+
+
+def test_dedup_funnel_does_not_pin_candidates_to_broadcast(spark, sf_dir):
+    """r1 scale fix: the candidate-pair set is an unbounded intermediate —
+    the plan must not carry an explicit broadcast HINT on it (AQE may
+    still choose to broadcast at runtime when it is actually small)."""
+    from etl4s_spark.operators.dedup import dedup_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    optimized = dedup_funnel(d, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "BROADCAST" not in optimized
+
+
 def test_salted_join_matches_plain_join_and_spreads_hot_key(spark, sf_dir):
     from etl4s_spark.operators.joins import salted_join
 
