@@ -486,6 +486,135 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_replay",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, event_type
+      FROM events WHERE event_id < 20000
+    )
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id
+    FROM ev v JOIN ev c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY v.user_id, view_id, click_id
+    """,
+)
+def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED stream-stream join: view→click attribution
+    within 30 minutes per user, both sides derived from one replayed
+    file stream with event-time watermarks (streaming/core.py
+    stream_stream_join). The time-range constraint is what bounds join
+    state at scale; the oracle is the plain batch join — inner
+    stream-stream joins emit exactly the batch result once the replay
+    drains."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl4s_spark.streaming.core import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_ssj_replay_")
+    _stage_replay_files([ev.toArrow()], replay_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(replay_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_stream_join(
+        views,
+        clicks,
+        "v_ts",
+        "c_ts",
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "click_id")
+
+    sink = f"ssj_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("user_id", "view_id", "click_id")
+
+
+@query(
+    "q_stream_dedup_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < 20000
+    ORDER BY event_id
+    """,
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED exact dedup: the same events replay TWICE in two
+    micro-batches through streaming dropDuplicates state — every row must
+    be emitted exactly once (the second arrival hits existing state, even
+    across batches), proven against plain DISTINCT. This is the streaming
+    half of the exact-dedup tier; dropDuplicatesWithinWatermark
+    (streaming/core.py stateful_dedup) is the bounded-state variant when
+    keys don't repeat outside a time horizon."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_sdedup_replay_")
+    tbl = ev.toArrow()
+    _stage_replay_files([tbl, tbl], replay_dir)  # duplicates across batches
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    deduped = stream.select("event_id", "user_id", "event_type").dropDuplicates(
+        ["event_id"]
+    )
+    sink = f"sdedup_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("event_id")
+
+
+@query(
     "q_window_session_batch",
     oracle=f"""
     WITH marked AS (

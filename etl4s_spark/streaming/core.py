@@ -104,6 +104,28 @@ def stateful_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    join_expr,
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join. Both sides get event-time watermarks and the
+    join condition must include a time-range constraint between
+    ``left_ts`` and ``right_ts`` — that pair is what lets Spark bound the
+    join STATE (a side's rows are held only until the watermark proves no
+    future match can arrive). Without the range constraint, state grows
+    without bound; outer variants additionally need the watermark to know
+    when to emit unmatched rows. Works unchanged on batch frames (no-op
+    watermark), preserving the batch≡stream equivalence contract."""
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    return l.join(r, join_expr, how)
+
+
 def stateful_running_agg(
     df: DataFrame,
     keys: list[str],
