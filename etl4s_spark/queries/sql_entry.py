@@ -123,3 +123,45 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return out
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, round(val, 4) AS val
+    FROM (
+      SELECT o_orderkey,
+             'total_price' AS metric, o_totalprice AS val
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, 'order_year', CAST(year(o_orderdate) AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 500
+    )
+    ORDER BY o_orderkey, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → (key, metric, value) long
+    form via the native ``unpivot`` API — compiles to Expand (each input
+    row emitted once per metric inside the scan stage, no shuffle, no
+    union-of-scans like the oracle's portable formulation)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderkey"],
+            values=["total_price", "order_year", "cust_key"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .select("o_orderkey", "metric", F.round("val", 4).alias("val"))
+        .orderBy("o_orderkey", "metric")
+    )

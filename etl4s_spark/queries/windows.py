@@ -169,3 +169,36 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6)                    AS pct_rank,
+           round(cume_dist()    OVER w, 6)                    AS cume,
+           round(nth_value(o_totalprice, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                                                              AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value. The ordering is made total with the o_orderkey tie-break;
+    nth_value uses the running frame (default in both engines for an
+    ordered window) so row 2's price appears only once two rows exist."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 4).alias("second_price"),
+    ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
