@@ -659,6 +659,98 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pipeline_training_data",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, text, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, text, norm FROM docs
+      WHERE NOT (len(w) < 25)
+        AND NOT (1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) > 0.6)
+        AND NOT (len(list_filter(w, x -> x IN ({_STOP_IN})))
+                 / CAST(len(w) AS DOUBLE) < 0.02)
+    ), deduped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), totals AS (
+      SELECT source, sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS tt
+      FROM deduped GROUP BY source
+    ), thr AS (
+      SELECT source,
+             CASE WHEN least(1.0, CASE source WHEN 'src0' THEN 400
+                                              WHEN 'src1' THEN 100000
+                                              WHEN 'src2' THEN 150
+                                              ELSE 0 END / CAST(tt AS DOUBLE)) >= 1.0
+                  THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(least(1.0,
+                         CASE source WHEN 'src0' THEN 400
+                                     WHEN 'src1' THEN 100000
+                                     WHEN 'src2' THEN 150
+                                     ELSE 0 END / CAST(tt AS DOUBLE)) * 4294967296)
+                       AS BIGINT))), 8, '0')
+             END AS th
+      FROM totals
+    ), sampled AS (
+      SELECT d.doc_id, d.source FROM deduped d JOIN thr USING (source)
+      WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+    )
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '0ccccccc' THEN 'val'
+                WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                ELSE 'train' END AS split
+    FROM sampled
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data assembly, composed through the Layer-A
+    Node algebra: quality filter (C4/Gopher rules) → exact dedup (keep
+    lowest-id per content fingerprint) → per-source token-budget mixture
+    sampling → deterministic train/val/test split. Every stage is
+    content-addressed/deterministic, so the WHOLE pipeline is mirrored
+    stage-by-stage in one SQL oracle — the 'a reference user could run
+    their daily pipeline here' proof, checked end-to-end rather than
+    per-operator. Each stage is a zero- or one-shuffle plan; nothing
+    collects to the driver except the #sources token totals."""
+    from etl4s_spark.core.node import node
+    from etl4s_spark.operators.dedup import exact_dedup
+    from etl4s_spark.operators.sampling import token_budget_sample, train_val_test_split
+
+    def quality_keep(df: DataFrame) -> DataFrame:
+        base = df.withColumn("__norm", normalize_text(F.col("text"))).withColumn(
+            "__w", F.split(F.col("__norm"), " ")
+        )
+        n = F.greatest(F.size("__w"), F.lit(1))
+        n_stop = F.size(F.filter(F.col("__w"), lambda x: x.isin(*STOPWORDS)))
+        return (
+            base.filter(~(F.size("__w") < 25))
+            .filter(~(dup_word_fraction(F.col("__w")) > 0.6))
+            .filter(~((n_stop / n) < 0.02))
+            .drop("__norm", "__w")
+        )
+
+    pipeline = (
+        node(quality_keep)
+        >> node(lambda df: exact_dedup(df, "doc_id", "text"))
+        >> node(
+            lambda df: token_budget_sample(
+                df, "doc_id", "text", "source",
+                {"src0": 400, "src1": 100000, "src2": 150},
+            )
+        )
+        >> node(lambda df: train_val_test_split(df, "doc_id", seed=7))
+    )
+    out = pipeline.run(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+@query(
     "q_sample_deterministic",
     oracle="""
     SELECT doc_id, lang
