@@ -76,8 +76,8 @@ def test_ivf_plan_size_constant_in_cells_and_dims(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
 
-    def assignment_plan(n_cells: int) -> str:
-        cents = [[float(i + j) for j in range(64)] for i in range(n_cells)]
+    def assignment_plan(n_cells: int, dim: int = 64) -> str:
+        cents = [[float(i + j) for j in range(dim)] for i in range(n_cells)]
         cmat = centroid_matrix_frame(spark, cents)
         df = (
             e.select("vec_id", as_double(F.col("embedding")).alias("__cv"))
@@ -91,6 +91,10 @@ def test_ivf_plan_size_constant_in_cells_and_dims(spark, sf_dir):
     # 8× the centroids must not inflate the plan text (same operators,
     # same expressions — the matrix is data, not plan)
     assert abs(len(p64) - len(p8)) < 0.1 * len(p8), (len(p8), len(p64))
+    # and neither do production-sized dims (the r1 formulation grew the
+    # plan by n_cells × dim unrolled terms — 64×256 would be ~16k terms)
+    p_big = assignment_plan(64, dim=256)
+    assert abs(len(p_big) - len(p8)) < 0.1 * len(p8), (len(p8), len(p_big))
 
 
 def test_hyperplane_buckets_plan_is_codegen_join_agg(spark, sf_dir):
