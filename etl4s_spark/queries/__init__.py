@@ -39,21 +39,27 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def _driver_proven() -> set[str]:
-    """Names that already have a driver CORRECTNESS row (green oracle match,
-    or a recorded rows-only check for no-oracle queries) in ANY past round.
+def _driver_last_proven() -> dict[str, int]:
+    """Map query name -> the LATEST round in which the driver proved it
+    (green oracle match, or a recorded rows-only check for no-oracle
+    queries). Names absent from the map have never been proven.
 
     The driver checks only the first ~50 registered queries per round, in
-    registration order; rotating unproven queries to the front means every
-    query accumulates a driver row across rounds (VERDICT r1 item 2).
+    registration order. Sorting by (last-proven round asc) puts never-proven
+    queries first (coverage) and then least-recently-proven ones (regression
+    detection — VERDICT r2 item 4), so the window cycles through the whole
+    surface across rounds instead of starving old queries.
     """
     import glob
     import json
     import os
+    import re
 
-    proven: set[str] = set()
+    last: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -62,11 +68,12 @@ def _driver_proven() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                proven.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                proven.add(name)
-    return proven
+            proven = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if proven:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def load_all() -> None:
@@ -89,8 +96,10 @@ def load_all() -> None:
         windows,
     )
 
-    proven = _driver_proven()
-    ordered = sorted(QUERIES, key=lambda n: (n in proven,))  # stable: unproven first
+    last_proven = _driver_last_proven()
+    # stable sort: never-proven (0) first, then oldest-proven rounds —
+    # r1-proven queries re-enter the driver window before r2-proven ones
+    ordered = sorted(QUERIES, key=lambda n: (last_proven.get(n, 0),))
     # mutate in place — callers hold references to these dict objects
     reordered_q = {n: QUERIES[n] for n in ordered}
     reordered_o = {n: ORACLES[n] for n in ordered if n in ORACLES}

@@ -615,6 +615,93 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_state_replay",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM events WHERE event_id < 20000
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED arbitrary stateful processing, oracle-gated: the
+    events slice replays in THREE micro-batches through
+    ``stateful_running_agg`` (streaming/core.py — applyInPandasWithState,
+    one (count, sum) state pair per user), the update-mode sink records
+    every per-trigger emission, and the LAST emission per key (max
+    n_events — the running count strictly increases whenever a key
+    appears) must equal the one-shot batch groupBy. That is the
+    arbitrary-state contract: state accumulated across micro-batches
+    converges to the batch aggregate.
+
+    Values are pre-scaled to exact integer micros (decimal→long→double,
+    exact under 2^53) so the Python-side float accumulation is
+    order-independent and the final total compares as a BIGINT with no
+    rounding anywhere. Covers SURVEY §2.B streaming 'arbitrary state'
+    (VERDICT r2 item 2)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl4s_spark.streaming.core import stateful_running_agg
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .cast("double")
+            .alias("value_micros"),
+        )
+    )
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_state_replay_")
+    tbl = ev.toArrow()
+    n = tbl.num_rows
+    step = (n + 2) // 3
+    _stage_replay_files([tbl.slice(i * step, step) for i in range(3)], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    running = stateful_running_agg(stream, ["user_id"], "value_micros")
+    sink = f"state_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            running.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total")).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.n_events").alias("n_events"),
+            F.col("last.total").cast("long").alias("total_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_window_session_batch",
     oracle=f"""
     WITH marked AS (
