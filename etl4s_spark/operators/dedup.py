@@ -223,6 +223,9 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    n_sweeps: int | None = None,
+    verify_converged: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the stage
     that turns PAIRS into CLUSTERS so one canonical doc per cluster can
@@ -236,26 +239,47 @@ def connected_components(
     convergence after O(component diameter) sweeps, which for dedup
     clusters (dense little cliques from LSH verification) is 2-3.
 
+    Modes:
+    - adaptive (default, ``n_sweeps=None``): sweeps until no label
+      changes; RAISES RuntimeError if ``max_iter`` sweeps exhaust before
+      convergence (a diameter-``max_iter`` chain would otherwise return
+      silently-wrong partial labels — ADVICE r2).
+    - fixed (``n_sweeps=k``): exactly k sweeps with NO per-sweep driver
+      action — the 100 TB posture when the diameter bound is known (LSH
+      dedup cliques: 3 is plenty). A single end-of-run convergence check
+      still raises on an undershot bound; pass
+      ``verify_converged=False`` to skip even that (pure pipeline mode,
+      zero correctness actions).
+
     Scale posture: each sweep is one shuffle join (edges ⨝ labels on the
     dst) + one groupBy(src) min — both partition on ids, both map-side
-    combined. ``localCheckpoint`` truncates the growing lineage so plan
-    size stays constant across sweeps (without it, sweep N replans the
-    whole history). For graphs with huge diameter (chains), swap in the
-    large-star/small-star variant; dedup graphs never need it.
+    combined. Checkpointing truncates the growing lineage so plan size
+    stays constant across sweeps; with ``checkpoint_dir`` set it is a
+    RELIABLE checkpoint (HDFS/object store — survives executor loss, no
+    executor-local storage pressure), otherwise ``localCheckpoint``
+    (fine on local mode / short jobs). For graphs with huge diameter
+    (chains), swap in the large-star/small-star variant; dedup graphs
+    never need it.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = _persist(edges)
 
-    labels = (
+    labels = _persist(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+
+    def sweep(labels: DataFrame, with_changed: bool) -> DataFrame:
         neigh = (
             edges.join(
                 labels.select(F.col("id").alias("dst"), F.col("component").alias("nc")),
@@ -265,24 +289,48 @@ def connected_components(
             .agg(F.min("nc").alias("nbr_min"))
             .select(F.col("src").alias("id"), "nbr_min")
         )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select(
+        out = labels.join(neigh, "id", "left")
+        new_component = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        ).alias("component")
+        if with_changed:
+            return out.select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("__changed"),
+                new_component,
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
             )
-            .localCheckpoint(eager=True)
-        )
+        return out.select("id", new_component)
+
+    if n_sweeps is not None:
+        for _ in range(n_sweeps):
+            labels = _persist(sweep(labels, with_changed=False))
+        if verify_converged:
+            n_changed = (
+                sweep(labels, with_changed=True).filter(F.col("__changed")).count()
+            )
+            if n_changed:
+                raise RuntimeError(
+                    f"connected_components: {n_changed} labels still changing after "
+                    f"n_sweeps={n_sweeps} fixed sweeps — component diameter exceeds "
+                    "the sweep bound; raise n_sweeps or use adaptive mode"
+                )
+        return labels
+
+    n_changed = -1
+    for _ in range(max_iter):
+        updated = _persist(sweep(labels, with_changed=True))
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    if n_changed:
+        raise RuntimeError(
+            f"connected_components: not converged after max_iter={max_iter} sweeps "
+            f"({n_changed} labels still changing) — component diameter exceeds the "
+            "sweep budget; raise max_iter or use the large-star/small-star variant"
+        )
     return labels
 
 

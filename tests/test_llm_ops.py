@@ -287,6 +287,57 @@ def test_connected_components_and_canonical_dedup(spark):
     assert set(ccomp.values()) == {10} and len(ccomp) == 11
 
 
+def test_connected_components_modes(spark, tmp_path):
+    """Fixed-sweep / reliable-checkpoint / non-convergence contract
+    (VERDICT r2 item 5, ADVICE r2 medium)."""
+    from etl4s_spark.operators.dedup import connected_components
+
+    # two cliques + a bridge: diameter 2 → converges in <= 3 sweeps
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    adaptive = {r.id: r.component for r in connected_components(pairs).collect()}
+
+    # fixed-sweep mode: identical labels, fewer driver actions
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_fixed", "fixed sweeps")
+    fixed = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, n_sweeps=3, verify_converged=False
+        ).collect()
+    }
+    n_fixed_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_fixed"))
+    sc.setJobGroup("cc_adaptive", "adaptive sweeps")
+    connected_components(pairs).collect()
+    n_adaptive_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_adaptive"))
+    sc.setJobGroup(None, None)
+    assert fixed == adaptive
+    # each adaptive sweep = checkpoint job + count job; fixed skips every
+    # per-sweep count → strictly fewer driver actions for the same sweeps
+    assert n_fixed_jobs < n_adaptive_jobs
+
+    # fixed mode with verification catches an undershot sweep bound
+    chain = spark.createDataFrame([(i, i + 1) for i in range(20, 28)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="diameter exceeds"):
+        connected_components(chain, n_sweeps=2)
+    # adaptive mode raises instead of returning partial labels
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)
+
+    # reliable checkpoint mode: same labels, files land in checkpoint_dir
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r.id: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == adaptive
+    import os
+
+    assert any(os.scandir(ckpt))
+
+
 def test_multimodal_decoder_is_pluggable_without_module_edit(spark, sf_dir):
     from etl4s_spark.sources.tables import load_table
 
