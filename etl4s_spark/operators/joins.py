@@ -65,16 +65,17 @@ def asof_join(
     (backward direction, inclusive — DuckDB ``ASOF JOIN`` semantics).
 
     Implementation (union + window, SURVEY.md §7.4):
-      1. Tag right rows side=0 carrying their value columns; left rows
-         side=1 with nulls.
-      2. One window per key, ordered by (ts, side, value columns):
-         running ``last(value, ignorenulls=True)`` fills each left row
+      1. Tag right rows side=0 carrying ONE payload struct (ts + value
+         columns); left rows side=1 with a null payload.
+      2. One window per key, ordered by (ts, side, payload): a single
+         running ``last(payload, ignorenulls=True)`` fills each left row
          with the most recent right payload at-or-before it. side orders
-         right BEFORE left at equal ts → inclusive match; the value
-         columns make the ordering total among right rows sharing a
-         timestamp, so ties resolve identically on every run (the
-         greatest value tuple wins) instead of partition-order-dependent.
-      3. Keep the left rows.
+         right BEFORE left at equal ts → inclusive match; the payload
+         struct makes the ordering total among right rows sharing a
+         timestamp AND the fill atomic — ONE right row wins ties
+         wholesale (the greatest value tuple), never a per-column merge
+         of different right rows with complementary nulls (ADVICE r2).
+      3. Keep the left rows, unpack the struct.
 
     Scale: exactly ONE hash shuffle on ``keys`` + a per-partition sort —
     identical cost profile to a groupBy. No driver collect, no range
@@ -82,24 +83,29 @@ def asof_join(
     exchange. ``tolerance`` (a Column interval, e.g. F.expr("INTERVAL 1
     HOUR")) turns matches older than ``left_ts - tolerance`` into nulls.
     """
+    from pyspark.sql import types as T
+
     keys = list(keys)
     lcols = left.columns
-    sentinel_ts = "__asof_rts"
 
+    payload_type = T.StructType(
+        [T.StructField("__ts", right.schema[right_ts].dataType)]
+        + [T.StructField(v, right.schema[v].dataType) for v in right_values]
+    )
     right_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),
-        F.col(right_ts).alias(sentinel_ts),
-        *[F.col(v).alias(f"__asof_v_{v}") for v in right_values],
+        F.struct(
+            F.col(right_ts).alias("__ts"), *[F.col(v) for v in right_values]
+        ).alias("__asof_p"),
         *[F.lit(None).alias(f"__asof_l_{c}") for c in lcols],
     )
     left_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias("__asof_side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(sentinel_ts),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__asof_v_{v}") for v in right_values],
+        F.lit(None).cast(payload_type).alias("__asof_p"),
         *[F.col(c).alias(f"__asof_l_{c}") for c in lcols],
     )
 
@@ -109,38 +115,27 @@ def asof_join(
         .orderBy(
             F.col("__asof_ts").asc(),
             F.col("__asof_side").asc(),
-            *[F.col(f"__asof_v_{v}").asc_nulls_first() for v in right_values],
+            F.col("__asof_p").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
-        F.last(F.col(sentinel_ts), ignorenulls=True).over(w).alias("__asof_matched_ts"),
-        *[
-            F.last(F.col(f"__asof_v_{v}"), ignorenulls=True).over(w).alias(f"__asof_m_{v}")
-            for v in right_values
-        ],
+        F.last(F.col("__asof_p"), ignorenulls=True).over(w).alias("__asof_m"),
     )
 
     out = filled.filter(F.col("__asof_side") == 1)
     if tolerance is not None:
-        in_window = F.col("__asof_matched_ts") >= (F.col("__asof_ts") - tolerance)
-        out = out.select(
-            "*",
-            *[
-                F.when(in_window, F.col(f"__asof_m_{v}")).alias(f"__asof_mt_{v}")
-                for v in right_values
-            ],
-            F.when(in_window, F.col("__asof_matched_ts")).alias("__asof_mtts"),
-        )
-        matched_ts_col, mprefix = "__asof_mtts", "__asof_mt_"
+        in_window = F.col("__asof_m.__ts") >= (F.col("__asof_ts") - tolerance)
+        out = out.select("*", F.when(in_window, F.col("__asof_m")).alias("__asof_mt"))
+        matched = "__asof_mt"
     else:
-        matched_ts_col, mprefix = "__asof_matched_ts", "__asof_m_"
+        matched = "__asof_m"
 
     return out.select(
         *[F.col(f"__asof_l_{c}").alias(c) for c in lcols],
-        F.col(matched_ts_col).alias(f"matched_{right_ts}"),
-        *[F.col(f"{mprefix}{v}").alias(f"matched_{v}") for v in right_values],
+        F.col(f"{matched}.__ts").alias(f"matched_{right_ts}"),
+        *[F.col(f"{matched}.{v}").alias(f"matched_{v}") for v in right_values],
     )
 
 

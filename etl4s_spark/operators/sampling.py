@@ -93,7 +93,11 @@ def token_budget_sample(
         .collect()
     }
     fractions = {
-        s: min(1.0, budgets[s] / t) if t else 0.0
+        # zero/None token total with a positive budget: the budget
+        # trivially covers zero tokens, keep the stratum whole (ADVICE
+        # r2 — silently dropping token-free strata contradicted the
+        # keep-up-to-budget intent)
+        s: min(1.0, budgets[s] / t) if t else (1.0 if budgets[s] > 0 else 0.0)
         for s, t in totals.items()
         if s in budgets
     }

@@ -303,8 +303,13 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket assignments: one row (id, table, sig)
     per input row × table, sig = bigint whose bit p is the sign of
-    <v, plane_{table,p}>. Positively-scaled (and exactly equal) vectors
-    share every bit.
+    <v, plane_{table,p}>. Exactly-equal vectors always share every bit;
+    positively-scaled copies agree on every bit except when a projection
+    lies within ~dim·2⁻³⁰ of zero (per-component rounding error can then
+    flip the sign) — near-certain, not exact. Rows whose vector is null
+    or empty emit NO bucket rows (posexplode yields nothing): they can
+    never be proposed as candidates, which is the intended posture for
+    unembeddable rows — filter them out upstream if they need handling.
 
     Formulation chosen by measurement, 64-dim × 48 planes on 2k rows:
     - higher-order-lambda dots: interpreted, ~1.6 ms/row;
@@ -318,12 +323,13 @@ def hyperplane_buckets(
       map-side-combined shuffles whose volume is |rows| × n_tables ×
       n_planes longs.
 
-    Projections are summed as 2^30-scaled LONGS (float components scale
-    exactly in double; the truncation is a deterministic function of the
-    component), so the signature is EXACTLY order-independent —
-    deterministic across runs and partitionings, with none of the cost of
-    decimal aggregation (measured 10× slower than long sums on the 6M-row
-    partial-agg input) and no float-sum sign flips near zero."""
+    Projections are summed as 2^30-scaled LONGS (rounded to nearest so
+    scaling error is symmetric — ADVICE r2; each long is a deterministic
+    function of the component), so the signature is EXACTLY
+    order-independent — deterministic across runs and partitionings,
+    with none of the cost of decimal aggregation (measured 10× slower
+    than long sums on the 6M-row partial-agg input) and no float-sum
+    sign flips near zero."""
     spark = df.sparkSession
     rows = [
         (t, p, i, s)
@@ -340,7 +346,8 @@ def hyperplane_buckets(
         .groupBy("id", "table", "p")
         .agg(
             F.sum(
-                (F.col("x").cast("double") * F.lit(float(1 << 30))).cast("bigint")
+                F.round(F.col("x").cast("double") * F.lit(float(1 << 30)))
+                .cast("bigint")
                 * F.col("s")
             ).alias("proj")
         )

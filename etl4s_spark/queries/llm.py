@@ -461,7 +461,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pii
     )
     SELECT doc_id,
-           substring(s, length(s) - 39, 40)                              AS scrubbed_tail,
+           right(s, 40)                                                  AS scrubbed_tail,
            CAST(len(regexp_extract_all(s, '<EMAIL>|<PHONE>')) AS INTEGER) AS n_redactions
     FROM scrubbed
     ORDER BY doc_id
@@ -485,7 +485,11 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = scrub_pii(t)
     return d.select(
         "doc_id",
-        F.substring(s, F.length(s) - 39, F.lit(40)).alias("scrubbed_tail"),
+        # right() (not substring with a computed start): Spark counts a
+        # negative start from the string END while DuckDB clamps to 1 —
+        # right() agrees on both engines for strings shorter than 40
+        # (ADVICE r2)
+        F.right(s, F.lit(40)).alias("scrubbed_tail"),
         F.regexp_count(s, F.lit("<EMAIL>|<PHONE>")).alias("n_redactions"),
     ).orderBy("doc_id")
 

@@ -338,6 +338,38 @@ def test_connected_components_modes(spark, tmp_path):
     assert any(os.scandir(ckpt))
 
 
+def test_asof_join_tie_fill_is_atomic(spark):
+    """Two right rows at the same timestamp with COMPLEMENTARY nulls:
+    the matched row must come from ONE right row wholesale, never a
+    per-column merge of both (ADVICE r2 — struct-payload fill)."""
+    from etl4s_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 10, None, 7), ("k", 10, 5, None)],
+        "key string, ts long, a int, b int",
+    )
+    left = spark.createDataFrame([("k", 11)], "key string, ts long")
+    row = asof_join(
+        left, right, keys=["key"], left_ts="ts", right_ts="ts", right_values=["a", "b"]
+    ).collect()[0]
+    # greatest payload tuple: (10, 5, null) > (10, null, 7) with
+    # nulls-first struct ordering → the (5, null) row wins atomically
+    assert (row.matched_a, row.matched_b) == (5, None)
+
+
+def test_token_budget_keeps_zero_token_stratum(spark):
+    """A stratum whose rows contain zero countable tokens but has a
+    positive budget is kept whole, not silently dropped (ADVICE r2)."""
+    from etl4s_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, "", "empty"), (3, "real text here", "full")],
+        "doc_id long, text string, src string",
+    )
+    kept = token_budget_sample(df, "doc_id", "text", "src", {"empty": 100, "full": 100})
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
 def test_multimodal_decoder_is_pluggable_without_module_edit(spark, sf_dir):
     from etl4s_spark.sources.tables import load_table
 
