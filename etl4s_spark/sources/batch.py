@@ -62,6 +62,88 @@ def scan_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataF
     return spark.read.option("wholetext", str(whole_text).lower()).text(path)
 
 
+def _jdbc_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    **options,
+) -> dict[str, str]:
+    """Build the option map for a JDBC scan (split out so the
+    partitioned-read contract is testable without a database on the
+    classpath)."""
+    opts: dict[str, str] = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    partition_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(o is not None for o in partition_opts):
+        if any(o is None for o in partition_opts):
+            raise ValueError(
+                "partitioned JDBC read needs ALL of partition_column/"
+                "lower_bound/upper_bound/num_partitions (got a subset) — "
+                "otherwise Spark silently reads on ONE task"
+            )
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
+def scan_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    **options,
+) -> DataFrame:
+    """JDBC scan (SURVEY.md §1.4 Extract parity — the reference maps
+    Extract onto ``spark.read.jdbc`` alongside parquet/csv/json).
+
+    Scale notes — a JDBC source is the ONE reader here with no parallel
+    scan by default (one executor, one connection, one cursor):
+
+    - ALWAYS pass the partition quad (``partition_column`` — an indexed
+      numeric/date column, ``lower_bound``/``upper_bound`` — its real
+      min/max, ``num_partitions``) for tables beyond toy size: Spark
+      issues one range-predicate query per partition, in parallel.
+      Bounds don't filter — rows outside land in the edge partitions —
+      they only set stride, so a stale upper bound skews the last task.
+    - ``dbtable`` accepts a subquery alias ``"(SELECT ...) t"`` to push
+      projection/filter INTO the database; Catalyst additionally pushes
+      simple predicates down to the source.
+    - ``fetch_size`` overrides driver-default row batching (some
+      drivers default to streaming row-at-a-time).
+    - size ``num_partitions`` to what the database tolerates —
+      1000 executors opening 1000 connections is a DDoS, not a scan;
+      cap it and repartition Spark-side afterwards if needed.
+    """
+    return (
+        spark.read.format("jdbc")
+        .options(
+            **_jdbc_options(
+                url,
+                table,
+                partition_column,
+                lower_bound,
+                upper_bound,
+                num_partitions,
+                fetch_size,
+                **options,
+            )
+        )
+        .load()
+    )
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).parquet(path)
     return path

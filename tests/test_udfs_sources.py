@@ -153,3 +153,34 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
     n_o = src.filter(F.col("o_orderstatus") == "O").count()
     assert back.count() == n_o
+
+def test_jdbc_option_contract():
+    """Construct-only JDBC coverage (no database in this container): the
+    partitioned-read quad is all-or-nothing and lands as the exact Spark
+    option names; extra driver options stringify."""
+    import pytest
+
+    from etl4s_spark.sources.batch import _jdbc_options
+
+    opts = _jdbc_options(
+        "jdbc:postgresql://db/warehouse",
+        "public.orders",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=6_000_000,
+        num_partitions=64,
+        fetch_size=5_000,
+        sessionInitSQL="SET statement_timeout=0",
+    )
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "1",
+        "6000000",
+        "64",
+    )
+    assert opts["fetchsize"] == "5000"
+    assert opts["dbtable"] == "public.orders"
+    assert opts["sessionInitSQL"] == "SET statement_timeout=0"
+    # a subset of the quad is a silent single-task scan — must raise
+    with pytest.raises(ValueError, match="ALL of"):
+        _jdbc_options("jdbc:h2:mem:x", "t", partition_column="id")
