@@ -38,10 +38,13 @@ def _next_round() -> int:
     writes CORRECTNESS_r{N}/BENCH_r{N} at the END of round N, so the live
     round is max+1)."""
     rounds = [0]
-    for path in glob.glob(os.path.join(REPO, "*_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m:
-            rounds.append(int(m.group(1)))
+    # only driver-written artifacts count — our own BENCH_DETAIL_r* files
+    # must not bump the round
+    for pattern in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
+        for path in glob.glob(os.path.join(REPO, pattern)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if m:
+                rounds.append(int(m.group(1)))
     return max(rounds) + 1
 
 

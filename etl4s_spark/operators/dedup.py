@@ -334,6 +334,101 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the HIGH-DIAMETER fallback documented on
+    ``connected_components``: converges in O(log n) rounds regardless of
+    component shape, where min-label propagation needs O(diameter)
+    sweeps (a 10M-node chain: ~24 rounds vs 10M sweeps).
+
+    Same contract as ``connected_components``: returns (id, component =
+    smallest reachable id); nodes absent from ``pairs`` are absent from
+    the output. Prefer min-label for LSH dedup cliques (diameter 2-3,
+    cheaper per-sweep); use THIS for arbitrary graphs — citation chains,
+    user-session stitching, web link graphs.
+
+    Each round is two shuffle stages:
+    - large-star: every node points its LARGER neighbors at its current
+      minimum (keeps the graph connected, shrinks tall trees);
+    - small-star: every node and its smaller neighbors collapse onto
+      their minimum (forms stars).
+    Convergence = the edge set's (set-invariant) hash checksum repeats —
+    ONE tiny driver action per round, O(1) rows collected. Lineage is
+    truncated per round (reliable checkpoint when ``checkpoint_dir`` is
+    given, localCheckpoint otherwise)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = _persist(edges)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+        return (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient toward the larger endpoint: src > dst
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = oriented.join(mins, "src")
+        return (
+            joined.where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _persist(small_star(large_star(edges)))
+        sig = edges.agg(
+            # xor-fold: order/partitioning-invariant over the distinct
+            # edge set and immune to ANSI long-sum overflow
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        sig = (sig["h"], sig["n"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: edge set still changing after "
+            f"max_rounds={max_rounds} — pathological input (should converge in "
+            "O(log n) rounds); raise max_rounds"
+        )
+
+    # converged: every edge is (node -> its component min); roots appear
+    # only on the dst side
+    return (
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .union(edges.select(F.col("dst").alias("id"), F.col("dst").alias("component")))
+        .distinct()
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     id_col: str,

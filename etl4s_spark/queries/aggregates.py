@@ -199,6 +199,46 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_hll_union",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,
+           count(DISTINCT o_custkey)                       AS exact_custs,
+           TRUE                                            AS union_within_5pct
+    FROM orders
+    """,
+)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+
+    hll_sketch_agg/hll_union_agg) — the 100 TB distinct-count pattern
+    approx_count_distinct can't express: build one fixed-size sketch PER
+    PARTITION/GROUP (here: per order priority), persist them, then merge
+    any subset later with hll_union_agg WITHOUT rescanning the data.
+    That is how daily distinct-user sketches roll up to
+    week/month/arbitrary windows at constant cost.
+
+    Bounded-error oracle in the q_agg_approx_distinct pattern: the exact
+    global distinct plus a flag asserting the merged-sketch estimate
+    (lgConfigK=14 → ~1% rsd) landed within 5%."""
+    o = load_table(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    merged = sketches.agg(
+        F.count(F.lit(1)).alias("n_partial_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+    )
+    exact = o.agg(F.count_distinct("o_custkey").alias("exact_custs"))
+    return exact.crossJoin(merged).select(
+        "n_partial_sketches",
+        "exact_custs",
+        (
+            F.abs(F.col("__approx") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs")
+        ).alias("union_within_5pct"),
+    )
+
+
+@query(
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -860,3 +860,94 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5
+                  THEN list_distinct(list_transform(range(len(w) - 4),
+                                     i -> array_to_string(w[i+1:i+5], ' ')))
+                  ELSE [] END AS shingles
+      FROM docs
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0
+    ), evald AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 37 <> 0
+    ), agg AS (
+      SELECT e.doc_id,
+             count(*)    AS n_shingles,
+             count(b.s)  AS n_overlap
+      FROM evald e LEFT JOIN bench b ON e.s = b.s
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(a.n_overlap, 0)  AS BIGINT) AS n_overlap,
+           (coalesce(a.n_overlap, 0) * 2 >= coalesce(a.n_shingles, 0)
+            AND coalesce(a.n_shingles, 0) > 0)       AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — THE pre-training hygiene step: flag
+    training docs sharing 5-gram shingles with a held-out benchmark set
+    (here: doc_id % 37 == 0 plays the benchmark). A doc is contaminated
+    when ≥ half its distinct shingles appear in the benchmark
+    (integer-arithmetic threshold, no float compare).
+
+    Scale shape: the benchmark side is TINY relative to the corpus
+    (GSM8K/MMLU vs 100 TB), so its distinct-shingle set is broadcast —
+    the corpus is scanned once, shingled in the scan stage
+    (transform/slice, codegen'd, no UDF), and filtered without any
+    corpus-side shuffle; only the per-doc count aggregation shuffles on
+    doc_id. Production would join on xxhash64(shingle) longs instead of
+    strings (same plan, 8-byte keys); strings kept here for oracle
+    parity."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    shingles = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 5),
+                lambda i: F.array_join(F.slice(w, i + 1, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bench = (
+        exploded.filter(F.col("doc_id") % 37 == 0).select("s").distinct()
+    )
+    evald = exploded.filter(F.col("doc_id") % 37 != 0)
+    agg = (
+        evald.join(
+            F.broadcast(bench.withColumn("__hit", F.lit(1))), "s", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    base = d.filter(F.col("doc_id") % 37 != 0).select("doc_id")
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                (F.coalesce("n_overlap", F.lit(0)) * 2 >= F.coalesce("n_shingles", F.lit(0)))
+                & (F.coalesce("n_shingles", F.lit(0)) > 0)
+            ).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -621,14 +621,14 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
                 AS BIGINT) AS total_micros
-    FROM events WHERE event_id < 20000
+    FROM events WHERE event_id < 8000
     GROUP BY user_id
     ORDER BY user_id
     """,
 )
 def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUALLY-STREAMED arbitrary stateful processing, oracle-gated: the
-    events slice replays in THREE micro-batches through
+    events slice replays in TWO micro-batches through
     ``stateful_running_agg`` (streaming/core.py — applyInPandasWithState,
     one (count, sum) state pair per user), the update-mode sink records
     every per-trigger emission, and the LAST emission per key (max
@@ -648,9 +648,12 @@ def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl4s_spark.streaming.core import stateful_running_agg
 
+    # bounded slice: the replay cost is per (micro-batch x key-group)
+    # Python invocation, not data volume — 2 batches over a few thousand
+    # keys prove cross-batch state at any sf
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 20000)
+        .filter(F.col("event_id") < 8000)
         .select(
             "user_id",
             (F.col("value").cast("decimal(18,6)") * 1000000)
@@ -662,8 +665,8 @@ def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="etl4s_state_replay_")
     tbl = ev.toArrow()
     n = tbl.num_rows
-    step = (n + 2) // 3
-    _stage_replay_files([tbl.slice(i * step, step) for i in range(3)], replay_dir)
+    step = (n + 1) // 2
+    _stage_replay_files([tbl.slice(i * step, step) for i in range(2)], replay_dir)
 
     stream = (
         spark.readStream.schema(ev.schema)

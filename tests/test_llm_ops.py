@@ -338,6 +338,37 @@ def test_connected_components_modes(spark, tmp_path):
     assert any(os.scandir(ckpt))
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """Large-star/small-star converges to the same (id → min reachable)
+    labels as min-label propagation, and handles high-diameter chains
+    where the sweep budget of min-label is exhausted."""
+    import random
+
+    from etl4s_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(13)
+    # random sparse graph: 60 nodes, 50 edges → several components
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r.id: r.component for r in connected_components_star(pairs).collect()}
+    minl = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert star == minl
+
+    # 40-node chain (diameter 39): min-label with a 5-sweep budget
+    # raises; star converges well inside its default round budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=5)
+    labels = {r.id: r.component for r in connected_components_star(chain).collect()}
+    assert set(labels.values()) == {100} and len(labels) == 41
+
+
 def test_asof_join_tie_fill_is_atomic(spark):
     """Two right rows at the same timestamp with COMPLEMENTARY nulls:
     the matched row must come from ONE right row wholesale, never a
