@@ -93,6 +93,7 @@ def load_all() -> None:
         sorts,
         sql_entry,
         streaming_batch,
+        tpch,
         windows,
     )
 

@@ -197,3 +197,29 @@ def test_rollup_hierarchy_reuses_finest_exchange_at_runtime(spark, sf_dir):
     # hour and day branches must reuse the minute-level shuffle instead of
     # rescanning/re-aggregating the raw table
     assert executed.count("ReusedExchange") >= 2, executed[:2000]
+
+
+def test_tpch_q3_plan_pushes_filters_and_takes_ordered(spark, sf_dir):
+    """The macro-query scale contract: every scan filter pushed down,
+    ReadSchema pruned to used columns, and the top-10 executed as
+    TakeOrderedAndProject (no global sort materialization)."""
+    from etl4s_spark.queries.tpch import q_tpch_q3
+
+    plan = plan_str(q_tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # all three scans carry their pushed predicate
+    for frag in ("GreaterThan(l_shipdate", "LessThan(o_orderdate", "EqualTo(c_mktsegment,BUILDING)"):
+        assert frag in plan, frag
+    # lineitem scan reads only the 4 needed columns of 11
+    li_schema = plan.split("lineitem.parquet")[1].split("ReadSchema: ")[1].splitlines()[0]
+    assert li_schema.count(":") == 4, li_schema
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the corpus side of the
+    contamination probe may never shuffle on the shingle key."""
+    from etl4s_spark.queries.llm import q_decontaminate
+
+    plan = plan_str(q_decontaminate(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
