@@ -94,6 +94,7 @@ def load_all() -> None:
         sql_entry,
         streaming_batch,
         tpch,
+        warehouse,
         windows,
     )
 
