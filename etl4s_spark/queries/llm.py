@@ -582,6 +582,45 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+@query(
+    "q_dedup_cluster_star",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    )
+    SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach
+    GROUP BY id ORDER BY id
+    """,
+)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as q_dedup_cluster_canonical, computed
+    by the LARGE-STAR/SMALL-STAR algorithm (operators/dedup.py
+    connected_components_star) instead of min-label propagation — the
+    driver gate proves BOTH component implementations against the same
+    transitive-closure oracle. Star contraction is the O(log n)-rounds
+    variant for graphs whose diameter is not bounded (chains, link
+    graphs); min-label stays the default for dedup cliques."""
+    from etl4s_spark.operators.dedup import connected_components_star
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return connected_components_star(pairs).orderBy("id")
+
+
 @query("q_sim_ann_ivf")  # approximate; recall vs brute force asserted in pytest
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: deterministic sampled coarse centroids, corpus

@@ -210,6 +210,37 @@ def write_bucketed(
     return table
 
 
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    fmt: str = "parquet",
+) -> str:
+    """Small-files compaction: rewrite a directory of many small files
+    into ~``target_file_mb``-sized ones. THE standing maintenance job of
+    any long-lived table — streaming sinks and over-partitioned writes
+    otherwise accumulate thousands of KB-sized files whose per-file
+    open/footer/listing costs dominate scan time at 100 TB.
+
+    File count = ceil(on-disk bytes / target). Uses coalesce (narrow, no
+    shuffle — each output task concatenates input splits); prefer
+    ``repartition`` instead when the input is also SKEWED, paying one
+    shuffle to rebalance. Reads go through the normal scan path, so
+    compaction composes with partition-directory layouts (compact each
+    partition directory separately to keep pruning)."""
+    import math
+
+    sc = spark.sparkContext
+    fs_path = sc._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = fs_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(fs_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src_path)
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(dst_path)
+    return dst_path
+
+
 # Layer-A node factories -----------------------------------------------------
 
 def extract_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> Node:

@@ -184,3 +184,21 @@ def test_jdbc_option_contract():
     # a subset of the quad is a silent single-task scan — must raise
     with pytest.raises(ValueError, match="ALL of"):
         _jdbc_options("jdbc:h2:mem:x", "t", partition_column="id")
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    from etl4s_spark.sources.batch import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    # total size is well under 8 MB → everything compacts to ONE file
+    compact_files(spark, src, dst, target_file_mb=8)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
