@@ -13,10 +13,14 @@ line carried ~93 per-query timings and overflowed it (VERDICT r2 item 1).
 The headline stays well under 500 bytes regardless of how many queries are
 registered.
 
-Each query is executed to completion (count) ``SPARK_GRAFT_BENCH_RUNS``
-times (default 3) after a session warm-up; the median wall time is the
-reported figure so single-run noise (the 13 apparent r2 regressions) can be
-adjudicated.
+Each query is executed to completion (count) up to
+``SPARK_GRAFT_BENCH_RUNS`` times (default 3) after a session warm-up; the
+median wall time is the reported figure so single-run noise (the 13
+apparent r2 regressions — all noise per BASELINE.md r3) can be
+adjudicated. Repeats are ADAPTIVE: a query whose first run is already ≥
+``SPARK_GRAFT_BENCH_REPEAT_BELOW`` seconds (default 2.0 — the streaming
+replays / iterative algorithms) reports that single run, bounding total
+bench wall time near the single-run envelope.
 """
 
 from __future__ import annotations
@@ -68,11 +72,17 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Adaptive repeats: sub-second queries NEED medians (±0.3 s run
+    # spread on a warm JVM swamps their signal — BASELINE.md r3), while
+    # repeating multi-second streaming replays would triple total wall
+    # time for timing that is already unambiguous. Queries whose first
+    # run exceeds the threshold report that single run.
+    repeat_below_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_BELOW", "2.0"))
     runs: dict[str, list[float]] = {}
     medians: dict[str, float] = {}
     for name in sorted(qs):
         samples: list[float] = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
             t0 = time.monotonic()
             try:
                 df = qs[name](spark, sf_dir)
@@ -82,6 +92,8 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 samples = []
+                break
+            if i == 0 and samples[0] >= repeat_below_sec:
                 break
         runs[name] = samples
         medians[name] = round(statistics.median(samples), 3) if samples else -1.0
@@ -94,6 +106,7 @@ def main() -> None:
     detail = {
         "sf": sf,
         "runs_per_query": n_runs,
+        "adaptive_repeat_below_sec": repeat_below_sec,
         "medians": medians,
         "runs": runs,
         "total_of_medians": total,

@@ -486,6 +486,79 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sliding_replay",
+    oracle=f"""
+    WITH offs(off) AS (VALUES (0), (300))
+    SELECT strftime(to_timestamp(floor((epoch(ts) - off) / 600) * 600 + off),
+                    '{_DUCK_FMT}')  AS window_start,
+           count(*)                 AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events CROSS JOIN offs
+    WHERE event_id < 20000
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED sliding windows (10 min window / 5 min slide —
+    every event lands in exactly TWO overlapping windows), replayed in
+    two micro-batches into a complete-mode sink and proven equal to the
+    two-offset batch SQL. Completes the streamed-replay family: every
+    window type in the streaming table (tumbling/sliding/session/
+    watermark/join/dedup/arbitrary state) now has an oracle-gated
+    replay. Decimal-carried sums keep micro-batch accumulation order out
+    of the result."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_slide_replay_")
+    tbl = ev.toArrow()
+    n = tbl.num_rows
+    step = (n + 1) // 2
+    _stage_replay_files([tbl.slice(0, step), tbl.slice(step, step)], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
+    sink = f"slide_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
     "q_stream_join_replay",
     oracle="""
     WITH ev AS (
