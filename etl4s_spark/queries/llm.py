@@ -990,3 +990,111 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, nt,
+             sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source,
+           CAST(nt AS BIGINT)                                   AS n_tokens,
+           CAST(cum_tokens - nt AS BIGINT)                      AS start_offset,
+           CAST(floor((cum_tokens - nt) / 2048) AS BIGINT)      AS chunk_first,
+           CAST(CASE WHEN nt = 0 THEN 0
+                ELSE floor((cum_tokens - 1) / 2048)
+                     - floor((cum_tokens - nt) / 2048) + 1
+                END AS BIGINT)                                  AS n_chunks
+    FROM cum
+    ORDER BY source, doc_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (concat-and-chunk): per source,
+    documents concatenate in deterministic doc_id order into one token
+    stream that is cut into 2048-token context windows; each doc gets
+    its global token offset, first chunk index, and the number of
+    chunks it spans (boundary-crossing docs span several — exactly what
+    a GPT-style loader needs to materialize examples).
+
+    One window shuffle per source partition — the same cost as a
+    groupBy; offsets are pure prefix sums, no driver involvement, and
+    the assignment is a deterministic function of (source, doc_id,
+    text) so re-runs and retries place every doc identically at any
+    cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    nt = F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    B = 2048
+    cum = d.select("doc_id", "source", nt.alias("nt")).withColumn(
+        "cum_tokens", F.sum("nt").over(w)
+    )
+    start = F.col("cum_tokens") - F.col("nt")
+    return cum.select(
+        "doc_id",
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        F.floor(start / B).cast("long").alias("chunk_first"),
+        F.when(F.col("nt") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("cum_tokens") - 1) / B) - F.floor(start / B) + 1
+        )
+        .cast("long")
+        .alias("n_chunks"),
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "q_shard_assignment",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:42'), 1, 6))
+                     AS INTEGER) % 16 AS BIGINT) AS shard,
+           CAST(count(*) OVER (PARTITION BY
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:42'), 1, 6))
+                     AS INTEGER) % 16) AS BIGINT) AS shard_size
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard assignment: shard = md5(id||salt) mod 16
+    — the deterministic, engine-independent way to split a corpus into
+    N training shards (stable under re-runs, retries, cluster resizes;
+    adding data never moves existing docs between shards). shard_size
+    demonstrates balance: md5 uniformity keeps shards within a few
+    percent of n/16 without any coordination. Zero shuffles for the
+    assignment itself (pure per-row expression); the size audit is one
+    window pass."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard:42"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .withColumn("shard_size", F.count(F.lit(1)).over(Window.partitionBy("shard")))
+        .select("doc_id", "shard", F.col("shard_size").cast("long").alias("shard_size"))
+        .orderBy("doc_id")
+    )
