@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches via mapInPandas.
 
-Uncompressed raster formats are decoded FOR REAL, pure-Python/numpy, no
-codec libs: BMP (24-bit BI_RGB header + pixel parse) and PPM (P6).
-``default_decoder`` routes those mimes through the real pixel path
-(grayscale-histogram features) and falls back to ``_decode_stub`` for
-codec formats the container can't handle (JPEG/MP3/H.264 need native
-libs; a PIL/ffmpeg decoder plugs into the same seam).
+Uncompressed formats are decoded FOR REAL, pure-Python/numpy, no codec
+libs: BMP (24-bit BI_RGB header + pixel parse), PPM (P6), and WAV
+(RIFF PCM 8/16-bit → float samples). ``default_decoder`` routes those
+mimes through the real pixel/sample paths (luma-histogram / RMS-envelope
+features) and falls back to ``_decode_stub`` for codec formats the
+container can't handle (JPEG/MP3/H.264 need native libs; a PIL/ffmpeg
+decoder plugs into the same seam).
 
 Scale posture: binary payloads dominate row size, so
 - ``maxRecordsPerBatch`` keeps Arrow batches bounded (set via
@@ -88,6 +89,7 @@ def _decode_stub(payload: bytes, mime: str, feature_dim: int) -> list[float]:
 # ---------------------------------------------------------------------------
 
 RASTER_MIMES = ("image/bmp", "image/x-ms-bmp", "image/x-portable-pixmap", "image/ppm")
+WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -163,6 +165,81 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE PCM bytes (8- or 16-bit integer PCM) into
+    (samples as float32 in [-1, 1] shaped (n_frames, n_channels),
+    sample_rate). Pure struct/numpy — WAV is header + raw samples, no
+    codec needed; compressed audio (MP3/AAC) stays on the stub seam."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + chunk_len]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if bits == 16:
+        raw = np.frombuffer(data, "<i2", len(data) // 2)
+        samples = raw.astype(np.float32) / 32768.0
+    else:
+        raw = np.frombuffer(data, np.uint8, len(data))
+        samples = (raw.astype(np.float32) - 128.0) / 128.0
+    n_frames = len(samples) // n_channels
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Write (n_frames, n_channels) float32 [-1, 1] samples as 16-bit
+    PCM WAV bytes — the inverse of decode_wav, for synthesizing test
+    audio and re-emitting transformed clips."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, feature_dim: int) -> list[float]:
+    """Cheap audio signature: [duration_sec, rms, zero-crossing rate,
+    peak] + an RMS-energy envelope over (feature_dim − 4) equal time
+    slices — the standard pre-filter features for audio corpus curation
+    (silence/clipping detection, length buckets)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    duration = n / float(sample_rate) if sample_rate else 0.0
+    if n == 0:
+        return [0.0] * feature_dim
+    rms = float(np.sqrt(np.mean(mono**2)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    peak = float(np.max(np.abs(mono)))
+    head = [duration, rms, zcr, peak][: feature_dim]
+    n_env = feature_dim - len(head)
+    if n_env <= 0:
+        return head
+    bounds = np.linspace(0, n, n_env + 1).astype(int)
+    env = [
+        float(np.sqrt(np.mean(mono[a:b] ** 2))) if b > a else 0.0
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    return head + env
+
+
 def decode_raster(payload: bytes, mime: str) -> np.ndarray:
     """Dispatch to the real pixel decoder for an uncompressed raster mime."""
     if mime in ("image/bmp", "image/x-ms-bmp"):
@@ -189,6 +266,8 @@ def default_decoder(payload: bytes, mime: str, feature_dim: int) -> list[float]:
     this via the ``decoder=`` seam without touching the module."""
     if mime in RASTER_MIMES:
         return gray_histogram_features(decode_raster(payload, mime), feature_dim)
+    if mime in WAV_MIMES:
+        return audio_features(*decode_wav(payload), feature_dim)
     return _decode_stub(payload, mime, feature_dim)
 
 
