@@ -1025,11 +1025,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks it spans (boundary-crossing docs span several — exactly what
     a GPT-style loader needs to materialize examples).
 
-    One window shuffle per source partition — the same cost as a
-    groupBy; offsets are pure prefix sums, no driver involvement, and
-    the assignment is a deterministic function of (source, doc_id,
-    text) so re-runs and retries place every doc identically at any
-    cluster size."""
+    Offsets are pure prefix sums, no driver involvement, and the
+    assignment is a deterministic function of (source, doc_id, text) so
+    re-runs and retries place every doc identically at any cluster size.
+
+    SCALE CAVEAT — window partitions are per-task: a running sum over
+    PARTITION BY source serializes each source into ONE task, fine for
+    bounded per-source volumes but a straggler at 100 TB with few giant
+    sources. The production form composes this with q_shard_assignment:
+    PARTITION BY (source, shard) — chunks simply never cross shard
+    boundaries, which training loaders don't need anyway (each shard is
+    an independent token stream). Same plan shape, thousands of
+    parallel streams, this query IS that plan with shard count 1."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 

@@ -778,6 +778,58 @@ def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sink_replay",
+    oracle="""
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events WHERE event_id < 20000
+    ORDER BY event_id
+    """,
+)
+def q_stream_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED foreachBatch FILE SINK: the events slice
+    replays in two micro-batches; each batch lands in a parquet
+    directory via foreachBatch append (the production sink shape for
+    tables/JDBC/upserts — streaming/core.py foreach_batch_collect is
+    the test twin). Reading the directory back must yield every source
+    row exactly once — the sink side of the streaming contract, under
+    the oracle gate rather than pytest only. In production foreachBatch
+    writes are made idempotent by keying on batch_id (overwrite-by-
+    partition or MERGE); append is exact here because the replay runs
+    failure-free start-to-finish."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_sink_replay_src_")
+    out_dir = tempfile.mkdtemp(prefix="etl4s_sink_replay_out_") + "/out"
+    tbl = ev.toArrow()
+    n = tbl.num_rows
+    step = (n + 1) // 2
+    _stage_replay_files([tbl.slice(0, step), tbl.slice(step, step)], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    return spark.read.parquet(out_dir).orderBy("event_id")
+
+
+@query(
     "q_window_session_batch",
     oracle=f"""
     WITH marked AS (

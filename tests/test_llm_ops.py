@@ -388,6 +388,69 @@ def test_asof_join_tie_fill_is_atomic(spark):
     assert (row.matched_a, row.matched_b) == (5, None)
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence against an independent reference
+    implementation: pd.merge_asof(direction='backward') has exactly our
+    semantics (greatest right_ts <= left_ts per key, inclusive) when
+    right timestamps are unique per key. Also checks tolerance."""
+    import random
+
+    import pandas as pd
+
+    from etl4s_spark.operators.joins import asof_join
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        right_rows = []
+        for k in ("a", "b"):
+            for ts in rnd.sample(range(1000), 40):
+                right_rows.append((k, ts, rnd.randrange(10_000)))
+        left_rows = [
+            (rnd.choice("abc"), rnd.randrange(1100), i) for i in range(120)
+        ]
+        right_pd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+        left_pd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts")
+        expected = pd.merge_asof(
+            left_pd, right_pd, on="ts", by="k", direction="backward"
+        ).set_index("lid")["v"]
+
+        out = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            keys=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["v"],
+        ).collect()
+        assert len(out) == len(left_pd), seed
+        for r in out:
+            exp = expected.loc[r.lid]
+            if pd.isna(exp):
+                assert r.matched_v is None, (seed, r)
+            else:
+                assert r.matched_v == int(exp), (seed, r)
+
+        # tolerance: matches older than left_ts - 50 are nulled
+        expected_tol = pd.merge_asof(
+            left_pd, right_pd, on="ts", by="k", direction="backward", tolerance=50
+        ).set_index("lid")["v"]
+        out_tol = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            keys=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["v"],
+            tolerance=F.lit(50),
+        ).collect()
+        for r in out_tol:
+            exp = expected_tol.loc[r.lid]
+            if pd.isna(exp):
+                assert r.matched_v is None, (seed, r)
+            else:
+                assert r.matched_v == int(exp), (seed, r)
+
+
 def test_token_budget_keeps_zero_token_stratum(spark):
     """A stratum whose rows contain zero countable tokens but has a
     positive budget is kept whole, not silently dropped (ADVICE r2)."""
