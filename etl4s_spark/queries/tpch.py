@@ -177,6 +177,96 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                 AS DOUBLE), 4) AS revenue,
+           count(*)             AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical
+    pushdown-or-die query — four conjunctive predicates and a single
+    ungrouped sum. The right plan is scan→filter→partial-agg→one
+    exchange of ONE row; every predicate reaches PushedFilters, no
+    other shuffle exists. At 100 TB this query is pure scan bandwidth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+            .cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE)  AS o_orderdate,
+           round(o.o_totalprice, 4)     AS o_totalprice,
+           round(sum(l.l_quantity), 4)  AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): an aggregate-driven semi
+    join — orders qualify through a grouped HAVING on lineitem, then
+    re-join for detail. The scale shape: the qualifying-keys side is
+    tiny after HAVING (AQE turns the IN-join into a broadcast at
+    runtime), lineitem is scanned twice but shuffled on the same key
+    both times, and the top-50 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey")
+    )
+    bk = big.withColumnRenamed("l_orderkey", "__bk")
+    return (
+        li.join(bk, li.l_orderkey == bk["__bk"], "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
     "q_join_salted",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber,
