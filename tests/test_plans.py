@@ -223,3 +223,23 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = plan_str(q_decontaminate(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_tpch_q6_every_predicate_pushed(spark, sf_dir):
+    """Q6 is pure scan bandwidth at scale: all four predicates must
+    appear in PushedFilters and the only exchange is the single-row
+    final aggregation."""
+    from etl4s_spark.queries.tpch import q_tpch_q6
+
+    plan = plan_str(q_tpch_q6(spark, sf_dir))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
