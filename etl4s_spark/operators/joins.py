@@ -158,6 +158,42 @@ def interval_join(
     return left.join(right, on=cond, how=how)
 
 
+def range_bucket_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    pt_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Pure range join (NO equi key) rewritten as an equi join on range
+    buckets — the formulation that scales when ``interval_join``'s no-
+    equi-key fallback (BroadcastNestedLoopJoin) can't: both sides big.
+
+    Each interval [lo, hi] is exploded to every bucket of width
+    ``bucket_width`` it overlaps (``sequence`` — at most
+    ceil(max_width/bucket_width)+1 rows per interval); each point lands
+    in exactly ONE bucket, so the bucket equi-join proposes every
+    true (interval, point) pair EXACTLY ONCE (no post-dedup) and the
+    exact predicate lo <= pt <= hi refines inside the join. Cost: one
+    hash shuffle per side on the bucket id + the bounded interval
+    blow-up. Pick ``bucket_width`` ≈ the typical interval width: wider
+    → fewer interval replicas but more false candidates per bucket;
+    narrower → the reverse. Columns must be numeric (cast timestamps to
+    epoch first); both inputs keep all their columns in the output."""
+    b_lo = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    b_hi = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(pt_col) / bucket_width).cast("long")
+    )
+    return (
+        iv.join(pt, "__bucket")
+        .filter((F.col(pt_col) >= F.col(lo_col)) & (F.col(pt_col) <= F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

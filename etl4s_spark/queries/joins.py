@@ -393,3 +393,53 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_join_range_bucket",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id
+    FROM events v JOIN events c
+      ON v.event_type = 'view' AND v.event_id < 300
+     AND c.event_type = 'click' AND c.event_id < 20000
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id, click_id
+    """,
+)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join WITHOUT an equi key (every click within 30 min
+    of any view — no shared user/key column), via the bucketed rewrite
+    (operators/joins.py range_bucket_join): intervals explode to
+    1800-second buckets, points land in exactly one, the bucket
+    equi-join proposes each true pair exactly once, the precise
+    timestamp predicate refines in-join. This is the both-sides-big
+    formulation interval_join's BroadcastNestedLoopJoin fallback can't
+    reach; the oracle is the naive range join."""
+    from etl4s_spark.operators.joins import range_bucket_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter((F.col("event_type") == "view") & (F.col("event_id") < 300))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            F.unix_timestamp("ts").alias("lo"),
+            (F.unix_timestamp("ts") + 1800).alias("hi"),
+        )
+    )
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") < 20000))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.unix_timestamp("ts").alias("pt"),
+        )
+    )
+    return (
+        range_bucket_join(views, clicks, "lo", "hi", "pt", bucket_width=1800)
+        # exact refine on the original timestamps (bucket epochs are
+        # second-truncated; ts carries sub-second precision)
+        .filter((F.col("c_ts") >= F.col("v_ts")) & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")))
+        .select("view_id", "click_id")
+        .orderBy("view_id", "click_id")
+    )

@@ -388,6 +388,30 @@ def test_asof_join_tie_fill_is_atomic(spark):
     assert (row.matched_a, row.matched_b) == (5, None)
 
 
+def test_range_bucket_join_matches_naive(spark):
+    """Bucketed range join ≡ naive range join on random intervals and
+    points, each true pair proposed exactly once (no dedup needed),
+    across bucket widths narrower and wider than the intervals."""
+    import random
+
+    from etl4s_spark.operators.joins import range_bucket_join
+
+    rnd = random.Random(23)
+    intervals = [(i, lo := rnd.randrange(1000), lo + rnd.randrange(1, 80)) for i in range(60)]
+    points = [(j, rnd.randrange(1100)) for j in range(200)]
+    naive = sorted(
+        (i, j) for i, lo, hi in intervals for j, p in points if lo <= p <= hi
+    )
+    iv = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    pt = spark.createDataFrame(points, "pid long, pt long")
+    for width in (16, 50, 200):
+        got = sorted(
+            (r.iid, r.pid)
+            for r in range_bucket_join(iv, pt, "lo", "hi", "pt", width).collect()
+        )
+        assert got == naive, width
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Randomized equivalence against an independent reference
     implementation: pd.merge_asof(direction='backward') has exactly our
