@@ -199,6 +199,46 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25)                    AS n_big,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05),
+                 4)                                                   AS disc_rev,
+           round(avg(l_quantity) FILTER (WHERE l_tax = 0), 4)         AS notax_avg_qty,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+                                                                      AS n_supp_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause): several differently-
+    conditioned aggregates over ONE scan and ONE shuffle — the
+    alternative to N self-joined subqueries. Spark expresses them as
+    count_if / agg-over-when; all conditions evaluate in the scan
+    stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+            ).alias("disc_rev"),
+            F.round(
+                F.avg(F.when(F.col("l_tax") == 0, F.col("l_quantity"))), 4
+            ).alias("notax_avg_qty"),
+            F.count_distinct(
+                F.when(F.col("l_linestatus") == "F", F.col("l_suppkey"))
+            ).alias("n_supp_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_agg_hll_union",
     oracle="""
     SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_partial_sketches,

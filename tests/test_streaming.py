@@ -202,3 +202,56 @@ def test_foreach_batch_sink_sees_batches(spark, tmp_path):
         q.stop()
     all_ids = sorted(r.id for _b, rows in collected for r in rows)
     assert all_ids == list(range(10))
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across RESTARTS: a file-sink query with a
+    checkpointLocation is stopped, new data arrives, and a fresh query
+    object on the same checkpoint must process ONLY the new batch —
+    rows appear once each, never reprocessed, never lost. This is the
+    recovery contract every production stream relies on."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = time.time()
+
+    def add_batch(name, ids, mtime):
+        p = str(src / name)
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        os.utime(p, (mtime, mtime))
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def start_query():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    add_batch("b0.parquet", [1, 2, 3], t0)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    add_batch("b1.parquet", [4, 5], t0 + 60)
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
