@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
+# DuckDB mirror of the normalized word split (operators/text.py words)
+_WORDS_LIM = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
 
 @query(
     "q_agg_groupby",
@@ -235,6 +238,78 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_supp_f"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_maxby",
+    oracle="""
+    SELECT l_returnflag,
+           (max(struct_pack(p := l_extendedprice, k := l_orderkey,
+                            n := l_linenumber))).k AS top_orderkey,
+           (max(struct_pack(p := l_extendedprice, k := l_orderkey,
+                            n := l_linenumber))).n AS top_linenumber,
+           round((max(struct_pack(p := l_extendedprice, k := l_orderkey,
+                                  n := l_linenumber))).p, 4) AS top_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg-max via STRUCT ordering: the whole winning row's
+    fields come from one max(struct(...)) — tie-broken
+    deterministically by the trailing key fields, so both engines pick
+    the identical row even when the ordering value repeats (plain
+    max_by/arg_max leaves ties engine-defined). One shuffle, map-side
+    combined — the groupBy-free way to answer 'which row is the
+    maximum' without a window sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = F.max(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("n"),
+        )
+    ).alias("t")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(top)
+        .select(
+            "l_returnflag",
+            F.col("t.k").alias("top_orderkey"),
+            F.col("t.n").alias("top_linenumber"),
+            F.round(F.col("t.p"), 4).alias("top_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_udtf_posexplode",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len({_WORDS_LIM})),
+                    i -> struct_pack(pos := i, word := {_WORDS_LIM}[i+1]))) AS s
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.word AS word
+    FROM x
+    ORDER BY doc_id, pos
+    """,
+)
+def q_udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinal-preserving fan-out): one row per word WITH
+    its position — the ordered variant of explode that tokenization and
+    windowed n-gram passes need. The oracle reconstructs ordinality as
+    a struct list (this DuckDB lacks WITH ORDINALITY)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")), " ")
+    return (
+        d.select("doc_id", F.posexplode(w).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
     )
 
 
