@@ -318,3 +318,47 @@ def q_scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q_json_quarantine",
+    oracle="""
+    WITH fed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS raw
+      FROM events WHERE event_id < 5000
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(raw) THEN 'main' ELSE 'quarantine' END AS route,
+           CASE WHEN json_valid(raw)
+                THEN CAST(raw ->> 'k' AS BIGINT) END                   AS k
+    FROM fed
+    ORDER BY event_id
+    """,
+)
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine (dead-letter routing) — the ingestion
+    pattern every production feed needs: rows whose payload fails to
+    parse are ROUTED, not dropped and not fatal. Corruption is injected
+    deterministically (every 7th event gets a doubled brace) so both
+    engines face identical bad records; parse success is decided by the
+    engine's own JSON parser (from_json → null vs json_valid) and must
+    agree. Zero shuffles — routing is a scan-stage expression; in
+    production the quarantine branch fans out via partitioned write."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # try_parse_json → null VARIANT on malformed input (from_json's
+    # PERMISSIVE mode would return a null-FIELDED struct instead, which
+    # cannot distinguish corrupt payloads from valid-but-absent fields)
+    parsed = F.try_parse_json(raw)
+    valid = parsed.isNotNull()
+    return (
+        ev.select(
+            "event_id",
+            F.when(valid, F.lit("main")).otherwise(F.lit("quarantine")).alias("route"),
+            F.when(valid, F.variant_get(parsed, "$.k", "bigint")).alias("k"),
+        )
+        .orderBy("event_id")
+    )
