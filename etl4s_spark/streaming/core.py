@@ -43,6 +43,59 @@ def file_stream(
     return reader.format(fmt).load(path)
 
 
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    **options,
+) -> dict[str, str]:
+    """Option map for a Kafka source stream (split out, like
+    sources/batch.py _jdbc_options, so the contract is testable without
+    the Kafka connector jar on the classpath).
+
+    Scale notes — Kafka is the production stream source:
+    - parallelism = topic partitions (one Spark task per partition);
+      under-partitioned topics cap throughput no matter the cluster.
+    - ``max_offsets_per_trigger`` bounds rows per micro-batch — THE
+      backfill-safety knob: without it, a stream started at
+      ``earliest`` pulls the whole retention window into batch 1.
+    - ``fail_on_data_loss=False`` only for topics where aged-out
+      offsets are acceptable (monitoring feeds, not ledgers).
+    - exactly-once end-to-end needs an idempotent/transactional sink
+      keyed on (topic, partition, offset) or batch_id (foreachBatch).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    **kwargs,
+) -> DataFrame:
+    """Kafka source stream (requires the spark-sql-kafka connector on
+    the classpath). Emits the standard columns (key/value binary,
+    topic, partition, offset, timestamp); decode ``value`` with
+    from_json/from_avro downstream and route parse failures through the
+    quarantine pattern (queries/scalars.py q_json_quarantine)."""
+    return (
+        spark.readStream.format("kafka")
+        .options(**kafka_stream_options(bootstrap_servers, topics, **kwargs))
+        .load()
+    )
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 

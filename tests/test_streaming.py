@@ -255,3 +255,24 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
 
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_kafka_option_contract():
+    """Construct-only Kafka coverage (no broker/connector here): options
+    land under the exact Spark names with correct stringification."""
+    from etl4s_spark.streaming.core import kafka_stream_options
+
+    opts = kafka_stream_options(
+        "broker1:9092,broker2:9092",
+        "events,clicks",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100_000,
+        fail_on_data_loss=False,
+        kafkaConsumerPollTimeoutMs=2000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events,clicks"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["kafkaConsumerPollTimeoutMs"] == "2000"
