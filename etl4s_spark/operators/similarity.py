@@ -495,3 +495,276 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the MEMORY-bound ANN scale path: a dim-d
+# float vector (4·dim bytes) compresses to M subspace code bytes, so a
+# 100 TB embedding corpus's search index fits in a fraction of the
+# space and the search scan reads codes, not vectors. Same
+# codebook-as-DATA posture as IVF (centroid_matrix_frame): constant
+# plan size at any dim × M × K.
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(vec: Column) -> Column:
+    n = l2_norm(vec)
+    return F.transform(vec, lambda x: F.when(n > 0, x / n).otherwise(x))
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    sweeps: int = 1,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: codebooks[m][c] = the c-th codeword
+    (dim/m_subspaces floats) of subspace m.
+
+    Initialization is the deterministic seeded sample (ivf_centroids
+    pattern — n_codes NORMALIZED corpus vectors sliced into subspaces),
+    then ``sweeps`` Lloyd iterations refine ALL subspaces in one
+    dataflow each: explode rows to (m, subvec), argmin-assign against
+    the broadcast codebook, average per (m, code, pos). The collect is
+    M × K × sub_dim floats of model parameters, never data. Vectors
+    are normalized so squared L2 ranks like cosine downstream."""
+    sub = dim // m_subspaces
+    if sub * m_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    samples = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            l2_normalize(as_double(F.col(vec_col))).alias("v"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("__h", "id")
+        .limit(n_codes)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r["v"][m * sub : (m + 1) * sub]] for r in samples]
+        for m in range(m_subspaces)
+    ]
+    for _ in range(sweeps):
+        cb = pq_codebook_frame(corpus.sparkSession, books)
+        subvecs = (
+            corpus.select(l2_normalize(as_double(F.col(vec_col))).alias("__v"))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                        lambda m: F.struct(
+                            m.alias("m"),
+                            F.slice(F.col("__v"), m * sub + 1, sub).alias("sv"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+        )
+        assigned = subvecs.crossJoin(F.broadcast(cb)).select(
+            "m",
+            "sv",
+            _pq_argmin_code(F.col("sv"), F.col("m")).alias("code"),
+        )
+        rows = (
+            assigned.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        for r in rows:
+            books[r["m"]][r["code"]][r["pos"]] = float(r["c"])
+    return books
+
+
+def pq_codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """All codebooks as ONE row holding an ordered
+    array<struct<m:int, code:int, cvec:array<double>>> (__pqcb, flat
+    index = m·K + code) — codewords are DATA in a one-row broadcast,
+    exactly the centroid_matrix_frame posture."""
+    flat = [
+        (m, c, [float(x) for x in codebooks[m][c]])
+        for m in range(len(codebooks))
+        for c in range(len(codebooks[m]))
+    ]
+    return spark.createDataFrame(
+        [(flat,)], "__pqcb ARRAY<STRUCT<m: INT, code: INT, cvec: ARRAY<DOUBLE>>>"
+    )
+
+
+def _pq_argmin_code(subvec: Column, m: Column) -> Column:
+    """Code id of the nearest codeword of subspace ``m`` for ``subvec``
+    (ties → lowest code id). Pure expression over the broadcast __pqcb
+    column — evaluated per row, constant plan size."""
+    scored = F.transform(
+        F.filter(F.col("__pqcb"), lambda e: e["m"] == m),
+        lambda e: F.struct(
+            _sq_l2(e["cvec"], subvec).alias("d"), e["code"].alias("code")
+        ),
+    )
+    return F.element_at(F.array_sort(scored), 1)["code"]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Compress vectors to (id, codes array<int> of length M) — the PQ
+    index build: one scan, zero shuffles, constant plan size. At scale
+    this output (M small ints per row vs 4·dim bytes) IS the index you
+    persist and scan at query time."""
+    m_subspaces = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = pq_codebook_frame(df.sparkSession, codebooks)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            l2_normalize(as_double(F.col(vec_col))).alias("__v"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                lambda m: _pq_argmin_code(F.slice(F.col("__v"), m * sub + 1, sub), m),
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m_subspaces: int = 16,
+    n_codes: int = 64,
+    seed: int = 42,
+    sweeps: int = 1,
+    rerank_factor: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC)
+    with exact re-rank — the production PQ recipe: the corpus is
+    scanned as M-byte CODES; each query precomputes a (M × K)-entry
+    lookup table of exact subspace distances to every codeword, a
+    candidate's approximate distance is M table lookups summed (no
+    vector arithmetic in the scan loop), and only the ADC top
+    ``k × rerank_factor`` shortlist has its true vectors fetched for an
+    exact cosine re-rank (``rerank_factor=0`` disables re-rank and
+    returns raw ADC scores).
+
+    Plan: encode corpus (zero-shuffle projection) → broadcast queries
+    (each carrying its flat LUT array) nested-loop against the code
+    scan → LUT-sum expression → WindowGroupLimit shortlist → equi-join
+    the shortlist (k·factor rows per query, tiny) back to vectors →
+    exact top-k. The full corpus is never shuffled and its vectors are
+    only read for the shortlist — the defining property that makes PQ
+    the path when the INDEX must fit in memory at 100 TB. Vectors are
+    L2-normalized so approx squared distance d² ranks like cosine
+    (cos ≈ 1 − d²/2, reported as ``approx_cos``)."""
+    query_id_col = query_id_col or id_col
+    sub = dim // m_subspaces
+    books = pq_train(
+        corpus, id_col, vec_col, dim,
+        m_subspaces=m_subspaces, n_codes=n_codes, seed=seed, sweeps=sweeps,
+    )
+    cb = pq_codebook_frame(corpus.sparkSession, books)
+    coded = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            l2_normalize(as_double(F.col(vec_col))).alias("__qv"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            # flat LUT ordered like __pqcb (m·K + code): exact subspace
+            # distance from the query to EVERY codeword
+            F.transform(
+                F.col("__pqcb"),
+                lambda e: _sq_l2(
+                    e["cvec"], F.slice(F.col("__qv"), e["m"] * sub + 1, sub)
+                ),
+            ).alias("__lut"),
+        )
+    )
+    scored = (
+        coded.join(F.broadcast(q), coded["neighbor_id"] != q["query_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                1.0
+                - F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+                    F.lit(0.0),
+                    lambda acc, m: acc
+                    + F.element_at(
+                        F.col("__lut"),
+                        m * n_codes + F.element_at(F.col("codes"), m + 1) + 1,
+                    ),
+                )
+                / 2.0,
+                6,
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    if not rerank_factor:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "approx_cos", "rn")
+        )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(as_double(F.col(vec_col))).alias("__cv"),
+    )
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        l2_normalize(as_double(F.col(vec_col))).alias("__qv"),
+    )
+    reranked = (
+        shortlist.join(vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__cv")), 6).alias("approx_cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rn")
+    )

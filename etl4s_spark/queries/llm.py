@@ -29,6 +29,7 @@ from etl4s_spark.operators.similarity import (
     ivf_topk,
     l2_norm,
     lsh_bucketed_topk,
+    pq_topk,
 )
 from etl4s_spark.operators.text import (
     STOPWORDS,
@@ -635,6 +636,26 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         n_cells=8,
         n_probe=2,
+    ).orderBy("query_id", "rn")
+
+
+@query("q_sim_ann_pq")  # approximate; recall vs brute force asserted in pytest
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk): the
+    corpus compresses to 16 one-byte subspace codes per vector, queries
+    scan CODES via a per-query distance lookup table (ADC), and the ADC
+    shortlist is exactly re-ranked — the memory-bound scale path where
+    even IVF's full-vector cells don't fit. Same output shape as the
+    exact path; measured mean recall@5 ≈ 0.94 on this corpus
+    (tests/test_llm_ops.py floor)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=3,
     ).orderBy("query_id", "rn")
 
 

@@ -388,6 +388,41 @@ def test_asof_join_tie_fill_is_atomic(spark):
     assert (row.matched_a, row.matched_b) == (5, None)
 
 
+def test_pq_topk_recall_determinism_and_exact_dup(spark, sf_dir):
+    """PQ+ADC+re-rank contract: recall floor vs brute force,
+    determinism across runs, and guaranteed recovery of an exact
+    duplicate (identical vectors share every code → ADC distance 0 →
+    shortlisted → exact re-rank puts it first)."""
+    from etl4s_spark.operators.similarity import cosine_topk, pq_topk
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    bf_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq = pq_topk(e, q, "vec_id", "embedding", 64, k=5).collect()
+    pq_sets: dict = {}
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(pq_sets[k] & bf_sets[k]) / 5 for k in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    pq2 = pq_topk(e, q, "vec_id", "embedding", 64, k=5).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+    # plant an exact duplicate of vec 3 under a fresh id
+    dup = e.filter(F.col("vec_id") == 3).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(dup.select(e.columns))
+    hits = pq_topk(
+        corpus, e.filter(F.col("vec_id") == 3), "vec_id", "embedding", 64, k=1
+    ).collect()
+    assert hits[0].neighbor_id == 99999 and hits[0].approx_cos == 1.0
+
+
 def test_range_bucket_join_matches_naive(spark):
     """Bucketed range join ≡ naive range join on random intervals and
     points, each true pair proposed exactly once (no dedup needed),
