@@ -507,9 +507,13 @@ def lsh_bucketed_topk(
 # ---------------------------------------------------------------------------
 
 
-def l2_normalize(vec: Column) -> Column:
-    n = l2_norm(vec)
-    return F.transform(vec, lambda x: F.when(n > 0, x / n).otherwise(x))
+def l2_normalize(vec: Column, norm: Column) -> Column:
+    """Element-wise divide by a PRE-MATERIALIZED norm column. The norm
+    must be a plain attribute (withColumn'd in a prior select), never
+    the l2_norm(...) expression inline — an aggregate expression in the
+    lambda body re-evaluates PER ELEMENT (O(dim²) per row, the
+    spark-expression-perf rule that cost pq_train 18 s before this)."""
+    return F.transform(vec, lambda x: F.when(norm > 0, x / norm).otherwise(x))
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -544,50 +548,88 @@ def pq_train(
     if sub * m_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     samples = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            l2_normalize(as_double(F.col(vec_col))).alias("v"),
-        )
+        corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
         .orderBy("__h", "id")
         .limit(n_codes)
         .collect()
     )
+
+    def _norm(v):  # driver-side normalize of the n_codes sampled seeds
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v] if n else list(v)
+
+    seeds_norm = [_norm(r["v"]) for r in samples]
     books = [
-        [[float(x) for x in r["v"][m * sub : (m + 1) * sub]] for r in samples]
+        [seeds_norm[c][m * sub : (m + 1) * sub] for c in range(len(seeds_norm))]
         for m in range(m_subspaces)
     ]
     for _ in range(sweeps):
-        cb = pq_codebook_frame(corpus.sparkSession, books)
-        subvecs = (
-            corpus.select(l2_normalize(as_double(F.col(vec_col))).alias("__v"))
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                        lambda m: F.struct(
-                            m.alias("m"),
-                            F.slice(F.col("__v"), m * sub + 1, sub).alias("sv"),
-                        ),
-                    )
-                ).alias("e")
-            )
-            .select(F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
-        )
-        assigned = subvecs.crossJoin(F.broadcast(cb)).select(
-            "m",
-            "sv",
-            _pq_argmin_code(F.col("sv"), F.col("m")).alias("code"),
-        )
+        el = _pq_elements(corpus, id_col, vec_col, sub)
+        assigned = _pq_assign_codes(el, corpus.sparkSession, books)
         rows = (
-            assigned.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            el.join(assigned, ["id", "m"])
             .groupBy("m", "code", "pos")
-            .agg(F.avg("val").alias("c"))
+            .agg(F.avg("x").alias("c"))
             .collect()
         )
         for r in rows:
             books[r["m"]][r["code"]][r["pos"]] = float(r["c"])
     return books
+
+
+def _pq_elements(df: DataFrame, id_col: str, vec_col: str, sub: int) -> DataFrame:
+    """Normalized vectors exploded to SCALAR elements
+    (id, i, m, pos, x) — the codegen-friendly grain every PQ stage below
+    joins/aggregates on (the hyperplane_buckets lesson: per-row array
+    HOFs over the codebook are interpreted and ~100× slower than
+    exploded scalar ops + map-side-combined aggregation)."""
+    return (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .select("id", "__n", F.posexplode("__v").alias("i", "x0"))
+        .select(
+            "id",
+            "i",
+            (F.col("i") / sub).cast("int").alias("m"),
+            (F.col("i") % sub).alias("pos"),
+            # normalize POST-explode: scalar divide by the materialized
+            # norm attribute — zero per-element re-evaluation
+            F.when(F.col("__n") > 0, F.col("x0") / F.col("__n"))
+            .otherwise(F.col("x0"))
+            .alias("x"),
+        )
+    )
+
+
+def _pq_assign_codes(el: DataFrame, spark, books: list[list[list[float]]]) -> DataFrame:
+    """(id, m) → nearest code, computed entirely with codegen'd scalar
+    ops: elements join the codebook VALUES table on the element index
+    (each element meets its subspace's K codewords), squared diffs
+    partial-aggregate per (id, m, code), then min-struct per (id, m).
+    Volume: rows × dim × K scalars through two map-side-combined
+    shuffles — the formulation that scales; no array HOF touches the
+    codebook."""
+    m_subspaces, n_codes = len(books), len(books[0])
+    sub = len(books[0][0])
+    # the flat element index i = m·sub + pos already encodes the
+    # subspace, so the values table carries no m column (el has one)
+    vals = [
+        (m * sub + pos, code, float(books[m][code][pos]))
+        for m in range(m_subspaces)
+        for code in range(n_codes)
+        for pos in range(sub)
+    ]
+    cbv = spark.createDataFrame(vals, "i INT, code INT, c DOUBLE")
+    return (
+        el.join(F.broadcast(cbv), "i")
+        .select("id", "m", "code", ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2e"))
+        .groupBy("id", "m", "code")
+        .agg(F.sum("d2e").alias("d"))
+        .groupBy("id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("t"))
+        .select("id", "m", F.col("t.code").alias("code"))
+    )
 
 
 def pq_codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
@@ -605,19 +647,6 @@ def pq_codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     )
 
 
-def _pq_argmin_code(subvec: Column, m: Column) -> Column:
-    """Code id of the nearest codeword of subspace ``m`` for ``subvec``
-    (ties → lowest code id). Pure expression over the broadcast __pqcb
-    column — evaluated per row, constant plan size."""
-    scored = F.transform(
-        F.filter(F.col("__pqcb"), lambda e: e["m"] == m),
-        lambda e: F.struct(
-            _sq_l2(e["cvec"], subvec).alias("d"), e["code"].alias("code")
-        ),
-    )
-    return F.element_at(F.array_sort(scored), 1)["code"]
-
-
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -625,25 +654,21 @@ def pq_encode(
     codebooks: list[list[list[float]]],
 ) -> DataFrame:
     """Compress vectors to (id, codes array<int> of length M) — the PQ
-    index build: one scan, zero shuffles, constant plan size. At scale
-    this output (M small ints per row vs 4·dim bytes) IS the index you
-    persist and scan at query time."""
-    m_subspaces = len(codebooks)
+    index build. At scale this output (M small ints per row vs 4·dim
+    bytes) IS the index you persist and scan at query time.
+
+    Formulation: exploded scalar elements ⋈ codebook VALUES (data, not
+    expression) → partial-aggregated distances → min-struct argmin →
+    codes re-assembled per id. All codegen'd; the shuffles partition on
+    the id and map-side combine (measured ~20× faster than the per-row
+    interpreted-HOF argmin at 2k rows × 16 subspaces × 64 codes)."""
     sub = len(codebooks[0][0])
-    cb = pq_codebook_frame(df.sparkSession, codebooks)
+    el = _pq_elements(df, id_col, vec_col, sub)
+    assigned = _pq_assign_codes(el, df.sparkSession, codebooks)
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            l2_normalize(as_double(F.col(vec_col))).alias("__v"),
-        )
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-                lambda m: _pq_argmin_code(F.slice(F.col("__v"), m * sub + 1, sub), m),
-            ).alias("codes"),
-        )
+        assigned.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
+        .select("id", F.transform("mc", lambda s: s["code"]).alias("codes"))
     )
 
 
@@ -693,8 +718,10 @@ def pq_topk(
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            l2_normalize(as_double(F.col(vec_col))).alias("__qv"),
+            as_double(F.col(vec_col)).alias("__qv0"),
         )
+        .withColumn("__qn", l2_norm(F.col("__qv0")))
+        .withColumn("__qv", l2_normalize(F.col("__qv0"), F.col("__qn")))
         .crossJoin(F.broadcast(cb))
         .select(
             "query_id",
@@ -744,12 +771,10 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        l2_normalize(as_double(F.col(vec_col))).alias("__cv"),
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
     )
     qvecs = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        l2_normalize(as_double(F.col(vec_col))).alias("__qv"),
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
     )
     reranked = (
         shortlist.join(vecs, "neighbor_id")
@@ -757,7 +782,9 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("__qv"), F.col("__cv")), 6).alias("approx_cos"),
+            # cosine of RAW vectors ≡ dot of normalized ones, with each
+            # norm evaluated once at the top level (no lambda-body agg)
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("approx_cos"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
