@@ -243,3 +243,27 @@ def test_tpch_q6_every_predicate_pushed(spark, sf_dir):
         assert frag in pushed, (frag, pushed)
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_pq_encode_plan_constant_in_codebook_size(spark, sf_dir):
+    """PQ codewords are DATA (a broadcast values table), so the encode
+    plan must not grow with M × K × dim — the same contract the IVF
+    centroid matrix carries."""
+    from etl4s_spark.operators.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def encode_plan(m_subspaces: int, n_codes: int, dim: int = 64) -> str:
+        sub = dim // m_subspaces
+        books = [
+            [[float(m + c + p) for p in range(sub)] for c in range(n_codes)]
+            for m in range(m_subspaces)
+        ]
+        return plan_str(pq_encode(e, "vec_id", "embedding", books))
+
+    p_small, p_big = encode_plan(8, 16), encode_plan(16, 256)
+    # 32× the codewords: same operators, same expressions
+    assert abs(len(p_big) - len(p_small)) < 0.1 * len(p_small), (
+        len(p_small),
+        len(p_big),
+    )
