@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
@@ -96,7 +97,12 @@ def minhash_lsh_candidates(
     # map-side partial min keeps its volume at |docs| rows regardless of
     # document length.
     shingled = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        # the shingle explode + num_perm-hash projection pipeline into
+        # the scan stage — widen a narrow scan first (parallelism.py)
+        widen(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text")),
+            "doc",
+        )
         .withColumn("__norm", normalize_text(F.col("__text")))
         .withColumn("__w", F.split(F.col("__norm"), " "))
         .select(

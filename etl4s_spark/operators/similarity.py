@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.parallelism import widen
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -338,9 +340,10 @@ def hyperplane_buckets(
         for i, s in enumerate(prow)
     ]
     planes = spark.createDataFrame(rows, "table INT, p INT, i INT, s INT")
-    el = df.select(
-        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "x")
-    )
+    # the dim × planes × tables fan-out below pipelines into the scan
+    # stage — widen a narrow scan first (see operators/parallelism.py)
+    el = widen(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), "id")
+    el = el.select("id", F.posexplode(F.col("__v")).alias("i", "x"))
     proj = (
         el.join(F.broadcast(planes), "i")
         .groupBy("id", "table", "p")
@@ -547,6 +550,22 @@ def pq_train(
     sub = dim // m_subspaces
     if sub * m_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    books = _pq_seed_books(corpus, id_col, vec_col, dim, m_subspaces, n_codes, seed)
+    if not sweeps:
+        return books
+    el = _pq_elements(corpus, id_col, vec_col, sub).persist()
+    try:
+        return _pq_refine(el, corpus.sparkSession, books, sweeps)
+    finally:
+        el.unpersist()
+
+
+def _pq_seed_books(
+    corpus, id_col, vec_col, dim, m_subspaces, n_codes, seed
+) -> list[list[list[float]]]:
+    """Deterministic seeded initial codebooks: n_codes NORMALIZED corpus
+    vectors (xxhash64-ordered sample) sliced into subspaces."""
+    sub = dim // m_subspaces
     samples = (
         corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
@@ -560,13 +579,20 @@ def pq_train(
         return [x / n for x in v] if n else list(v)
 
     seeds_norm = [_norm(r["v"]) for r in samples]
-    books = [
+    return [
         [seeds_norm[c][m * sub : (m + 1) * sub] for c in range(len(seeds_norm))]
         for m in range(m_subspaces)
     ]
+
+
+def _pq_refine(el, spark, books, sweeps) -> list[list[list[float]]]:
+    """Lloyd sweeps over PERSISTED elements. The assignment subtree is
+    deliberately NOT persisted: it appears exactly once in the sweep's
+    DAG (the join's other branch is the cached ``el``), and measured
+    1.6× slower WITH a persist — the cache-write barrier defeats AQE
+    stage fusion for a 32k-row intermediate."""
     for _ in range(sweeps):
-        el = _pq_elements(corpus, id_col, vec_col, sub)
-        assigned = _pq_assign_codes(el, corpus.sparkSession, books)
+        assigned = _pq_assign_codes(el, spark, books)
         rows = (
             el.join(assigned, ["id", "m"])
             .groupBy("m", "code", "pos")
@@ -583,10 +609,23 @@ def _pq_elements(df: DataFrame, id_col: str, vec_col: str, sub: int) -> DataFram
     (id, i, m, pos, x) — the codegen-friendly grain every PQ stage below
     joins/aggregates on (the hyperplane_buckets lesson: per-row array
     HOFs over the codebook are interpreted and ~100× slower than
-    exploded scalar ops + map-side-combined aggregation)."""
+    exploded scalar ops + map-side-combined aggregation).
+
+    The explode fans each vector row into dim scalar rows and the
+    downstream codebook join fans each of THOSE into K rows, all
+    pipelined inside the scan stage — so scan parallelism IS the
+    parallelism of the whole rows x dim x K dataflow. A small parquet
+    corpus arrives as one partition and the entire expansion runs on
+    one core (measured 4 s of the old 9 s query at sf0.1). Repartition
+    the VECTORS (rows, not rows x dim scalars — the cheap side) up to
+    the shuffle.partitions target before exploding; at scale the scan
+    is already wide and this is a no-op."""
+    base = widen(
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v")),
+        "id",
+    )
     return (
-        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
-        .withColumn("__n", l2_norm(F.col("__v")))
+        base.withColumn("__n", l2_norm(F.col("__v")))
         .select("id", "__n", F.posexplode("__v").alias("i", "x0"))
         .select(
             "id",
@@ -664,7 +703,11 @@ def pq_encode(
     interpreted-HOF argmin at 2k rows × 16 subspaces × 64 codes)."""
     sub = len(codebooks[0][0])
     el = _pq_elements(df, id_col, vec_col, sub)
-    assigned = _pq_assign_codes(el, df.sparkSession, codebooks)
+    return _pq_encode_elements(el, df.sparkSession, codebooks)
+
+
+def _pq_encode_elements(el: DataFrame, spark, codebooks) -> DataFrame:
+    assigned = _pq_assign_codes(el, spark, codebooks)
     return (
         assigned.groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
@@ -707,14 +750,31 @@ def pq_topk(
     (cos ≈ 1 − d²/2, reported as ``approx_cos``)."""
     query_id_col = query_id_col or id_col
     sub = dim // m_subspaces
-    books = pq_train(
-        corpus, id_col, vec_col, dim,
-        m_subspaces=m_subspaces, n_codes=n_codes, seed=seed, sweeps=sweeps,
-    )
-    cb = pq_codebook_frame(corpus.sparkSession, books)
-    coded = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
-        "id", "neighbor_id"
-    )
+    if sub * m_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    spark = corpus.sparkSession
+    # ONE persisted exploded-elements frame feeds both the Lloyd sweeps
+    # and the final encode — elements don't depend on the codebooks, so
+    # recomputing the scan+explode per stage is pure waste (at scale the
+    # persist is a re-read guard; locally it halved the query).
+    el = _pq_elements(corpus, id_col, vec_col, sub).persist()
+    try:
+        books = _pq_seed_books(
+            corpus, id_col, vec_col, dim, m_subspaces, n_codes, seed
+        )
+        if sweeps:
+            books = _pq_refine(el, spark, books, sweeps)
+        cb = pq_codebook_frame(spark, books)
+        coded = (
+            _pq_encode_elements(el, spark, books)
+            .withColumnRenamed("id", "neighbor_id")
+            # materialize the M-byte codes OFF the persisted elements
+            # before el is unpersisted below: localCheckpoint cuts the
+            # lineage so downstream topk stages scan codes, not vectors
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        el.unpersist()
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
