@@ -511,3 +511,49 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag,
+           round(l_quantity, 4)  AS mode_qty,
+           CAST(cnt AS BIGINT)   AS mode_count
+    FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) = 1
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, smallest-value
+    tie-break) as a two-level aggregate. Built-in ``mode()`` is
+    tie-nondeterministic on BOTH engines, so the operator is spelled as
+    count-per-(group,value) → struct-ordered arg-max — the same
+    max(struct(cnt, -value)) trick as q_agg_maxby, which rides the
+    partial aggregate instead of a window sort. Scale: two shuffles
+    (value-count then group arg-max), both map-side combined; the
+    second input is |distinct values per group| rows, not raw data.
+    Reference: mode is absent from the reference DSL (closure
+    combinators, src-3/Etl4s.scala) — this is engine surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    st = F.max(
+        F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("neg_q"))
+    ).alias("st")
+    return (
+        counted.groupBy("l_returnflag")
+        .agg(st)
+        .select(
+            "l_returnflag",
+            F.round(-F.col("st.neg_q"), 4).alias("mode_qty"),
+            F.col("st.cnt").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -165,3 +165,47 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "metric", F.round("val", 4).alias("val"))
         .orderBy("o_orderkey", "metric")
     )
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 3
+    )
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY c_custkey, price DESC, o_orderkey
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM: each customer's top-3
+    orders by price. The naive reading is a per-row re-execution of the
+    inner query (O(|customer| × |orders|) at 100 TB); Catalyst
+    decorrelates the lateral into a DomainJoin → window-ranked join on
+    o_custkey — ONE shuffle each side, per-key top-3 via the same
+    WindowGroupLimit machinery as q_topk_per_group. Fully deterministic
+    tie-break (price DESC, orderkey ASC) so both engines pick identical
+    rows at the LIMIT boundary. LATERAL is the second front door to the
+    top-k-per-group pattern: q_topk_per_group states it as DataFrame
+    windows, this states it as SQL a reference user would write."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        FROM {c} c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM {o} o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 3
+        )
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, price DESC, o_orderkey
+    """)
