@@ -674,3 +674,505 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT ps.l_partkey, ps.supplycost, s_name, s_acctbal, n_name
+      FROM ps, supplier, nation, region
+      WHERE ps.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_type, round(supplycost, 4) AS supplycost
+    FROM part, eur
+    WHERE p_partkey = eur.l_partkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND supplycost = (SELECT min(supplycost) FROM eur e2
+                        WHERE e2.l_partkey = eur.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, keep
+    only the EU supplier rows whose cost equals the per-part minimum —
+    the correlated-scalar-MIN pattern, decorrelated as a groupBy-min of
+    the SAME derived relation joined back on (partkey, cost). The
+    driver tables carry no partsupp, so the part-supplier relation is
+    derived from lineitem (min extendedprice per pair = supplycost; no
+    arithmetic, so the equality join on a picked-not-computed double is
+    engine-exact). Scale plan: `eur` is built once (its exchange reused
+    by both the min-agg and the probe side), nation/region broadcast,
+    and the final top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur = ps.join(supp, ps.l_suppkey == supp.s_suppkey).select(
+        "l_partkey", "supplycost", "s_name", "s_acctbal", "n_name"
+    )
+    min_cost = eur.groupBy(F.col("l_partkey").alias("__mk")).agg(
+        F.min("supplycost").alias("__min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        part.join(eur, part.p_partkey == eur.l_partkey)
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("__mk"))
+            & (F.col("supplycost") == F.col("__min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.1 * p_retailprice * l_quantity
+                          AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%rod%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on '%rod%' parts by
+    supplier nation and order year. Exercises a LIKE-filtered dimension
+    driving a 5-table join with an ARITHMETIC-OVER-THREE-TABLES
+    aggregate input (price, discount, retailprice, quantity meet only
+    after the joins). Supplycost proxy: 0.1 × p_retailprice (no
+    partsupp table). Scale: part filtered before its join (LIKE can't
+    push to parquet stats but runs in the scan stage), nation
+    broadcast, profit cast DECIMAL(18,6) pre-sum so partial-agg order
+    can't move the rounded result."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH natps AS (
+      SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,6)) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+    )
+    SELECT l_partkey AS ps_partkey,
+           round(CAST(sum(val) AS DOUBLE), 4) AS value
+    FROM natps
+    GROUP BY l_partkey
+    HAVING CAST(sum(val) AS DOUBLE)
+         > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM natps)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose one-nation inventory
+    value exceeds a FRACTION OF THE GLOBAL TOTAL — a HAVING clause
+    against an uncorrelated scalar aggregate of the SAME derived
+    relation. Value proxy: extendedprice of the nation's lineitems (no
+    partsupp). Scale plan: `natps` is derived once; the per-part agg
+    and the global one-row agg both read it (exchange reuse), the
+    global total broadcasts as a 1-row cross join, and the threshold
+    compare is a cheap post-agg filter. Decimal sums exact → double
+    conversion deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    natps = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
+        "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("val")
+    )
+    per_part = natps.groupBy("l_partkey").agg(F.sum("val").alias("part_val"))
+    total = natps.agg(
+        (F.sum("val").cast("double") * 0.001).alias("__threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_val").cast("double") > F.col("__threshold"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("part_val").cast("double"), 4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): histogram of customers
+    by order count, INCLUDING zero-order customers — the
+    outer-join-then-double-aggregate pattern. The non-key predicate
+    lives IN the join condition (not a WHERE), which is the semantic
+    crux: filtering after the outer join would delete the NULL rows
+    that represent zero-order customers. Priority filter proxies the
+    reference's comment NOT LIKE (no o_comment column). Scale: one
+    outer-join shuffle on custkey, first agg rides the same
+    partitioning (no second exchange), second agg shuffles |distinct
+    counts| rows only."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue equals the maximum — a derived CTE consumed TWICE (per-key
+    rows and its own global max), the view-reuse pattern the reference
+    states as a named view. Decimal revenue end-to-end so the equality
+    against the max is exact (no double ulps at the boundary). Scale:
+    `revenue` is one partial-agg shuffle over the quarter's lineitems;
+    the max is a 1-row broadcast back onto it (exchange reuse, no
+    second scan of lineitem); supplier joins last."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("decimal(28,6)").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("__max_rev")
+        )
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part-supplier relationship count): how many distinct
+    suppliers serve each qualifying (brand, type, size), excluding a
+    blacklist — DISTINCT-pair derivation, negated IN-list dimension
+    filters, a NOT IN anti join, and COUNT(DISTINCT) in one plan.
+    Blacklist proxy: s_acctbal < 1000 (no s_comment column;
+    '%Complaints%' in the reference spec). Scale: the distinct-pair agg
+    is the only lineitem shuffle; part's three filters prune its scan
+    before the join; NOT IN compiles to a null-aware anti join against
+    a broadcast-sized blacklist; count-distinct expands then
+    re-aggregates on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49))
+    )
+    blacklist = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    return (
+        ps.join(blacklist, ps.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                 AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#11' AND p_size = 5
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from orders
+    below 20% of a part's mean order quantity — the CORRELATED SCALAR
+    AVG subquery, decorrelated as a per-part aggregate of the SAME
+    lineitem relation joined back on partkey. Size filter proxies the
+    reference's container predicate. Determinism note: l_quantity
+    values are integral doubles, so the per-part sum is exact at any
+    accumulation order and avg/0.2× compare identically on both
+    engines. Scale: the per-part avg shuffles |parts| rows; the
+    filtered-part dim broadcasts twice (probe + avg side prune is NOT
+    applied to the avg — the mean must be over ALL the part's lines,
+    matching the spec)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") == 5)
+    ).select("p_partkey")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("__ak")).agg(
+        (0.2 * F.avg("l_quantity")).alias("__qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("__ak"))
+        .filter(F.col("l_quantity") < F.col("__qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    recent AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS DOUBLE) AS recent_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate <  TIMESTAMP '2001-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM ps JOIN recent
+          ON ps.l_partkey = recent.l_partkey
+         AND ps.l_suppkey = recent.l_suppkey
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+          )
+          AND ps.total_qty > 2.0 * recent.recent_qty
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    holding a surplus of 'blue%' parts — NESTED IN-subqueries three
+    levels deep, each decorrelating to a semi join, with a
+    derived-vs-derived quantity comparison in the middle. Surplus
+    proxy: all-time supplied qty > 2× the last year's shipped qty (no
+    ps_availqty column; same available-vs-demanded shape). Scale: both
+    quantity relations aggregate lineitem down to |part×supp| before
+    joining each other (co-partitioned on the same keys — ONE exchange
+    pair, no raw-row join), the part name filter semi-joins as a
+    broadcast, and the surviving suppkey set semi-joins into the
+    nation-filtered supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    recent = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("__rk"), F.col("l_suppkey").alias("__rs")
+        )
+        .agg(F.sum("l_quantity").alias("recent_qty"))
+    )
+    blue = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    surplus_supps = (
+        ps.join(blue, ps.l_partkey == blue.p_partkey, "left_semi")
+        .join(
+            recent,
+            (ps.l_partkey == F.col("__rk")) & (ps.l_suppkey == F.col("__rs")),
+        )
+        .filter(F.col("total_qty") > 2.0 * F.col("recent_qty"))
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(surplus_supps, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS totacctbal
+    FROM (
+      SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+        )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers who
+    never placed an URGENT order, grouped by country code — an uncorrelated scalar AVG
+    threshold plus a correlated NOT EXISTS, decorrelated to a 1-row
+    broadcast filter and a LEFT ANTI join. Country code proxy:
+    c_nationkey % 5 (no c_phone column to substring). Scale: the avg is
+    one 1-row agg broadcast into the customer scan's filter; the anti
+    join shuffles on custkey only for customers above threshold
+    (filter-before-join ordering matters at 100 TB: the anti probe side
+    is pre-shrunk)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
