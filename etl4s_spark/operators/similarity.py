@@ -855,3 +855,86 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "approx_cos", "rn")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop rows that have a ≥-threshold cosine
+    near-duplicate WITHIN their cluster, keeping the lowest-id
+    representative of each duplicate group (the paper found the choice
+    of representative — low/high/random — barely matters; lowest-id is
+    the deterministic one). Returns (id, cell, keep): callers filter
+    ``keep`` or join back for the surviving corpus.
+
+    Structure per 100 TB scale rules:
+    - centroids travel as the one-row broadcast matrix
+      (centroid_matrix_frame) — constant plan size in k × dim, the r1
+      IVF lesson; if ``centroids`` is None they are the deterministic
+      xxhash64 sample (ivf_centroids), k × dim driver-side model params.
+    - assignment is the same zero-shuffle rank_cells expression IVF uses
+      (ties → lowest cell id).
+    - the pair stage equi-joins the assigned relation to itself ON THE
+      CELL KEY — one shuffle each side, O(Σ cell_size²) work bounded by
+      the quantizer: k is the scale knob (SemDeDup at web scale runs
+      k ≈ 10⁴-10⁵ so clusters stay ~10³-10⁴ rows; same posture as
+      max_bucket_size on the LSH funnels).
+    - the keep rule is a distinct-then-anti-join on the duplicate ids —
+      no window, no collect.
+
+    Unlike the reference DSL (closure combinators only,
+    src-3/Etl4s.scala) this is engine surface; cosine/round(6) semantics
+    match embedding_neardup_pairs so the two dedup tiers agree."""
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_cells=n_clusters)
+    spark = df.sparkSession
+    cmat = centroid_matrix_frame(spark, centroids)
+    assigned = (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(cmat))
+        .select(
+            "id",
+            "__v",
+            F.element_at(rank_cells(F.col("__v")), 1).alias("cell"),
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    a = assigned.select(
+        F.col("cell").alias("__ca"),
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("__cb"),
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.id == F.col("__dup_id"), "left_outer")
+        .select("id", "cell", F.col("__dup_id").isNull().alias("keep"))
+    )

@@ -30,6 +30,7 @@ from etl4s_spark.operators.similarity import (
     l2_norm,
     lsh_bucketed_topk,
     pq_topk,
+    semdedup,
 )
 from etl4s_spark.operators.text import (
     STOPWORDS,
@@ -1125,4 +1126,65 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_size", F.count(F.lit(1)).over(Window.partitionBy("shard")))
         .select("doc_id", "shard", F.col("shard_size").cast("long").alias("shard_size"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_semdedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT e.vec_id,
+             (SELECT c.cell FROM cents c
+              ORDER BY list_inner_product(e.v, c.cv) DESC, c.cell ASC
+              LIMIT 1)                            AS cell,
+             e.v,
+             sqrt(list_inner_product(e.v, e.v))   AS n
+      FROM e
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup, operators/similarity.py
+    semdedup): quantize the embedding space, drop rows with a
+    ≥-threshold cosine twin inside their cluster, keep the lowest-id
+    representative. Oracle-gated END-TO-END — centroids here are the
+    first k rows by vec_id (a deterministic, SQL-expressible init;
+    production keeps the hash-sample default), so DuckDB mirrors
+    cluster assignment (argmax dot, lowest-cell ties), the
+    within-cluster pair scan, and the keep rule exactly: both engines
+    fold the same double-cast floats. The pair stage is the operator's
+    one quadratic risk — bounded per cluster, k is the scale knob (see
+    semdedup docstring)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in e.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    return (
+        semdedup(e, "vec_id", "embedding", centroids=cents, threshold=0.4)
+        .select(F.col("id").alias("vec_id"), "cell", "keep")
+        .orderBy("vec_id")
     )

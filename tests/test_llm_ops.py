@@ -708,3 +708,33 @@ def test_stratified_sample_respects_per_stratum_fractions(spark, sf_dir):
     counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(counts.values()) == total
     assert counts.get("train", 0) > counts.get("val", 0) >= 0
+
+
+def test_semdedup_drops_planted_twins_keeps_lowest_id(spark, sf_dir):
+    from etl4s_spark.operators.similarity import semdedup
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant semantic twins: id+1000 carries the same vector scaled x2 —
+    # cosine 1.0 and the same nearest centroid (argmax dot is NOT
+    # scale-invariant in general, but x2 scaling preserves the argmax
+    # ordering of dot products), so semdedup MUST drop every twin and
+    # keep the lower-id original.
+    dup = e.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(dup)
+    out = semdedup(corpus, "vec_id", "embedding", n_clusters=8, threshold=0.99)
+    rows = {r.id: (r.cell, r.keep) for r in out.collect()}
+    n = e.count()
+    assert len(rows) == 2 * n
+    for i in range(n):
+        assert rows[i + 1000][0] == rows[i][0], "twin assigned to another cell"
+        assert not rows[i + 1000][1], f"twin {i + 1000} not dropped"
+        assert rows[i][1], f"original {i} should be kept"
+    # determinism: a second run yields the identical keep set
+    out2 = semdedup(corpus, "vec_id", "embedding", n_clusters=8, threshold=0.99)
+    assert {(r.id, r.cell, r.keep) for r in out2.collect()} == {
+        (i, c, k) for i, (c, k) in rows.items()
+    }
