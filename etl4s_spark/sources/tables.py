@@ -41,20 +41,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy conf,
-    then floor-truncate to microseconds — identical to how DuckDB's reader
-    truncates ns → µs, so oracle comparisons agree exactly."""
+    """Adapt events.ts to a plain session-local TIMESTAMP regardless of how
+    the generator stored it. Two physical encodings exist across testdata
+    generations: parquet TIMESTAMP(NANOS) (Spark 4 rejects it by default, so
+    we read nanos-as-long and floor-truncate to µs, matching DuckDB's ns→µs
+    truncation) and plain TIMESTAMP(MICROS) (read through as-is, cast
+    NTZ→TIMESTAMP — identity under the UTC session zone forced above)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integral `div`, NOT `/`: float division of ~1.7e18 nanos loses the
-    # last microsecond digit (double ulp > 0.5 at that magnitude)
-    ts_micros = F.timestamp_micros(F.expr("ts div 1000"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integral `div`, NOT `/`: float division of ~1.7e18 nanos loses the
+        # last microsecond digit (double ulp > 0.5 at that magnitude)
+        ts_col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_col = F.col("ts").cast(T.TimestampType())
     return df.select(
         "event_id",
-        ts_micros.alias("ts"),
+        ts_col.alias("ts"),
         "user_id",
         "event_type",
         "value",
