@@ -728,6 +728,7 @@ def pq_topk(
     sweeps: int = 1,
     rerank_factor: int = 4,
     query_id_col: str | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance computation (ADC)
     with exact re-rank — the production PQ recipe: the corpus is
@@ -747,34 +748,55 @@ def pq_topk(
     only read for the shortlist — the defining property that makes PQ
     the path when the INDEX must fit in memory at 100 TB. Vectors are
     L2-normalized so approx squared distance d² ranks like cosine
-    (cos ≈ 1 − d²/2, reported as ``approx_cos``)."""
+    (cos ≈ 1 − d²/2, reported as ``approx_cos``).
+
+    TRAIN/SERVE SPLIT: pass pre-trained ``codebooks`` (from
+    ``pq_train``) to skip the Lloyd sweeps entirely — the production
+    posture, where the quantizer is a training artifact and the query
+    path only encodes + scans (at 100 TB you also persist the encoded
+    codes; here the encode is a zero-shuffle projection of the scan).
+    When ``codebooks`` is None the quantizer is trained inline
+    (m_subspaces/n_codes/seed/sweeps) — the self-contained demo path."""
     query_id_col = query_id_col or id_col
+    if codebooks is not None:
+        m_subspaces, n_codes = len(codebooks), len(codebooks[0])
     sub = dim // m_subspaces
     if sub * m_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     spark = corpus.sparkSession
-    # ONE persisted exploded-elements frame feeds both the Lloyd sweeps
-    # and the final encode — elements don't depend on the codebooks, so
-    # recomputing the scan+explode per stage is pure waste (at scale the
-    # persist is a re-read guard; locally it halved the query).
-    el = _pq_elements(corpus, id_col, vec_col, sub).persist()
-    try:
-        books = _pq_seed_books(
-            corpus, id_col, vec_col, dim, m_subspaces, n_codes, seed
-        )
-        if sweeps:
-            books = _pq_refine(el, spark, books, sweeps)
+    if codebooks is not None:
+        books = codebooks
         cb = pq_codebook_frame(spark, books)
-        coded = (
-            _pq_encode_elements(el, spark, books)
-            .withColumnRenamed("id", "neighbor_id")
-            # materialize the M-byte codes OFF the persisted elements
-            # before el is unpersisted below: localCheckpoint cuts the
-            # lineage so downstream topk stages scan codes, not vectors
-            .localCheckpoint(eager=True)
+        # serve path: elements feed exactly one consumer (the encode), so
+        # no persist/checkpoint barrier — the codes projection pipelines
+        # straight out of the corpus scan
+        coded = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+            "id", "neighbor_id"
         )
-    finally:
-        el.unpersist()
+    else:
+        # ONE persisted exploded-elements frame feeds both the Lloyd
+        # sweeps and the final encode — elements don't depend on the
+        # codebooks, so recomputing the scan+explode per stage is pure
+        # waste (at scale the persist is a re-read guard; locally it
+        # halved the query).
+        el = _pq_elements(corpus, id_col, vec_col, sub).persist()
+        try:
+            books = _pq_seed_books(
+                corpus, id_col, vec_col, dim, m_subspaces, n_codes, seed
+            )
+            if sweeps:
+                books = _pq_refine(el, spark, books, sweeps)
+            cb = pq_codebook_frame(spark, books)
+            coded = (
+                _pq_encode_elements(el, spark, books)
+                .withColumnRenamed("id", "neighbor_id")
+                # materialize the M-byte codes OFF the persisted elements
+                # before el is unpersisted below: localCheckpoint cuts the
+                # lineage so downstream topk stages scan codes, not vectors
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            el.unpersist()
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),

@@ -76,6 +76,35 @@ def _driver_last_proven() -> dict[str, int]:
     return last
 
 
+# Queries whose most recent driver proof predates a repair that changed
+# their behavior — forced to the front of the registration order so the
+# driver's ~50-query window re-proves them in the next round, then removed
+# once green rows land. Currently: the 18 events-dependent queries broken
+# by the r3→r4 testdata dtype change and repaired by the _load_events fix.
+_REPROVE_FIRST = frozenset(
+    {
+        "q_join_asof",
+        "q_join_asof_tolerance",
+        "q_join_range_bucket",
+        "q_json_quarantine",
+        "q_scalar_json",
+        "q_scalar_map",
+        "q_rollup_hierarchy",
+        "q_window_tumbling_batch",
+        "q_window_sliding_batch",
+        "q_window_session_batch",
+        "q_stream_tumbling_replay",
+        "q_stream_watermark_replay",
+        "q_stream_session_replay",
+        "q_stream_join_replay",
+        "q_stream_dedup_replay",
+        "q_stream_sliding_replay",
+        "q_stream_state_replay",
+        "q_stream_sink_replay",
+    }
+)
+
+
 def load_all() -> None:
     """Import every query module (side effect: registration), then reorder
     the registry so driver-unproven queries register first."""
@@ -99,9 +128,13 @@ def load_all() -> None:
     )
 
     last_proven = _driver_last_proven()
-    # stable sort: never-proven (0) first, then oldest-proven rounds —
-    # r1-proven queries re-enter the driver window before r2-proven ones
-    ordered = sorted(QUERIES, key=lambda n: (last_proven.get(n, 0),))
+    # stable sort: repaired-this-round first (their past proof predates the
+    # repair, so the driver must re-prove them NOW — VERDICT r3 item 2),
+    # then never-proven (0), then oldest-proven rounds — r1-proven queries
+    # re-enter the driver window before r2-proven ones
+    ordered = sorted(
+        QUERIES, key=lambda n: (n not in _REPROVE_FIRST, last_proven.get(n, 0))
+    )
     # mutate in place — callers hold references to these dict objects
     reordered_q = {n: QUERIES[n] for n in ordered}
     reordered_o = {n: ORACLES[n] for n in ordered if n in ORACLES}

@@ -423,6 +423,21 @@ def test_pq_topk_recall_determinism_and_exact_dup(spark, sf_dir):
     assert hits[0].neighbor_id == 99999 and hits[0].approx_cos == 1.0
 
 
+def test_pq_train_serve_split_identical(spark, sf_dir):
+    """pq_topk(codebooks=pq_train(...)) — the production train/serve
+    split — returns byte-identical results to the inline-train path:
+    same deterministic seed, same sweeps, no retraining at serve time."""
+    from etl4s_spark.operators.similarity import pq_topk, pq_train
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    inline = pq_topk(e, q, "vec_id", "embedding", 64, k=5).collect()
+    books = pq_train(e, "vec_id", "embedding", 64, m_subspaces=16, n_codes=64, sweeps=1)
+    served = pq_topk(e, q, "vec_id", "embedding", 64, k=5, codebooks=books).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, served))
+
+
 def test_range_bucket_join_matches_naive(spark):
     """Bucketed range join ≡ naive range join on random intervals and
     points, each true pair proposed exactly once (no dedup needed),
