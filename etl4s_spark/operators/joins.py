@@ -225,5 +225,12 @@ def salted_join(
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    out = l_salted.join(r_salted, on=[*on, "__salt"], how=how)
+    # Pin a SHUFFLE_HASH join (build = the replicated right). Left to its
+    # stats Catalyst may instead BROADCAST the replicated side — a plan
+    # where salting is pure overhead (a broadcast join has no shuffle and
+    # thus no partition skew; building a salt_buckets× hashed relation per
+    # executor just burns memory and build time, measured 3.6× slower on
+    # the driver gate). The hinted plan shuffles both sides on
+    # (keys, salt) — the distribution the operator exists to create.
+    out = l_salted.join(r_salted.hint("shuffle_hash"), on=[*on, "__salt"], how=how)
     return out.drop("__salt")

@@ -120,6 +120,7 @@ def load_all() -> None:
         scans,
         setops,
         sorts,
+        sources_api,
         sql_entry,
         streaming_batch,
         tpch,
