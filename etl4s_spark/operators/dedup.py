@@ -48,6 +48,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    history_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Delta-vs-corpus dedup — the daily-ingest posture at 100 TB: a new
+    batch is deduplicated against the ACCUMULATED corpus without ever
+    re-scanning it, by anti-joining the batch's content fingerprints
+    against the corpus' persisted fingerprint INDEX (id-free md5 column —
+    a fraction of corpus bytes; at scale you store it bucketed by
+    fingerprint so this join is Exchange-free on the index side).
+
+    Two rules compose: (1) in-batch first-wins — lowest ``id_col`` per
+    fingerprint survives (same deterministic row_number rule as
+    ``exact_dedup``); (2) history-wins — any fingerprint already in
+    ``history`` drops. Both stages key on the fingerprint, so the
+    anti-join REUSES the window's hash partitioning: one shuffle total
+    for the batch side.
+
+    Returns the surviving batch rows plus their ``fingerprint`` column —
+    callers append exactly that column to the index, keeping the next
+    increment's input consistent."""
+    fp = fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    firsts = (
+        batch.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    hist = history.select(F.col(history_fp_col).alias("fingerprint")).distinct()
+    return firsts.join(hist, "fingerprint", "left_anti")
+
+
 def minhash_signature(sh: Column, num_perm: int = 64) -> Column:
     """MinHash signature (array<bigint>, length num_perm) of a
     MATERIALIZED shingle-array column.

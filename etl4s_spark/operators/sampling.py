@@ -106,6 +106,63 @@ def token_budget_sample(
     )
 
 
+def temperature_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual /
+    multi-domain rebalancing rule, e.g. mC4/XLM-R): stratum s gets a
+    share p_s ∝ (tokens_s)^alpha of ``total_budget`` tokens, so
+    alpha < 1 UPWEIGHTS tail strata relative to their natural size and
+    alpha = 1 reduces to proportional (no-op) mixing. fraction_s =
+    min(1, budget_s / tokens_s), then the zero-shuffle content-addressed
+    stratified filter selects rows.
+
+    Same two-pass structure as ``token_budget_sample``: pass 1 collects
+    #strata token totals (model parameters, not data); pass 2 is a pure
+    filter — deterministic, retry-stable, engine-reproducible.
+
+    Cross-engine determinism of the FRACTIONS: totals are summed in
+    sorted-stratum order and each fraction is floor-quantized to 1e-6
+    before thresholding, so a last-ulp divergence in another engine's
+    pow()/sum order cannot flip a row across the hash threshold. With
+    the default alpha=0.5 the weight is sqrt — correctly rounded in
+    IEEE 754, hence bit-identical everywhere."""
+    import math
+
+    from etl4s_spark.operators.text import TOKEN_REGEX
+
+    totals = {
+        r[0]: r[1] or 0
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))).alias("t"))
+        .collect()
+    }
+    strata = sorted(totals)
+    weights = {s: float(totals[s]) ** alpha if totals[s] else 0.0 for s in strata}
+    z = 0.0
+    for s in strata:  # fixed accumulation order (see docstring)
+        z += weights[s]
+    fractions: dict[str, float] = {}
+    for s in strata:
+        t = totals[s]
+        if not t:
+            # zero-token stratum with a positive overall budget: nothing
+            # to spend budget on, keep it whole (token_budget_sample rule)
+            fractions[s] = 1.0 if total_budget > 0 else 0.0
+            continue
+        raw = (total_budget * (weights[s] / z)) / t if z else 0.0
+        fractions[s] = 1.0 if raw >= 1.0 else math.floor(raw * 1_000_000) / 1_000_000
+    return stratified_sample(
+        df, id_col, stratum_col, fractions, default_fraction=0.0, seed=seed
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

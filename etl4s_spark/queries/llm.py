@@ -1210,3 +1210,166 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "cell", "keep")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0
+    ), batch AS (
+      SELECT doc_id, source, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % 3 <> 0
+    )
+    SELECT b.doc_id, b.source, b.fingerprint
+    FROM batch b
+    WHERE b.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
+    ORDER BY b.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus dedup (operators/dedup.py incremental_dedup) —
+    the daily-ingest posture: the new batch (docs with doc_id % 3 != 0)
+    dedups in-batch first-wins, then anti-joins the accumulated corpus'
+    fingerprint index (docs with doc_id % 3 == 0 stand in for history).
+    The corpus itself is never re-scanned; both stages key on the
+    fingerprint so the anti-join reuses the window's partitioning — one
+    batch-side shuffle total."""
+    from etl4s_spark.operators.dedup import incremental_dedup
+    from etl4s_spark.operators.text import fingerprint_md5
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return (
+        incremental_dedup(batch, history, "doc_id", "text")
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(sum(nt) AS DOUBLE) AS tt FROM tok GROUP BY source
+    ), z AS (
+      SELECT sum(sqrt(tt)) AS z FROM totals
+    ), fr AS (
+      SELECT source,
+             CASE WHEN (20000 * (sqrt(tt) / z.z)) / tt >= 1.0 THEN 1.0
+                  ELSE floor(((20000 * (sqrt(tt) / z.z)) / tt) * 1000000) / 1000000
+             END AS frac
+      FROM totals, z
+    ), thr AS (
+      SELECT source,
+             CASE WHEN frac >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(frac * 4294967296) AS BIGINT))), 8, '0')
+             END AS th
+      FROM fr
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+    ORDER BY d.doc_id
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture (operators/sampling.py
+    temperature_budget_sample, alpha=0.5): each source's share of the
+    20k-token budget is ∝ sqrt(its token count) — the mC4/XLM-R
+    rebalancing rule that upweights tail domains. alpha=0.5 makes the
+    weight correctly-rounded IEEE sqrt and the 1e-6 floor-quantization
+    of fractions absorbs sum-order ulp, so the oracle re-derives the
+    exact same thresholds in SQL."""
+    from etl4s_spark.operators.sampling import temperature_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = temperature_budget_sample(
+        d, "doc_id", "text", "source", total_budget=20000, alpha=0.5
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE doc_id < 300
+    ), chunks AS (
+      SELECT doc_id, i - 1 AS idx,
+             array_to_string(w[((i - 1) * 10 + 1):((i - 1) * 10 + 10)], ' ') AS chunk
+      FROM docs, unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ), ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS INT)          AS n_kept,
+           CAST(count(*) AS INT)                                AS n_chunks,
+           coalesce(array_to_string(list(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' '),
+                    '')                                         AS rebuilt
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) dedup, C4-style: every doc splits into
+    consecutive 10-word chunks, a chunk survives only at its FIRST
+    corpus occurrence (ordered by doc_id, then position), and docs are
+    rebuilt from their surviving chunks in order. All built-ins:
+    slice/posexplode fan out, one window on the chunk text dedups, an
+    ordered collect_list reassembles — the shuffles key on chunk text
+    and doc_id, both well-distributed at 100 TB (no whole-doc
+    comparison anywhere)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    chunks = (
+        d.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size("__w") / F.lit(10.0)).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("__w"), i * 10 + 1, 10), " "),
+                )
+            ).alias("idx", "chunk"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("rn") == 1, 1)).cast("int").alias("n_kept"),
+            F.count("*").cast("int").alias("n_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt"),
+        )
+        .orderBy("doc_id")
+    )

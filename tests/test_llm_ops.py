@@ -753,3 +753,66 @@ def test_semdedup_drops_planted_twins_keeps_lowest_id(spark, sf_dir):
     assert {(r.id, r.cell, r.keep) for r in out2.collect()} == {
         (i, c, k) for i, (c, k) in rows.items()
     }
+
+
+def test_incremental_dedup_semantics(spark):
+    """In-batch first-wins + history-wins, and the returned fingerprint
+    column matches what the history index stores."""
+    from etl4s_spark.operators.dedup import incremental_dedup
+    from etl4s_spark.operators.text import fingerprint_md5
+
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),      # in-batch dup of 1 -> drops
+            (3, "gamma delta"),     # already in history -> drops
+            (4, "fresh text"),
+        ],
+        "id long, text string",
+    )
+    history = spark.createDataFrame([("gamma delta!",)], "text string").select(
+        fingerprint_md5(F.col("text")).alias("fingerprint")
+    )  # punctuation normalizes away -> same fingerprint as doc 3
+    out = incremental_dedup(batch, history, "id", "text").collect()
+    assert sorted(r.id for r in out) == [1, 4]
+    # fingerprints are the exact_dedup md5 -> appendable to the index
+    fps = {r.id: r.fingerprint for r in out}
+    expect = {
+        r.id: r.fp
+        for r in batch.select(
+            "id", fingerprint_md5(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps == {1: expect[1], 4: expect[4]}
+
+
+def test_temperature_sampling_upweights_tail(spark):
+    """alpha=0.5 gives the small stratum a LARGER sampled fraction than
+    proportional (alpha=1) mixing at the same total budget, is
+    deterministic across runs, and alpha=1 spends the budget ~evenly per
+    token (proportional)."""
+    from etl4s_spark.operators.sampling import temperature_budget_sample
+
+    rows = [(i, "word " * 50, "big") for i in range(400)] + [
+        (1000 + i, "word " * 50, "small") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, source string")
+
+    def kept_frac(alpha):
+        out = temperature_budget_sample(
+            df, "id", "text", "source", total_budget=4000, alpha=alpha
+        )
+        counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        return counts.get("big", 0) / 400, counts.get("small", 0) / 40
+
+    big_t, small_t = kept_frac(0.5)
+    big_p, small_p = kept_frac(1.0)
+    # temperature shifts share toward the tail stratum
+    assert small_t > big_t
+    assert small_t > small_p
+    # proportional mixing keeps per-token fractions ~equal across strata
+    assert abs(big_p - small_p) < 0.15
+    # determinism: identical row set on a second run
+    a = temperature_budget_sample(df, "id", "text", "source", 4000, alpha=0.5)
+    b = temperature_budget_sample(df, "id", "text", "source", 4000, alpha=0.5)
+    assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
