@@ -1373,3 +1373,32 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("q_multimodal_features")  # mapInPandas feature extraction — rows-only;
+# decoder determinism + batch plumbing covered in tests/test_llm_ops.py
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature extraction
+    (operators/multimodal.py extract_features): binary payloads →
+    fixed-schema (n_bytes, sha256, feature vector) via ONE mapInPandas —
+    payload bytes cross the JVM/Python boundary exactly once per batch.
+    The feature vector is Python-side (real luma-histogram decode for
+    raster mimes, deterministic stub for codec mimes this container
+    lacks), so no SQL oracle exists; scalar metadata columns are
+    oracle-covered by q_multimodal_binary, and the decoder seam +
+    determinism are pytest floors. Emitted as (id, n_bytes, sha prefix,
+    rounded feature checksum) — a compact, deterministic projection."""
+    from etl4s_spark.operators.multimodal import attach_fake_payload, extract_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = attach_fake_payload(d, "doc_id", "text")
+    feats = extract_features(media, feature_dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.substring("content_sha", 1, 16).alias("sha_prefix"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("media_id")

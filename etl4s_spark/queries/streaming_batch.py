@@ -874,3 +874,100 @@ def q_window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_stream_upsert_replay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT * FROM events WHERE event_id < 20000
+    ), counts AS (
+      SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+    ), last AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT c.user_id, c.n_events,
+           round(l.value, 4)            AS last_value,
+           strftime(l.ts, '{_DUCK_FMT}') AS last_ts
+    FROM counts c JOIN last l ON c.user_id = l.user_id AND l.rn = 1
+    ORDER BY c.user_id
+    """,
+)
+def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED foreachBatch UPSERT (MERGE) sink: each
+    micro-batch merges its per-user aggregate into a keyed parquet
+    target — the streaming→warehouse pattern q_stream_sink_replay's
+    append cannot express. The merge is read-target → full-outer-join
+    batch-aggregate → write NEXT VERSION directory (copy-on-write: the
+    poor-engine's MERGE; a lakehouse format does the same thing with
+    metadata instead of directories, and versioned dirs are what makes
+    the batch idempotent on retry — rewriting v{{N}} from v{{N-1}} is a
+    pure function of batch content, never double-applied.)
+
+    The per-user state is (n_events SUM, arg-max-by-(ts,event_id)
+    struct) — both associative, so merging per-batch partials MUST
+    equal the one-shot batch aggregate the oracle computes. Replays in
+    two micro-batches split mid-stream to prove it."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_upsert_replay_src_")
+    target_base = tempfile.mkdtemp(prefix="etl4s_upsert_target_")
+    tbl = ev.select("event_id", "ts", "user_id", "value").toArrow()
+    n = tbl.num_rows
+    step = (n + 1) // 2
+    _stage_replay_files([tbl.slice(0, step), tbl.slice(step, step)], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.select("event_id", "ts", "user_id", "value").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    versions: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "value")).alias("cand"),
+        )
+        if versions:
+            prev = spark.read.parquet(versions[-1])
+            merged = (
+                prev.alias("t")
+                .join(agg.alias("b"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("t.n_events"), F.lit(0))
+                        + F.coalesce(F.col("b.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    # greatest() skips nulls: unmatched rows keep their side
+                    F.greatest(F.col("t.cand"), F.col("b.cand")).alias("cand"),
+                )
+            )
+        else:
+            merged = agg
+        dst = f"{target_base}/v{len(versions)}"
+        merged.write.mode("overwrite").parquet(dst)
+        versions.append(dst)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    return (
+        spark.read.parquet(versions[-1])
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("cand.value"), 4).alias("last_value"),
+            F.date_format(F.col("cand.ts"), _TS_FMT).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
