@@ -222,3 +222,45 @@ def shingles(col: Column, k: int = 3) -> Column:
     inputs/tests; hot paths should materialize words first and use
     shingles_from_words (see its scaling note)."""
     return shingles_from_words(words(col), normalize_text(col), k=k)
+
+
+def unigram_logprob_scores(
+    df, id_col: str, text_col: str, min_count: int = 5
+):
+    """CCNet-style unigram language-model scoring: build the corpus'
+    own unigram table, then score each doc by its mean word
+    log-probability — the cheap stand-in for model perplexity that
+    ranks fluent prose above word soup and boilerplate above neither.
+    Returns (id, n_words, n_oov, avg_logprob ROUNDED to 4).
+
+    Pure dataflow, no driver-side model: the vocabulary IS a DataFrame
+    (words with count >= min_count), the corpus total is a one-row
+    broadcast, and rare/OOV words score the 0.5-count smoothing floor.
+    Shuffle profile at 100 TB: explode → one groupBy on the word (heavy
+    tail but bounded by vocab), one join words⋈vocab on the same key
+    (partitioning reuse), one final groupBy on the id. The rounding
+    absorbs libm ln() last-ulp differences across engines, so the
+    score is oracle-reproducible."""
+    from pyspark.sql import functions as F
+
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w"))
+    total = w.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select("w", F.log(F.col("c") / F.col("N")).alias("lp"))
+    )
+    floor_lp = F.log(F.lit(0.5) / F.col("N"))
+    return (
+        w.join(vocab, "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select("id", "w", F.coalesce(F.col("lp"), floor_lp).alias("lp"), F.col("lp").isNull().alias("oov"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum(F.col("oov").cast("int")).cast("int").alias("n_oov"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

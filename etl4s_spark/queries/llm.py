@@ -1402,3 +1402,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("feature").alias("feature_dim"),
     ).orderBy("media_id")
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w FROM documents
+    ), total AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM w
+    ), vocab AS (
+      SELECT w, ln(count(*) / total.n) AS lp
+      FROM w, total GROUP BY w, total.n HAVING count(*) >= 5
+    )
+    SELECT id,
+           CAST(count(*) AS INTEGER)                         AS n_words,
+           CAST(sum(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_oov,
+           round(avg(coalesce(v.lp, ln(0.5 / total.n))), 4)  AS avg_logprob
+    FROM w LEFT JOIN vocab v USING (w), total
+    GROUP BY id
+    ORDER BY id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (operators/text.py
+    unigram_logprob_scores): the corpus' own word frequencies become a
+    vocabulary DataFrame, docs score their mean word log-probability
+    with a 0.5-count smoothing floor for OOV — the CCNet-style
+    perplexity proxy that needs no model artifact. The oracle mirrors
+    the whole two-level aggregation in SQL; round(4) absorbs libm ln
+    ulp divergence."""
+    from etl4s_spark.operators.text import unigram_logprob_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        unigram_logprob_scores(d, "doc_id", "text", min_count=5)
+        .withColumnRenamed("id", "id")
+        .orderBy("id")
+    )

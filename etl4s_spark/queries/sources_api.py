@@ -38,6 +38,23 @@ def _sink_dir(sf_dir: str, name: str) -> str:
     return f"/tmp/etl4s_spark_sinks/{tag}/{name}"
 
 
+def _drop_table_fully(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS *and* clear its orphaned warehouse directory.
+
+    The catalog is per-session (in-memory by default) but the warehouse
+    directory is on disk: a table written by a PREVIOUS session isn't in
+    this session's catalog, so saveAsTable sees only the leftover
+    location and fails with LOCATION_ALREADY_EXISTS. Every fresh driver
+    run hits this on its second round — so clear both layers."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    loc = os.path.join(wh.path or wh.netloc or "spark-warehouse", table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 @query(
     "q_sink_csv_roundtrip",
     oracle="""
@@ -209,6 +226,8 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    _drop_table_fully(spark, cust_t)
+    _drop_table_fully(spark, ord_t)
     write_bucketed(cust, cust_t, ["c_custkey"], 8, sort_by=["c_custkey"])
     write_bucketed(od, ord_t, ["o_custkey"], 8, sort_by=["o_custkey"])
     c, o = spark.table(cust_t), spark.table(ord_t)
