@@ -971,3 +971,63 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_dedup_wm_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < 20000
+    ORDER BY event_id
+    """,
+)
+def q_stream_dedup_wm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED bounded-state dedup: the same events replay
+    twice through ``dropDuplicatesWithinWatermark`` (streaming/core.py
+    stateful_dedup — the 100 TB variant of q_stream_dedup_replay's
+    plain dropDuplicates, whose per-key state never expires). State for
+    a key lives ONE watermark interval past its event time; the horizon
+    here (30 days) exceeds the slice's 6-day span so the second arrival
+    is guaranteed to hit live state and the output is exactly-once —
+    production sizes the horizon to the source's re-delivery window
+    (e.g. Kafka retention), which is the entire point: state is bounded
+    by horizon × arrival rate, not by corpus cardinality."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl4s_spark.streaming.core import stateful_dedup
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_wmdedup_replay_")
+    tbl = ev.select("event_id", "ts", "user_id", "event_type").toArrow()
+    _stage_replay_files([tbl, tbl], replay_dir)  # duplicates across batches
+
+    stream = (
+        spark.readStream.schema(
+            ev.select("event_id", "ts", "user_id", "event_type").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    deduped = stateful_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="30 days"
+    ).select("event_id", "user_id", "event_type")
+    sink = f"wmdedup_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("event_id")
