@@ -209,3 +209,46 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment = 'BUILDING'
         ORDER BY c_custkey, price DESC, o_orderkey
     """)
+
+
+@query(
+    "q_udtf_python_sentences",
+    oracle="""
+    WITH prepared AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split(replace(text, ' table ', '. '), '.'),
+               p -> trim(p)), p -> p <> '') AS parts
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT)            AS sent_idx,
+           parts[i]                      AS sentence,
+           CAST(length(parts[i]) AS INT) AS n_chars
+    FROM prepared, unnest(generate_series(1, len(parts))) AS t(i)
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def q_udtf_python_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 lateral table function,
+    functions/udfs.py sentence_split_udtf) under the ORACLE gate, not
+    just pytest: deterministic sentence breaks are injected into the
+    corpus (' table ' → '. ') so the UDTF genuinely fans out, and the
+    oracle mirrors its split/trim/drop-empty logic in SQL. The UDTF is
+    row-path Python — the point of the entry is the LATERAL plumbing
+    (per-row table expansion with stable ordinals), not throughput; the
+    equivalent built-in explode stays the hot-path recommendation."""
+    from etl4s_spark.functions.udfs import sentence_split_udtf
+
+    spark.udtf.register("etl4s_sentences", sentence_split_udtf())
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select(
+        "doc_id", F.regexp_replace("text", " table ", ". ").alias("prepared")
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM __udtf_docs d, LATERAL etl4s_sentences(d.prepared) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
