@@ -181,3 +181,32 @@ def train_val_test_split(
         "split",
         F.when(h < t_val, F.lit("val")).when(h < t_test, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    cap: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen in content-hash
+    order — deterministic domain capping (bound any single site/domain's
+    share of the corpus regardless of its raw size). Hash order makes
+    the kept subset a uniform sample of the stratum AND stable across
+    runs/engines/retries; ``id_col`` breaks hash ties totally.
+
+    One shuffle on the stratum; the rank compiles to WindowGroupLimit,
+    which caps each group map-side BEFORE the exchange — the property
+    that makes this safe when one domain is half the corpus (the hot
+    stratum never materializes unbounded in one task's sort)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

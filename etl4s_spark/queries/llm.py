@@ -1448,3 +1448,33 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "id")
         .orderBy("id")
     )
+
+
+@query(
+    "q_sample_group_cap",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    ORDER BY doc_id
+    """,
+)
+def q_sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/sampling.py per_group_cap): every
+    source keeps at most 15 docs, selected in content-hash order — a
+    deterministic uniform subsample per domain that bounds any one
+    domain's corpus share. The rank compiles to WindowGroupLimit (group
+    capped map-side before the shuffle), so a domain with half the
+    corpus never sorts unbounded in one task."""
+    from etl4s_spark.operators.sampling import per_group_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    return per_group_cap(d, "doc_id", "source", cap=15).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")

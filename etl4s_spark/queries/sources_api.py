@@ -271,3 +271,54 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("source")
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                   AS n,
+           count(o_totalprice)                        AS n_with_price,
+           round(sum(coalesce(o_totalprice, 0)), 4)   AS sum_price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: generation 1 of a table is written WITHOUT
+    a column (o_totalprice), generation 2 adds it; mergeSchema unions
+    the file schemas on read and back-fills nulls for gen-1 rows — how
+    a long-lived parquet table absorbs additive schema change without
+    rewriting history. The oracle recreates the same visibility rule
+    (price present only for even orderkeys = gen 2) from the original
+    table. Count/sum over the merged read prove null back-fill exactly.
+
+    Scale note: mergeSchema footer-merges EVERY file's schema — fine
+    per-partition-directory, expensive corpus-wide; production pins the
+    merged schema in a catalog and reads with an explicit schema, which
+    is why the explicit-schema path (scan_csv/scan_json) is the default
+    everywhere else in this repo."""
+    path = _sink_dir(sf_dir, "schema_evolution")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    gen1 = od.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    gen2 = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
