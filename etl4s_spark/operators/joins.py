@@ -59,10 +59,14 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, attach the right row with the
     greatest ``right_ts`` <= ``left_ts`` within the same ``keys``
-    (backward direction, inclusive — DuckDB ``ASOF JOIN`` semantics).
+    (``direction="backward"``, inclusive — DuckDB ``ASOF JOIN``
+    semantics), or the SMALLEST ``right_ts`` >= ``left_ts``
+    (``direction="forward"`` — pandas ``merge_asof`` parity; the same
+    window scans with the sort reversed, so cost is identical).
 
     Implementation (union + window, SURVEY.md §7.4):
       1. Tag right rows side=0 carrying ONE payload struct (ts + value
@@ -81,10 +85,13 @@ def asof_join(
     identical cost profile to a groupBy. No driver collect, no range
     cross-product; skewed keys are handled by AQE skew-split on the
     exchange. ``tolerance`` (a Column interval, e.g. F.expr("INTERVAL 1
-    HOUR")) turns matches older than ``left_ts - tolerance`` into nulls.
+    HOUR")) turns matches farther than ``tolerance`` from ``left_ts``
+    (older for backward, newer for forward) into nulls.
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = list(keys)
     lcols = left.columns
 
@@ -110,10 +117,18 @@ def asof_join(
     )
 
     unioned = right_tagged.unionByName(left_tagged)
+    # forward = the same scan with time reversed: ts DESC puts later rows
+    # first, so the running last() holds the SMALLEST right ts at-or-after
+    # each left row. side stays ASC (right before left at equal ts →
+    # inclusive both directions); payload stays ASC so the greatest value
+    # tuple still wins ties wholesale.
+    ts_order = (
+        F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(
-            F.col("__asof_ts").asc(),
+            ts_order,
             F.col("__asof_side").asc(),
             F.col("__asof_p").asc_nulls_first(),
         )
@@ -126,7 +141,10 @@ def asof_join(
 
     out = filled.filter(F.col("__asof_side") == 1)
     if tolerance is not None:
-        in_window = F.col("__asof_m.__ts") >= (F.col("__asof_ts") - tolerance)
+        if direction == "backward":
+            in_window = F.col("__asof_m.__ts") >= (F.col("__asof_ts") - tolerance)
+        else:
+            in_window = F.col("__asof_m.__ts") <= (F.col("__asof_ts") + tolerance)
         out = out.select("*", F.when(in_window, F.col("__asof_m")).alias("__asof_mt"))
         matched = "__asof_mt"
     else:

@@ -443,3 +443,45 @@ def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("view_id", "click_id")
         .orderBy("view_id", "click_id")
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS purchase_ts,
+           CAST(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS matched_ts,
+           c.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/joins.py asof_join
+    direction="forward" — pandas merge_asof parity): each purchase
+    matched to the user's EARLIEST click at-or-after it ("what did they
+    do next"), proven against DuckDB's native ASOF JOIN with the
+    inequality flipped. Same single-shuffle union+window plan as
+    backward — only the sort direction differs."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="forward",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format("matched_ts", fmt).alias("matched_ts"),
+        F.col("matched_value").alias("matched_value"),
+    ).orderBy("event_id")

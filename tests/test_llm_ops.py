@@ -524,6 +524,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             else:
                 assert r.matched_v == int(exp), (seed, r)
 
+        # forward direction: smallest right_ts >= left_ts, incl. tolerance
+        expected_fwd = pd.merge_asof(
+            left_pd, right_pd, on="ts", by="k", direction="forward", tolerance=50
+        ).set_index("lid")["v"]
+        out_fwd = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            keys=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_values=["v"],
+            tolerance=F.lit(50),
+            direction="forward",
+        ).collect()
+        assert len(out_fwd) == len(left_pd), seed
+        for r in out_fwd:
+            exp = expected_fwd.loc[r.lid]
+            if pd.isna(exp):
+                assert r.matched_v is None, (seed, r)
+            else:
+                assert r.matched_v == int(exp), (seed, r)
+
 
 def test_token_budget_keeps_zero_token_stratum(spark):
     """A stratum whose rows contain zero countable tokens but has a
