@@ -136,3 +136,76 @@ def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    WHERE l_orderkey % 3 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (functions/udfs.py
+    grouped_weighted_avg) under the oracle gate: quantity-weighted mean
+    price per return flag. Spark shuffles on the group key and hands
+    Python one group's Arrow columns at a time; the oracle computes the
+    same sum(x·w)/sum(w) in SQL, so the Arrow round trip itself is what
+    gets verified (round-4 absorbs summation-order ulp). Hot-path
+    equivalent: the pure-SQL form in the oracle — the UDAF entry exists
+    because the surface is contract, and as the template for
+    aggregations that genuinely need Python (model scoring)."""
+    from etl4s_spark.functions.udfs import grouped_weighted_avg
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                grouped_weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_avg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_udf_vectorized_normalize",
+    oracle="""
+    SELECT vec_id,
+           round(embedding[1] /
+                 sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS first_norm,
+           round(embedding[64] /
+                 sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS last_norm
+    FROM embeddings
+    WHERE vec_id < 200
+    ORDER BY vec_id
+    """,
+)
+def q_udf_vectorized_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (functions/udfs.py
+    vec_l2_normalize) under the oracle gate: embeddings L2-normalize
+    per Arrow batch in numpy, and the oracle recomputes the same
+    x/√(Σx²) in SQL — verifying the Arrow float32→float64 widening and
+    the batch round trip, with round-6 absorbing summation-order ulp.
+    First/last components are emitted as scalars (the driver's
+    canonicalizer can't hash array cells)."""
+    from etl4s_spark.functions.udfs import vec_l2_normalize
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return (
+        e.select("vec_id", vec_l2_normalize(F.col("embedding")).alias("nv"))
+        .select(
+            "vec_id",
+            F.round(F.element_at("nv", 1), 6).alias("first_norm"),
+            F.round(F.element_at("nv", 64), 6).alias("last_norm"),
+        )
+        .orderBy("vec_id")
+    )
