@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -58,3 +58,27 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    integer columns — the multi-dimensional clustering layout. Sorting a
+    table by this key before writing makes parquet row-group min/max
+    stats selective on BOTH dimensions at once, so filters on either
+    column (or both) skip row groups — where a plain sort serves only
+    its leading column. This is the layout job you run on a 100 TB fact
+    table queried by (customer, day): ``df.repartitionByRange(N, zkey)
+    .sortWithinPartitions(zkey).write...``.
+
+    Pure codegen'd bit arithmetic (2·bits shift/mask/or terms, no UDF);
+    callers pre-map values onto [0, 2^bits) — rank, epoch-day, or a
+    truncation, whatever preserves the locality they want."""
+    from functools import reduce
+
+    xi = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    yi = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)

@@ -1478,3 +1478,66 @@ def q_sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_cap(d, "doc_id", "source", cap=15).select(
         "doc_id", "source"
     ).orderBy("doc_id")
+
+
+@query(
+    "q_sample_quality_decile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_WORDS_SQL})                                          AS wc,
+             len(list_filter({_WORDS_SQL}, w -> w IN ({_STOP_IN})))
+               / CAST(greatest(len({_WORDS_SQL}), 1) AS DOUBLE)         AS stop_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               / CAST(greatest(length(text), 1) AS DOUBLE)              AS punct_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(least(wc / 50.0, 1.0) * (CASE WHEN wc > 5000 THEN 0.5 ELSE 1.0 END) * 0.4
+                   + least(stop_ratio * 4.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3, 6) AS q
+      FROM t
+    ), ranked AS (
+      SELECT doc_id, q,
+             ntile(10) OVER (ORDER BY q DESC, doc_id) AS decile
+      FROM scored
+    )
+    SELECT doc_id, CAST(decile AS INT) AS decile
+    FROM ranked
+    WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN decile <= 3 THEN 'g'
+               WHEN decile <= 7 THEN '80000000'
+               ELSE '0ccccccc' END
+    ORDER BY doc_id
+    """,
+)
+def q_sample_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-weighted selection: docs rank into quality
+    DECILES (ntile over the quality score, doc_id tie-break for a total
+    order), then each decile keeps a different content-addressed
+    fraction — top 3 deciles whole, middle half, bottom 10% (the
+    keep-some-of-everything rule that preserves distributional coverage
+    while concentrating tokens in high-quality text). One window + a
+    zero-shuffle hash filter; fractions are the standard threshold-hex
+    rule so the oracle reproduces the exact row set."""
+    from etl4s_spark.operators.sampling import sample_hash
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("q"))
+    ranked = scored.select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy(F.col("q").desc(), F.col("doc_id"))).alias(
+            "decile"
+        ),
+    )
+    thr = (
+        F.when(F.col("decile") <= 3, F.lit("g"))
+        .when(F.col("decile") <= 7, F.lit("80000000"))
+        .otherwise(F.lit("0ccccccc"))
+    )
+    return (
+        ranked.filter(sample_hash(F.col("doc_id")) < thr)
+        .select("doc_id", "decile")
+        .orderBy("doc_id")
+    )

@@ -209,3 +209,49 @@ def q_udf_vectorized_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_sort_zorder",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             (o_custkey & 65535)                    AS cx,
+             ((CAST(epoch(o_orderdate) AS BIGINT) // 86400) & 65535) AS cy
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), z AS (
+      SELECT o_orderkey, cx, cy,
+             list_sum(list_transform(generate_series(0, 15),
+               i -> ((cx >> i) & 1) * (1::BIGINT << (2*i))
+                  + ((cy >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS zkey
+      FROM keyed
+    )
+    SELECT o_orderkey, CAST(zkey AS BIGINT) AS zkey
+    FROM z
+    ORDER BY zkey, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/warehouse.py
+    zorder_key): interleave (customer, order-day) bits so a sort by the
+    key co-locates rows close in BOTH dimensions — the layout that makes
+    parquet row-group min/max stats selective for filters on either
+    column (a plain sort serves only its leading column). The key is
+    pure codegen'd bit arithmetic; the oracle recomputes the interleave
+    with the same shifts in SQL. The query returns the first 100 rows in
+    z-order — the exact order a layout job would write them."""
+    from etl4s_spark.operators.warehouse import zorder_key
+
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    day = (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    return (
+        od.select(
+            "o_orderkey",
+            zorder_key(F.col("o_custkey"), day).alias("zkey"),
+        )
+        .orderBy("zkey", "o_orderkey")
+        .limit(100)
+    )
