@@ -557,3 +557,64 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*)                                                        AS n,
+           round(sum(least(greatest(l.l_extendedprice, b.p05), b.p95)), 4) AS winsorized_sum,
+           round(avg(least(greatest(l.l_extendedprice, b.p05), b.p95)), 4) AS winsorized_avg,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.p05
+                          OR l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                           AS n_clipped
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (robust-stats cleaning): clip values to
+    their group's [p5, p95] band before aggregating — the standard
+    defense against heavy-tail outliers poisoning a mean. EXACT
+    interpolated percentiles (F.percentile ≡ DuckDB quantile_cont, same
+    linear-interpolation definition) computed per group in one pass,
+    broadcast back, clipped with least/greatest — two shuffles total
+    (percentile agg + final agg), both on the same low-cardinality key.
+    At 100 TB swap F.percentile for approx_percentile and re-verify
+    bounds-only — the plan shape is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+        (
+            (F.col("l_extendedprice") < F.col("p05"))
+            | (F.col("l_extendedprice") > F.col("p95"))
+        )
+        .cast("long")
+        .alias("clip"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("w"), 4).alias("winsorized_sum"),
+            F.round(F.avg("w"), 4).alias("winsorized_avg"),
+            F.sum("clip").alias("n_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1541,3 +1541,57 @@ def q_sample_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "decile")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_er_blocking",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part WHERE p_partkey < 2000
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, blocking + verify — the scalable fuzzy-match
+    shape: candidate pairs are proposed by an equi-join on a BLOCKING
+    KEY (first name token — cheap, high-recall for near-identical
+    names), then verified with exact Levenshtein distance; the corpus
+    is never cross-joined. Same two-tier propose/verify posture as the
+    dedup funnel, with edit distance as the verifier. One shuffle per
+    side on the block key; block-size skew is the scale knob (cap or
+    sub-block hot keys, exactly like max_bucket_size on the LSH
+    funnel). Spark's levenshtein ≡ DuckDB's (classic Wagner-Fischer),
+    so the oracle reproduces distances exactly."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 2000)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("na"), F.col("nb")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+        .orderBy("id_a", "id_b")
+    )
