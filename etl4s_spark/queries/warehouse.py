@@ -255,3 +255,124 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q_audit_integrity",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'order_without_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_without_nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier_without_nation',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY check_name
+    """,
+)
+def q_audit_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the standing warehouse health
+    check: orphan counts for every FK edge of the star schema, each an
+    anti join (left_anti stops at first match, no fan-out; dimension
+    sides broadcast). Four independent anti joins union into one
+    4-row report — at 100 TB each is one shuffle-free broadcast probe
+    or one shuffle on the FK, and the checks share nothing so they
+    parallelize as sibling stages of a single action."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    checks = [
+        check(
+            "lineitem_without_order",
+            li.join(od.select("o_orderkey"), li.l_orderkey == od.o_orderkey, "left_anti"),
+        ),
+        check(
+            "order_without_customer",
+            od.join(cust.select("c_custkey"), od.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        check(
+            "customer_without_nation",
+            cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_anti"),
+        ),
+        check(
+            "supplier_without_nation",
+            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey, "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+@query(
+    "q_audit_profile",
+    oracle="""
+    SELECT 'c_acctbal' AS col_name,
+           (SELECT count(*) FROM customer)                                  AS n_rows,
+           (SELECT count(c_acctbal) FROM customer)                          AS n_non_null,
+           (SELECT count(DISTINCT c_acctbal) FROM customer)                 AS n_distinct,
+           (SELECT round(min(c_acctbal), 4) FROM customer)                  AS min_val,
+           (SELECT round(max(c_acctbal), 4) FROM customer)                  AS max_val
+    UNION ALL
+    SELECT 'o_totalprice',
+           (SELECT count(*) FROM orders),
+           (SELECT count(o_totalprice) FROM orders),
+           (SELECT count(DISTINCT o_totalprice) FROM orders),
+           (SELECT round(min(o_totalprice), 4) FROM orders),
+           (SELECT round(max(o_totalprice), 4) FROM orders)
+    UNION ALL
+    SELECT 'l_quantity',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(l_quantity) FROM lineitem),
+           (SELECT count(DISTINCT l_quantity) FROM lineitem),
+           (SELECT round(min(l_quantity), 4) FROM lineitem),
+           (SELECT round(max(l_quantity), 4) FROM lineitem)
+    ORDER BY col_name
+    """,
+)
+def q_audit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality summary every ingest emits:
+    row/non-null/distinct counts and min/max per profiled column, one
+    row per column. Each table profiles in a SINGLE pass (all stats in
+    one aggregate over the scan; count(DISTINCT) expands the plan, but
+    one Expand per table beats one job per stat by the width of the
+    table). At 100 TB swap exact distinct for approx_count_distinct and
+    this runs as cheaply as a row count."""
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 4).alias("min_val"),
+            F.round(F.max(col), 4).alias("max_val"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        profile(cust, "c_acctbal")
+        .unionByName(profile(od, "o_totalprice"))
+        .unionByName(profile(li, "l_quantity"))
+    )
+    return out.orderBy("col_name")
