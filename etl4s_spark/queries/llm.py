@@ -1595,3 +1595,59 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 12)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_sample_negatives",
+    oracle="""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY substr(md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+                                   CAST(c.vec_id AS VARCHAR)), 1, 16), c.vec_id
+             ) AS rn
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+      JOIN (SELECT vec_id FROM embeddings) c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, negative_id, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 4
+    ORDER BY query_id, rn
+    """,
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws k=4 pseudo-random corpus negatives, ordered by a hash
+    of the (anchor, candidate) PAIR — so every anchor gets its own
+    uniform, reproducible permutation of the corpus (the retry-stable
+    analogue of random.sample). The rank compiles to WindowGroupLimit
+    (per-anchor top-k capped map-side); anchors broadcast against the
+    corpus scan, the corpus is never shuffled — the same posture as
+    cosine_topk, with the hash in place of the similarity."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    q = e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"))
+    pairs = F.broadcast(q).join(
+        e.select(F.col("vec_id").alias("negative_id")),
+        F.col("negative_id") != F.col("query_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("query_id").cast("string"),
+                    F.col("negative_id").cast("string"),
+                )
+            ),
+            1,
+            16,
+        ),
+        F.col("negative_id"),
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .orderBy("query_id", "rn")
+    )

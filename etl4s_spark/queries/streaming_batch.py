@@ -1031,3 +1031,66 @@ def q_stream_dedup_wm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).orderBy("event_id")
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT step, n_users FROM (
+      SELECT 1 AS ord, 'view' AS step,    (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click',             (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',    (SELECT count(*) FROM p)
+    ) ORDER BY ord
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: users who viewed, then clicked AT OR
+    AFTER their first view, then purchased at or after that click —
+    order matters, which is what separates a funnel from three filters.
+    Three conditional-min aggregations chained by equi-joins on user_id
+    (every stage shuffles on the SAME key, so the exchanges after the
+    first reuse the partitioning); no window over the full event stream,
+    no per-user collect. The oracle chains the same min-joins as CTEs."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    rows = [
+        v.agg(F.lit(1).alias("ord"), F.lit("view").alias("step"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit(2).alias("ord"), F.lit("view>click").alias("step"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit(3).alias("ord"), F.lit("view>click>purchase").alias("step"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("ord").select("step", "n_users")
