@@ -1094,3 +1094,48 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("ord").select("step", "n_users")
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY user_id
+    ), cohorted AS (
+      SELECT f.user_id,
+             CAST(date_trunc('week', f.d0) AS DATE)                       AS cohort_week,
+             CAST(floor(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7.0) AS INT)
+                                                                          AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM cohorted
+    WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic product-analytics shape: users
+    cohort by the week of their FIRST event, and each later event
+    lands in a week offset from that personal day-0; the cell value is
+    distinct active users. Two shuffles on user_id (first-event agg +
+    the join back, same key so the exchange reuses) and one on the
+    cohort cell; the distinct-count partial-aggregates map-side. Dates
+    are compared as DATE on both sides to dodge tz/precision."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
+    cohorted = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("week", "d0").cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7.0)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        cohorted.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
