@@ -376,3 +376,65 @@ def q_audit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(li, "l_quantity"))
     )
     return out.orderBy("col_name")
+
+
+@query(
+    "q_join_dim_snapshot",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderkey AS version_key,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             coalesce(CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS DATE),
+                      DATE '9999-12-31') AS valid_to
+      FROM orders WHERE o_custkey < 300
+    ), facts AS (
+      SELECT o_orderkey AS fact_id, o_custkey,
+             CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS fact_date
+      FROM orders WHERE o_custkey < 300 AND o_orderkey % 4 = 0
+    )
+    SELECT f.fact_id, f.o_custkey, f.fact_date, d.version_key
+    FROM facts f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.fact_date >= d.valid_from AND f.fact_date < d.valid_to
+    ORDER BY f.fact_id
+    """,
+)
+def q_join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the consumption side of SCD2:
+    facts match the dimension VERSION whose [valid_from, valid_to)
+    interval contains the fact date (here: synthetic facts dated 10
+    days after each 4th order, against the order-stream dimension from
+    scd2_intervals). Equi-join on the business key with the interval
+    predicate evaluated inside the join — one shuffle per side, no
+    range explosion, because SCD2 intervals are non-overlapping per key
+    (each fact matches at most one version). Composes the two
+    warehouse operators the way a real mart does."""
+    from etl4s_spark.operators.warehouse import scd2_intervals
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    dim = scd2_intervals(
+        o, key="o_custkey", change_ts="o_orderdate", order_tiebreak="o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.to_date("valid_from").alias("valid_from"),
+        F.coalesce(F.to_date("valid_to"), F.lit("9999-12-31").cast("date")).alias(
+            "valid_to"
+        ),
+    )
+    facts = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("fact_id"),
+        "o_custkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 10).alias("fact_date"),
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.o_custkey == dim.o_custkey)
+            & (F.col("fact_date") >= F.col("valid_from"))
+            & (F.col("fact_date") < F.col("valid_to")),
+        )
+        .select("fact_id", facts.o_custkey, "fact_date", "version_key")
+        .orderBy("fact_id")
+    )
