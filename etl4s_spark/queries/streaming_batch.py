@@ -1061,10 +1061,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel analysis: users who viewed, then clicked AT OR
     AFTER their first view, then purchased at or after that click —
     order matters, which is what separates a funnel from three filters.
-    Three conditional-min aggregations chained by equi-joins on user_id
-    (every stage shuffles on the SAME key, so the exchanges after the
-    first reuse the partitioning); no window over the full event stream,
-    no per-user collect. The oracle chains the same min-joins as CTEs."""
+    Three conditional-min aggregations chained by equi-joins on user_id.
+    Every stage keys on the SAME column: locally the per-stage firsts
+    are small and Catalyst broadcasts them (the audited plan); at scale
+    they exceed the threshold and the chain becomes sort-merge joins
+    whose exchanges all share the user_id partitioning. No window over
+    the full stream, no per-user collect. The oracle chains the same
+    min-joins as CTEs."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1120,10 +1123,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention — the classic product-analytics shape: users
     cohort by the week of their FIRST event, and each later event
     lands in a week offset from that personal day-0; the cell value is
-    distinct active users. Two shuffles on user_id (first-event agg +
-    the join back, same key so the exchange reuses) and one on the
-    cohort cell; the distinct-count partial-aggregates map-side. Dates
-    are compared as DATE on both sides to dodge tz/precision."""
+    distinct active users. The first-event aggregate and the join back
+    both key on user_id — broadcast locally (the audited plan: firsts
+    is small), a partitioning-aligned sort-merge join at scale — plus
+    one shuffle on the cohort cell; the distinct-count
+    partial-aggregates map-side. Dates are compared as DATE on both
+    sides to dodge tz/precision."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
     cohorted = ev.join(firsts, "user_id").select(
