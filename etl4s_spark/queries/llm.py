@@ -1651,3 +1651,46 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 4)
         .orderBy("query_id", "rn")
     )
+
+
+@query("q_multimodal_resize")  # binary pixel path — rows-only; pixel math
+# proven against driver-side recomputation in tests/test_llm_ops.py
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the distributed path
+    (operators/multimodal.py resize_images): deterministic 9×12 BMPs
+    synthesize per doc executor-side (seeded PCG64 — bit-identical
+    anywhere), nearest-neighbor resample to 4×6, re-encode as BMP — all
+    inside Arrow-batched mapInPandas, pixel bytes never leaving the
+    executor. Emits (id, mime, dims, n_bytes, sha prefix): byte-level
+    determinism of the whole decode→resample→encode chain is the
+    verified property; no SQL engine can mirror pixel math, so this is
+    rows-only with pytest covering the resample against numpy."""
+    from etl4s_spark.operators.multimodal import MEDIA_SCHEMA, encode_bmp, resize_images
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                rng = np.random.default_rng(int(mid))
+                px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+                rows.append((int(mid), "image/bmp", encode_bmp(px), 9, 12))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mime", "payload", "meta_width", "meta_height"],
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    resized = resize_images(media, width=4, height=6)
+    return resized.select(
+        "media_id",
+        "mime",
+        "meta_width",
+        "meta_height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.substring(F.sha2("payload", 256), 1, 16).alias("sha_prefix"),
+    ).orderBy("media_id")

@@ -322,3 +322,49 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_csv_quarantine",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 9 = 0 THEN 'quarantine' ELSE 'main' END AS route,
+           CASE WHEN o_orderkey % 9 <> 0 THEN round(o_totalprice, 4) END  AS price
+    FROM orders
+    WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+)
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dead-letter routing — the csv twin of q_json_quarantine:
+    malformed rows (every 9th orderkey's price replaced with a
+    non-numeric token before writing) read back under PERMISSIVE mode
+    with columnNameOfCorruptRecord, which keeps the parseable fields,
+    nulls the broken one, and captures the raw line — so bad rows ROUTE
+    instead of failing the scan (FAILFAST) or vanishing (DROPMALFORMED).
+    The oracle re-derives the corrupt set from the injection rule; the
+    Spark side decides by its parser — they must agree exactly."""
+    path = _sink_dir(sf_dir, "csv_quarantine")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    od.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.select(
+        "o_orderkey",
+        F.when(bad, F.lit("quarantine")).otherwise(F.lit("main")).alias("route"),
+        F.when(~bad, F.round("o_totalprice", 4)).alias("price"),
+    ).orderBy("o_orderkey")
