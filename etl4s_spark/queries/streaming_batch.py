@@ -1144,3 +1144,69 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_ZQ_RAMP8 = (
+    "[-1.5275252316519468, -1.091089451179962, -0.6546536707079772, "
+    "-0.2182178902359924, 0.2182178902359924, 0.6546536707079772, "
+    "1.091089451179962, 1.5275252316519468]"
+)
+
+
+@query(
+    "q_ts_pattern_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_id < 20000
+    ), win AS (
+      SELECT user_id,
+             row_number() OVER w AS start_pos,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS vals
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), full8 AS (
+      SELECT * FROM win WHERE len(vals) = 8
+    ), m1 AS (
+      SELECT user_id, start_pos, vals, list_sum(vals) / 8 AS m FROM full8
+    ), m2 AS (
+      SELECT user_id, start_pos, vals, m,
+             sqrt(list_sum(list_transform(vals, x -> (x - m) * (x - m))) / 8) AS s
+      FROM m1
+    ), scored AS (
+      SELECT user_id, start_pos,
+             round(list_sum(list_transform(generate_series(1, 8),
+                   i -> ((vals[i] - m) / s - q.z[i]) * ((vals[i] - m) / s - q.z[i]))),
+                   6) AS dist
+      FROM m2, (SELECT {_ZQ_RAMP8} AS z) q
+      WHERE s > 0
+    )
+    SELECT user_id AS key, CAST(start_pos AS INT) AS start_pos, dist
+    FROM scored
+    ORDER BY dist, key, start_pos
+    LIMIT 20
+    """,
+)
+def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern search (operators/timeseries.py
+    ts_pattern_topk — the UCR/matrix-profile query-pattern primitive,
+    PAPERS.md EDBT'19/ICDE'21 re-expressed Spark-first): the 20
+    subsequences of any user's value stream closest to a rising ramp
+    under z-normalized Euclidean distance (matches SHAPE, not level or
+    amplitude). Sliding windows via collect_list over an ordered frame
+    (one shuffle on user_id), z-norm + distance as higher-order array
+    expressions, TakeOrdered top-k with a total-order tie-break. The
+    oracle mirrors every stage — frames, stats, distance — in SQL with
+    the identical z-normalized pattern literals."""
+    from etl4s_spark.operators.timeseries import ts_pattern_topk
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    return ts_pattern_topk(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        pattern=[float(i) for i in range(1, 9)],
+        k=20,
+        tiebreak_col="event_id",
+    )
