@@ -97,3 +97,53 @@ def test_winsorize_bounds_behavior(spark):
     ws = sorted(r.w for r in clipped)
     assert ws[0] == p05 and ws[-1] == p95
     assert all(p05 <= w <= p95 for w in ws)
+
+
+def test_ts_pattern_topk_shape_invariance(spark):
+    """z-normalized distance matches SHAPE: a planted ramp scaled x100
+    and offset +1000 scores (near-)zero distance and ranks first; a
+    constant stretch is excluded (no shape); reversed ramps score far."""
+    from etl4s_spark.operators.timeseries import ts_pattern_topk
+
+    noise = [3.0, 7.0, 2.0, 9.0, 4.0, 8.0, 1.0, 6.0, 5.0, 7.5]
+    ramp = [1000.0 + 100.0 * i for i in range(1, 9)]      # shape == query
+    flat = [5.0] * 8
+    series = noise + ramp + flat + list(reversed(ramp))
+    rows = [(1, i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = ts_pattern_topk(
+        df, key_col="k", ts_col="t", value_col="v",
+        pattern=[float(i) for i in range(1, 9)], k=3,
+    ).collect()
+    # the planted ramp starts at position 11 (row_number is 1-based)
+    assert out[0].start_pos == 11 and out[0].dist == 0.0
+    # no window fully inside the flat stretch appears (std=0 excluded)
+    flat_only = set(range(19, 20))  # start covering indices 18..25 → all 5.0
+    assert all(r.start_pos not in flat_only for r in out)
+    # reversed ramp is the anti-shape: max distance among aligned windows
+    rev = [r for r in out if r.start_pos == 27]
+    assert not rev  # nowhere near the top
+
+
+def test_csv_quarantine_routes_not_fails(spark, tmp_path):
+    """PERMISSIVE csv read keeps parseable fields of malformed rows and
+    captures the raw line; FAILFAST on the same file raises."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    p = str(tmp_path / "rows")
+    spark.createDataFrame(
+        [("1,10.5",), ("2,oops",), ("3,30.25",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(p)
+    schema = "id BIGINT, price DOUBLE, _corrupt_record STRING"
+    ok = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+    ).collect()
+    by_id = {r.id: r for r in ok}
+    assert by_id[2].price is None and by_id[2]._corrupt_record == "2,oops"
+    assert by_id[1].price == 10.5 and by_id[1]._corrupt_record is None
+    with pytest.raises(Exception):
+        spark.read.schema("id BIGINT, price DOUBLE").option("mode", "FAILFAST").csv(p).collect()
