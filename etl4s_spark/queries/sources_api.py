@@ -368,3 +368,40 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bad, F.lit("quarantine")).otherwise(F.lit("main")).alias("route"),
         F.when(~bad, F.round("o_totalprice", 4)).alias("price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q_maintenance_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 4)  AS sum_price
+    FROM orders
+    WHERE o_custkey % 13 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_maintenance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion (right-to-be-forgotten) on an immutable-format
+    table: the delete set (every 13th customer's orders) anti-joins out
+    and the table REWRITES — parquet has no row deletes, so deletion IS
+    a rewrite job (a lakehouse format narrows the rewrite to affected
+    files; the dataflow is identical). The aggregate over the READ-BACK
+    rewritten table must equal filtering the source — proving both that
+    the victims are gone and that nothing else was touched. At scale,
+    partition/z-order layout bounds the rewrite to files whose min/max
+    overlap the delete keys."""
+    path = _sink_dir(sf_dir, "maintenance_delete")
+    od = load_table(spark, sf_dir, "orders")
+    victims = od.filter(F.col("o_custkey") % 13 == 0).select("o_orderkey")
+    od.join(victims, "o_orderkey", "left_anti").write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

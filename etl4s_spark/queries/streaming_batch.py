@@ -1210,3 +1210,51 @@ def q_ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=20,
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events WHERE event_id < 50000
+    )
+    SELECT event_type, next_type,
+           count(*) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                                 AS DOUBLE), 6) AS p
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): for each
+    user's time-ordered stream, count (current → next) event-type pairs
+    and normalize rows to probabilities — the behavioral-analytics
+    building block under next-action prediction and anomaly scoring.
+    One shuffle on user_id for the lead() window, one low-cardinality
+    shuffle for the pair counts, and the row-normalizing window runs on
+    the tiny aggregated matrix — cost is the sequence window, same
+    profile as a groupBy over users."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("event_type")
+    return (
+        counts.select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(total), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
