@@ -1694,3 +1694,92 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.substring(F.sha2("payload", 256), 1, 16).alias("sha_prefix"),
     ).orderBy("media_id")
+
+
+@query(
+    "q_dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           count(*)                  AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup diagnostic that
+    catches pathological corpora (one giant boilerplate cluster looks
+    very different from many pairs): components → per-component size →
+    histogram of sizes with doc mass. At 100 TB the histogram is what
+    you alert on before trusting a dedup run; it costs two
+    low-cardinality aggregations past the component labels."""
+    from etl4s_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "q_dedup_stats",
+    oracle=f"""
+    SELECT source,
+           count(*)                                   AS n_docs,
+           count(DISTINCT md5({_NORM_SQL}))           AS n_unique,
+           round(1.0 - count(DISTINCT md5({_NORM_SQL}))
+                     / CAST(count(*) AS DOUBLE), 6)   AS dup_frac
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate mass — dedup telemetry: docs, distinct
+    content fingerprints, and the implied duplicate fraction per
+    source. The number every ingest dashboard shows before and after a
+    dedup stage; one aggregation with a distinct-count (Expand), keyed
+    on the low-cardinality source."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_md5(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fp).alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct(fp) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
