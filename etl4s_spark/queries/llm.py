@@ -1783,3 +1783,85 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_pipeline_curation",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), capped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS rn
+        FROM deduped
+      ) WHERE rn <= 20
+    ), tok AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt
+      FROM capped
+    ), totals AS (
+      SELECT source, CAST(sum(nt) AS DOUBLE) AS tt FROM tok GROUP BY source
+    ), z AS (
+      SELECT sum(sqrt(tt)) AS z FROM totals
+    ), thr AS (
+      SELECT source,
+             CASE WHEN (5000 * (sqrt(tt) / z.z)) / tt >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(
+                         floor(((5000 * (sqrt(tt) / z.z)) / tt) * 1000000) / 1000000
+                         * 4294967296) AS BIGINT))), 8, '0')
+             END AS th
+      FROM totals, z
+    ), sampled AS (
+      SELECT c.doc_id, c.source
+      FROM capped c JOIN thr USING (source)
+      WHERE substr(md5('42:' || CAST(c.doc_id AS VARCHAR)), 1, 8) < th
+    )
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < lpad(lower(to_hex(CAST(floor(0.05 * 4294967296) AS BIGINT))), 8, '0')
+                THEN 'val'
+                WHEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < lpad(lower(to_hex(CAST(floor(0.10 * 4294967296) AS BIGINT))), 8, '0')
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM sampled
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation pipeline, composed through the Layer-A Node
+    algebra: exact dedup → domain cap (≤20/source in content-hash
+    order) → temperature mixture (alpha=0.5, 5k-token budget over the
+    CAPPED corpus) → train/val/test split. Complements
+    q_pipeline_training_data with the samplers added this round; every
+    stage is content-addressed, so one SQL oracle mirrors the whole
+    chain stage-by-stage — including the sqrt-weighted thresholds
+    recomputed over the post-cap token totals."""
+    from etl4s_spark.core.node import node
+    from etl4s_spark.operators.dedup import exact_dedup
+    from etl4s_spark.operators.sampling import (
+        per_group_cap,
+        temperature_budget_sample,
+        train_val_test_split,
+    )
+
+    pipeline = (
+        node(lambda df: exact_dedup(df, "doc_id", "text"))
+        >> node(lambda df: per_group_cap(df, "doc_id", "source", cap=20))
+        >> node(
+            lambda df: temperature_budget_sample(
+                df, "doc_id", "text", "source", total_budget=5000, alpha=0.5
+            )
+        )
+        >> node(lambda df: train_val_test_split(df, "doc_id", seed=7))
+    )
+    out = pipeline.run(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
