@@ -1865,3 +1865,63 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pipeline.run(load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+@query(
+    "q_text_domains",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 37 AS VARCHAR)
+               || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?ref=crawl&page=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1)  AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '[?](.*)$', 1)           AS query
+      FROM urls
+    )
+    SELECT host,
+           count(*)                                  AS n_docs,
+           CAST(count(DISTINCT path) AS BIGINT)      AS n_paths,
+           CAST(max(len(query)) AS INT)              AS max_query_len
+    FROM parsed
+    GROUP BY host
+    ORDER BY host
+    """,
+)
+def q_text_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain extraction — the web-curation stage that feeds
+    domain-level stats, capping, and blocklists: synthetic crawl URLs
+    (deterministic per doc so both engines parse identical strings)
+    parsed with the built-in parse_url (HOST/PATH/QUERY — JVM-side,
+    codegen), then per-domain doc counts, distinct paths, and query
+    length. The oracle parses the same URLs with anchored regexes; at
+    100 TB this is one scan + one shuffle on the (bounded-cardinality)
+    host."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&page="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("path").alias("n_paths"),
+            F.max(F.length("query")).cast("int").alias("max_query_len"),
+        )
+        .orderBy("host")
+    )
