@@ -42,6 +42,7 @@ from etl4s_spark.operators.text import (
     normalize_text,
     quality_score,
     scrub_pii,
+    shingles_from_words,
     stopword_ratio,
     token_count,
     word_count,
@@ -1924,4 +1925,69 @@ def q_text_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("query")).cast("int").alias("max_query_len"),
         )
         .orderBy("host")
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 3 THEN
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [norm] END)) AS s
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE n_inter / CAST(sa.n_sh AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B| / |A| — the asymmetric cousin of
+    Jaccard that catches inclusion: a short doc quoted inside a long
+    one scores near 1.0 where Jaccard stays low (the case benchmark
+    decontamination and quote-detection care about). Directed pairs
+    (both orientations), same explode + shingle-keyed equi-join shape
+    as the Jaccard tier — quadratic only within shared-shingle groups,
+    applied to bounded slices or LSH candidates at scale."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", F.col("text"))
+        .withColumn("__norm", normalize_text(F.col("text")))
+        .withColumn("__w", F.split(F.col("__norm"), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("__w"), F.col("__norm"), k=3))
+            ).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn("containment", F.round(F.col("n_inter") / F.col("n_sh"), 6))
+        .filter(F.col("n_inter") / F.col("n_sh") >= 0.3)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
     )
