@@ -147,3 +147,44 @@ def test_csv_quarantine_routes_not_fails(spark, tmp_path):
     assert by_id[1].price == 10.5 and by_id[1]._corrupt_record is None
     with pytest.raises(Exception):
         spark.read.schema("id BIGINT, price DOUBLE").option("mode", "FAILFAST").csv(p).collect()
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    (short→long) is 1.0 while Jaccard stays low — the directed
+    relationship decontamination needs."""
+    from etl4s_spark.operators.dedup import ngram_jaccard_pairs
+    from etl4s_spark.operators.text import normalize_text, shingles_from_words
+    from pyspark.sql import functions as F
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i} filler{i} text{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                shingles_from_words(
+                    F.split(normalize_text(F.col("text")), " "),
+                    normalize_text(F.col("text")),
+                    k=3,
+                )
+            )
+        ).alias("s"),
+    )
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    containment_short_in_long = inter / sizes[1]
+    jaccard = inter / (sizes[1] + sizes[2] - inter)
+    assert containment_short_in_long == 1.0  # every shingle of the quote appears
+    assert jaccard < 0.1  # symmetric similarity misses the inclusion
+    # and the symmetric operator agrees with the jaccard computed here
+    jp = ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    assert jp and abs(jp[0].jaccard - round(jaccard, 6)) < 1e-9
