@@ -144,7 +144,14 @@ def temperature_budget_sample(
         .collect()
     }
     strata = sorted(totals)
-    weights = {s: float(totals[s]) ** alpha if totals[s] else 0.0 for s in strata}
+    # math.sqrt is guaranteed correctly rounded; pow(x, 0.5) is not on
+    # every libm — use sqrt explicitly so the bit-identical claim holds
+    weights = {
+        s: (math.sqrt(float(totals[s])) if alpha == 0.5 else float(totals[s]) ** alpha)
+        if totals[s]
+        else 0.0
+        for s in strata
+    }
     z = 0.0
     for s in strata:  # fixed accumulation order (see docstring)
         z += weights[s]

@@ -729,6 +729,7 @@ def pq_topk(
     rerank_factor: int = 4,
     query_id_col: str | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance computation (ADC)
     with exact re-rank — the production PQ recipe: the corpus is
@@ -756,8 +757,16 @@ def pq_topk(
     path only encodes + scans (at 100 TB you also persist the encoded
     codes; here the encode is a zero-shuffle projection of the scan).
     When ``codebooks`` is None the quantizer is trained inline
-    (m_subspaces/n_codes/seed/sweeps) — the self-contained demo path."""
+    (m_subspaces/n_codes/seed/sweeps) — the self-contained demo path.
+
+    Pass ``coded`` (a ``pq_encode`` result for this corpus+codebooks,
+    typically persisted/checkpointed by the caller) to skip the encode
+    entirely — the fully-indexed posture: codebooks AND code table are
+    both serve-time artifacts, and the query pays only LUT build + code
+    scan. Requires ``codebooks``."""
     query_id_col = query_id_col or id_col
+    if coded is not None and codebooks is None:
+        raise ValueError("coded requires codebooks (the LUT is built from them)")
     if codebooks is not None:
         m_subspaces, n_codes = len(codebooks), len(codebooks[0])
     sub = dim // m_subspaces
@@ -767,12 +776,15 @@ def pq_topk(
     if codebooks is not None:
         books = codebooks
         cb = pq_codebook_frame(spark, books)
-        # serve path: elements feed exactly one consumer (the encode), so
-        # no persist/checkpoint barrier — the codes projection pipelines
-        # straight out of the corpus scan
-        coded = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
-            "id", "neighbor_id"
-        )
+        if coded is not None:
+            coded = coded.withColumnRenamed("id", "neighbor_id")
+        else:
+            # serve path: elements feed exactly one consumer (the encode),
+            # so no persist/checkpoint barrier — the codes projection
+            # pipelines straight out of the corpus scan
+            coded = pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+                "id", "neighbor_id"
+            )
     else:
         # ONE persisted exploded-elements frame feeds both the Lloyd
         # sweeps and the final encode — elements don't depend on the

@@ -104,15 +104,17 @@ def ts_pattern_topk(
         "key",
         "start_pos",
         F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("vals"),
-                    qlit,
-                    lambda x, q: ((x - F.col("m")) / F.col("s") - q)
-                    * ((x - F.col("m")) / F.col("s") - q),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vals"),
+                        qlit,
+                        lambda x, q: ((x - F.col("m")) / F.col("s") - q)
+                        * ((x - F.col("m")) / F.col("s") - q),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
             ),
             6,
         ).alias("dist"),

@@ -79,30 +79,10 @@ def _driver_last_proven() -> dict[str, int]:
 # Queries whose most recent driver proof predates a repair that changed
 # their behavior — forced to the front of the registration order so the
 # driver's ~50-query window re-proves them in the next round, then removed
-# once green rows land. Currently: the 18 events-dependent queries broken
-# by the r3→r4 testdata dtype change and repaired by the _load_events fix.
-_REPROVE_FIRST = frozenset(
-    {
-        "q_join_asof",
-        "q_join_asof_tolerance",
-        "q_join_range_bucket",
-        "q_json_quarantine",
-        "q_scalar_json",
-        "q_scalar_map",
-        "q_rollup_hierarchy",
-        "q_window_tumbling_batch",
-        "q_window_sliding_batch",
-        "q_window_session_batch",
-        "q_stream_tumbling_replay",
-        "q_stream_watermark_replay",
-        "q_stream_session_replay",
-        "q_stream_join_replay",
-        "q_stream_dedup_replay",
-        "q_stream_sliding_replay",
-        "q_stream_state_replay",
-        "q_stream_sink_replay",
-    }
-)
+# once green rows land. Emptied for round 5: all 18 events-dependent
+# queries repaired by the _load_events fix were re-proven green in
+# CORRECTNESS_r04, so never-proven queries regain front-of-window priority.
+_REPROVE_FIRST: frozenset = frozenset()
 
 
 def load_all() -> None:

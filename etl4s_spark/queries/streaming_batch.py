@@ -100,6 +100,7 @@ def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                              AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
     FROM events
+    WHERE event_id < 20000
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -113,12 +114,15 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself rather than only by pytest.
 
     Sums are carried as decimals so the micro-batch accumulation order
-    cannot move the rounded result."""
+    cannot move the rounded result. The replayed slice is BOUNDED
+    (event_id < 20000, like every other replay): the stream-equals-batch
+    proof needs micro-batch structure, not corpus volume — an unbounded
+    driver-side staging would grow linearly with sf."""
     import shutil
     import tempfile
     import uuid
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
     replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_replay_")
     # one Spark scan; 4 ordered micro-batch files staged driver-side
     tbl = ev.toArrow()
@@ -958,16 +962,31 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(merge_batch).start()
     try:
         q.processAllAvailable()
+        # materialize the final version eagerly so BOTH temp dirs can be
+        # removed before returning (the result is a bounded per-user
+        # aggregate; a lazy reader over versions[-1] would leak target_base)
+        final = (
+            spark.read.parquet(versions[-1])
+            .select(
+                "user_id",
+                "n_events",
+                F.round(F.col("cand.value"), 4).alias("last_value"),
+                F.date_format(F.col("cand.ts"), _TS_FMT).alias("last_ts"),
+            )
+            .orderBy("user_id")
+        )
+        final_tbl = final.toArrow()
     finally:
         q.stop()
         shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(target_base, ignore_errors=True)
     return (
-        spark.read.parquet(versions[-1])
+        spark.createDataFrame(final_tbl.to_pandas())
         .select(
-            "user_id",
-            "n_events",
-            F.round(F.col("cand.value"), 4).alias("last_value"),
-            F.date_format(F.col("cand.ts"), _TS_FMT).alias("last_ts"),
+            F.col("user_id").cast("long"),
+            F.col("n_events").cast("long"),
+            "last_value",
+            "last_ts",
         )
         .orderBy("user_id")
     )
@@ -1175,8 +1194,8 @@ _ZQ_RAMP8 = (
       FROM m1
     ), scored AS (
       SELECT user_id, start_pos,
-             round(list_sum(list_transform(generate_series(1, 8),
-                   i -> ((vals[i] - m) / s - q.z[i]) * ((vals[i] - m) / s - q.z[i]))),
+             round(sqrt(list_sum(list_transform(generate_series(1, 8),
+                   i -> ((vals[i] - m) / s - q.z[i]) * ((vals[i] - m) / s - q.z[i])))),
                    6) AS dist
       FROM m2, (SELECT {_ZQ_RAMP8} AS z) q
       WHERE s > 0
@@ -1304,7 +1323,10 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") >= 1800),
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
+            ),
             1,
         )
         .otherwise(0)
