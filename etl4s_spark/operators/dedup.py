@@ -268,6 +268,7 @@ def connected_components(
     n_sweeps: int | None = None,
     verify_converged: bool = True,
     checkpoint_dir: str | None = None,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the stage
     that turns PAIRS into CLUSTERS so one canonical doc per cluster can
@@ -283,9 +284,13 @@ def connected_components(
 
     Modes:
     - adaptive (default, ``n_sweeps=None``): sweeps until no label
-      changes; RAISES RuntimeError if ``max_iter`` sweeps exhaust before
-      convergence (a diameter-``max_iter`` chain would otherwise return
-      silently-wrong partial labels — ADVICE r2).
+      changes; if ``max_iter`` sweeps exhaust before convergence (a
+      diameter-``max_iter`` chain would otherwise return silently-wrong
+      partial labels — ADVICE r2), RAISES RuntimeError, or — with
+      ``on_nonconvergence="star"`` — restarts on the O(log n)
+      large-star/small-star variant, so a pathological high-diameter
+      corpus degrades to the right algorithm instead of failing
+      mid-pipeline (VERDICT r4 item 8).
     - fixed (``n_sweeps=k``): exactly k sweeps with NO per-sweep driver
       action — the 100 TB posture when the diameter bound is known (LSH
       dedup cliques: 3 is plenty). A single end-of-run convergence check
@@ -368,10 +373,17 @@ def connected_components(
         if n_changed == 0:
             break
     if n_changed:
+        if on_nonconvergence == "star":
+            # high-diameter graph: min-label's O(diameter) bound lost;
+            # restart with the O(log n) star contraction (same contract)
+            return connected_components_star(
+                pairs, id_a, id_b, checkpoint_dir=checkpoint_dir
+            )
         raise RuntimeError(
             f"connected_components: not converged after max_iter={max_iter} sweeps "
             f"({n_changed} labels still changing) — component diameter exceeds the "
-            "sweep budget; raise max_iter or use the large-star/small-star variant"
+            "sweep budget; raise max_iter, use the large-star/small-star variant, "
+            'or pass on_nonconvergence="star" to fall back automatically'
         )
     return labels
 

@@ -583,14 +583,17 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps — a fixed bound can only match that by guessing the exact
     diameter, and overshooting pays a full extra sweep. Fixed mode stays
     the right call when per-sweep driver actions are the bottleneck
-    (wide clusters, thousands of sweeps of tiny data — not this shape)."""
+    (wide clusters, thousands of sweeps of tiny data — not this shape).
+    Nonconvergence policy: on_nonconvergence="star" — a pathological
+    high-diameter corpus degrades to the O(log n) star contraction
+    (same (id, component) contract) instead of raising mid-pipeline."""
     from etl4s_spark.operators.dedup import connected_components
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
         "id_a", "id_b"
     )
-    return connected_components(pairs).orderBy("id")
+    return connected_components(pairs, on_nonconvergence="star").orderBy("id")
 
 
 @query(

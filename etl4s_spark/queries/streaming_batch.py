@@ -880,6 +880,33 @@ def q_window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _upsert_merge_fn(prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """Fold one raw micro-batch into per-user upsert state: (n_events
+    running count, arg-max-by-(ts,event_id) last-value struct) — both
+    associative, so merging per-batch partials equals the one-shot batch
+    aggregate. Module-level so the retry-idempotency pytest exercises
+    the EXACT function the declared query streams through."""
+    agg = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", "value")).alias("cand"),
+    )
+    if prev is None:
+        return agg
+    return (
+        prev.alias("t")
+        .join(agg.alias("b"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("t.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).alias("n_events"),
+            # greatest() skips nulls: unmatched rows keep their side
+            F.greatest(F.col("t.cand"), F.col("b.cand")).alias("cand"),
+        )
+    )
+
+
 @query(
     "q_stream_upsert_replay",
     oracle=f"""
@@ -905,11 +932,13 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch merges its per-user aggregate into a keyed parquet
     target — the streaming→warehouse pattern q_stream_sink_replay's
     append cannot express. The merge is read-target → full-outer-join
-    batch-aggregate → write NEXT VERSION directory (copy-on-write: the
-    poor-engine's MERGE; a lakehouse format does the same thing with
-    metadata instead of directories, and versioned dirs are what makes
-    the batch idempotent on retry — rewriting v{{N}} from v{{N-1}} is a
-    pure function of batch content, never double-applied.)
+    batch-aggregate → write version ``v{{batch_id}}`` (copy-on-write:
+    the poor-engine's MERGE, via streaming/core.py
+    versioned_upsert_batch; a lakehouse format does the same thing with
+    metadata instead of directories). Versions are keyed on the
+    ENGINE'S batch_id, so a batch retried after a failure rewrites
+    v{{N}} from v{{N-1}} — a pure function of batch content, never
+    double-applied (tests/test_round5_ops.py proves the retry path).
 
     The per-user state is (n_events SUM, arg-max-by-(ts,event_id)
     struct) — both associative, so merging per-batch partials MUST
@@ -931,32 +960,14 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(replay_dir)
     )
+    from etl4s_spark.streaming.core import versioned_upsert_batch
+
     versions: list[str] = []
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.struct("ts", "event_id", "value")).alias("cand"),
+        dst = versioned_upsert_batch(
+            spark, target_base, batch_df, batch_id, _upsert_merge_fn
         )
-        if versions:
-            prev = spark.read.parquet(versions[-1])
-            merged = (
-                prev.alias("t")
-                .join(agg.alias("b"), "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce(F.col("t.n_events"), F.lit(0))
-                        + F.coalesce(F.col("b.n_events"), F.lit(0))
-                    ).alias("n_events"),
-                    # greatest() skips nulls: unmatched rows keep their side
-                    F.greatest(F.col("t.cand"), F.col("b.cand")).alias("cand"),
-                )
-            )
-        else:
-            merged = agg
-        dst = f"{target_base}/v{len(versions)}"
-        merged.write.mode("overwrite").parquet(dst)
         versions.append(dst)
 
     q = stream.writeStream.foreachBatch(merge_batch).start()

@@ -237,6 +237,47 @@ def foreach_batch_collect(collector: list) -> Callable[[DataFrame, int], None]:
     return sink
 
 
+def versioned_upsert_batch(
+    spark: SparkSession,
+    target_base: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    merge_fn: Callable[[DataFrame | None, DataFrame], DataFrame],
+) -> str:
+    """Copy-on-write MERGE of one micro-batch into a versioned parquet
+    target, idempotent under foreachBatch RETRIES: version N is keyed on
+    the engine's ``batch_id`` (not a call counter) and computed purely
+    from version N-1 plus batch N's content, so a batch re-delivered
+    after a failure OVERWRITES ``v{N}`` with identical content instead
+    of stacking a new version on top — the exactly-once contract
+    Structured Streaming's foreachBatch docs require the sink to supply
+    (the engine guarantees at-least-once delivery with stable batch
+    ids; the sink must be idempotent per id). A lakehouse MERGE does the
+    same thing with commit metadata instead of directories.
+
+    ``merge_fn(prev, batch_df)`` folds the raw batch into the previous
+    state (``prev`` is None for batch 0). Raises on a version-chain gap:
+    applying batch N without ``v{N-1}`` present means a batch was lost,
+    and silently treating it as batch 0 would corrupt the target.
+    Returns the written version path."""
+    import os
+
+    prev_path = os.path.join(target_base, f"v{batch_id - 1}")
+    if batch_id > 0:
+        if not os.path.isdir(prev_path):
+            raise RuntimeError(
+                f"versioned upsert chain gap: batch {batch_id} arrived but "
+                f"{prev_path} does not exist"
+            )
+        prev: DataFrame | None = spark.read.parquet(prev_path)
+    else:
+        prev = None
+    merged = merge_fn(prev, batch_df)
+    dst = os.path.join(target_base, f"v{batch_id}")
+    merged.write.mode("overwrite").parquet(dst)
+    return dst
+
+
 def run_stream_to_memory(
     df: DataFrame,
     query_name: str,
