@@ -1721,6 +1721,50 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query("q_multimodal_frames")  # binary frame path — rows-only; container
+# walk + per-frame decode proven against driver-side recomputation in pytest
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style keyframe extraction in the distributed path
+    (operators/multimodal.py frame_sample): each doc synthesizes a
+    deterministic FSEQ container of 6 seeded 8×6 BMP frames
+    executor-side, then every 2nd frame is decoded (real BMP parse) and
+    emitted with dims, mean luma, and content sha — one video row
+    fanning out to frame rows INSIDE the Python worker, the JVM seeing
+    only narrow stats rows. No SQL engine can mirror the container walk
+    + pixel math, so this is rows-only with pytest proving the sampled
+    frames bit-equal a driver-side decode of the same container."""
+    from etl4s_spark.operators.multimodal import (
+        encode_bmp,
+        encode_frame_container,
+        frame_sample,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                frames = []
+                for i in range(6):
+                    rng = np.random.default_rng(int(mid) * 7 + i)
+                    frames.append(
+                        encode_bmp(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8))
+                    )
+                rows.append((int(mid), encode_frame_container(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, schema="media_id long, payload binary")
+    return frame_sample(media, every_n=2).orderBy("media_id", "frame_idx")
+
+
 @query(
     "q_dedup_cluster_sizes",
     oracle="""

@@ -89,6 +89,54 @@ def test_connected_components_star_fallback_on_chain(spark):
     assert got == {i: 0 for i in range(41)}
 
 
+def test_frame_sample_matches_driver_side_decode(spark):
+    """frame_sample's distributed container walk + BMP decode emits
+    exactly the frames a driver-side decode of the same container
+    yields: same stride, same shas, same mean luma; stride=1 returns
+    every frame; a truncated/corrupt container raises, never silently
+    yields partial frames."""
+    import hashlib
+
+    import numpy as np
+
+    from etl4s_spark.operators.multimodal import (
+        decode_bmp,
+        decode_frame_container,
+        encode_bmp,
+        encode_frame_container,
+        frame_sample,
+    )
+
+    frames = [
+        encode_bmp(
+            np.random.default_rng(seed).integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        )
+        for seed in range(5)
+    ]
+    payload = encode_frame_container(frames)
+    assert decode_frame_container(payload) == frames
+
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    got = {
+        r.frame_idx: r
+        for r in frame_sample(df, every_n=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for idx in got:
+        px = decode_bmp(frames[idx])
+        assert got[idx].frame_sha == hashlib.sha256(frames[idx]).hexdigest()
+        assert got[idx].mean_intensity == round(float(px.mean()), 4)
+        assert (got[idx].width, got[idx].height) == (4, 5)
+
+    assert len(frame_sample(df, every_n=1).collect()) == 5
+
+    bad = spark.createDataFrame(
+        [(8, payload[:10])], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        frame_sample(bad).collect()
+
+
 def test_stream_dedup_wm_replay_twice_delivered_exactly_once(spark, tmp_path):
     """The watermark-dedup operator is itself a retry shield: the same
     file replayed as two micro-batches within the horizon emits each key
