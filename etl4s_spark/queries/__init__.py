@@ -93,6 +93,7 @@ def load_all() -> None:
         return
     from etl4s_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         filters,
         joins,
         llm,

@@ -1,0 +1,435 @@
+"""Time-series conditioning + graph-shape analytics (round 5).
+
+The time-series trio (resample → interpolate → EWMA) is the standard
+sensor/metrics conditioning pipeline: regularize an irregular event
+stream onto a fixed grid, fill the gaps, smooth. All three are pure
+DataFrame expressions — the grid comes from ``sequence``+``explode``
+(rows are born distributed, never driver-side), gap-fill is
+``last/first_value(ignorenulls)`` windows, and the truncated EWMA is a
+higher-order aggregate over a bounded window frame. One shuffle on the
+series key each; every stage codegen'd, no UDFs.
+
+The graph pair (degree histogram, triangle count) profiles the SHAPE of
+a near-duplicate pair graph before trusting clustering on it — a
+spiking max-degree or triangle-free bucket graph means the LSH
+thresholds are wrong. Both are self-join compositions on the edge list,
+the classic MapReduce formulations (triangles: Suri & Vassilvitskii,
+WWW'11 — orient edges low→high so each triangle is counted exactly
+once and the join never fans out on high-degree hubs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+# Shared near-dup pair graph (same corpus slice + threshold as the
+# q_dedup_cluster_* family, so graph stats describe the SAME graph the
+# clustering queries consume).
+_PAIRS_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 500 AND b.vec_id < 500
+      AND list_dot_product(a.embedding, b.embedding)
+          / (sqrt(list_dot_product(a.embedding, a.embedding))
+             * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+"""
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl4s_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_ts_resample",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 20
+    ), spans AS (
+      SELECT user_id,
+             date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d')       AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT)  AS n_events,
+           d.avg_value                       AS avg_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ORDER BY g.user_id, day
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular event stream onto a per-user DAILY grid
+    with explicit gap rows (n_events=0, avg=null) — the regularization
+    every downstream window/forecast model assumes. The grid is
+    ``sequence(min_day, max_day)`` EXPLODED — grid rows are produced
+    executor-side from each user's span row, so a 10-year × 100M-user
+    grid never exists on the driver. One shuffle on user_id, reused by
+    both the span agg and the daily agg; the join back is
+    grid ⨝ daily on the same key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            "avg_value",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 20
+    ), spans AS (
+      SELECT user_id,
+             date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, round(avg(value), 4) AS v
+      FROM ev GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.user_id, g.day, d.v
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ), bounded AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           (v IS NULL)               AS was_gap,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE ((2 * (CAST(round(pv * 10000) AS BIGINT)
+                           * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+                         + CAST(round(nv * 10000) AS BIGINT)
+                           * date_diff('day', pd, day))
+                    + date_diff('day', pd, nd))
+                   // (2 * date_diff('day', pd, nd))) / 10000.0
+           END AS value_filled
+    FROM bounded
+    ORDER BY user_id, day
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the resampled grid's gaps: each missing
+    day gets pv + (nv−pv)·Δt/Δspan between its nearest observed
+    neighbors (edges clamp to the nearest observation — pandas
+    ``interpolate(limit_direction='both')`` semantics). The carriers are
+    ``last_value/first_value(ignorenulls=True)`` over mirrored unbounded
+    frames — Spark evaluates both in ONE window exchange per direction
+    on the same (user_id, day) sort, no self-join, no UDF.
+
+    Cross-engine determinism: the interpolation is computed ENTIRELY in
+    fixed point — endpoints scale to exact bigints (v is already 4 dp),
+    the weighted numerator is integer arithmetic, and half-up rounding
+    to 4 dp happens as INTEGER division ((2·num + span) div (2·span))
+    before one exact /10⁴. Two float formulations failed verify first:
+    ``pv + (nv−pv)·f`` (evaluation-order ulp) and round(exact-half
+    double, 4) — Spark half-ups the shortest decimal repr while DuckDB
+    scales-and-rounds the binary double, so 79.14835 split 79.1484 vs
+    79.1483."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    bounded = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    pvi = F.round(F.col("pv") * 10000).cast("long")
+    nvi = F.round(F.col("nv") * 10000).cast("long")
+    d1 = F.datediff("day", "pd").cast("long")
+    span = F.datediff("nd", "pd").cast("long")
+    num = pvi * (span - d1) + nvi * d1
+    with_num = bounded.withColumn("__num", num).withColumn("__span", span)
+    # half-up rounding to 4 dp as INTEGER division (operands positive),
+    # then one exact /10^4 — both engines produce the identical double
+    interp = F.expr("(2 * __num + __span) div (2 * __span)") / F.lit(10000.0)
+    return with_num.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().alias("was_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("value_filled"),
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE user_id < 10
+    ), framed AS (
+      SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS w
+      FROM ev
+    )
+    SELECT user_id, event_id,
+           round(
+             list_sum(list_transform(list_zip(w, generate_series(1, len(w))),
+                      t -> t[1] * power(0.7, len(w) - t[2])))
+             / list_sum(list_transform(generate_series(1, len(w)),
+                      i -> power(0.7, len(w) - i))),
+             6) AS ewma
+    FROM framed
+    ORDER BY user_id, event_id
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (pandas ``ewm(alpha=0.3,
+    adjust=True)`` semantics, lookback TRUNCATED to 16 rows): weight
+    (1−α)^j on the j-th most recent value, self-normalized by the weight
+    sum. Truncation is what makes this distributable — the exact
+    recursive EWMA needs a sequential scan per key, while weights decay
+    geometrically ((1−α)^16 ≈ 0.003: below any float32 feature's noise
+    floor), so a bounded window frame + one higher-order aggregate give
+    the same numbers to 6 dp with ONE shuffle and zero sequential state.
+    The frame's collect_list is ordered by the window sort — Spark
+    guarantees frame order for collect_list over a bounded frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("w"),
+    )
+    m = F.size("w")
+    decay = F.lit(1.0 - 0.3)
+    num = F.aggregate(
+        F.zip_with(
+            F.col("w"),
+            F.sequence(F.lit(1), m),
+            lambda v, i: v * F.pow(decay, (m - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.pow(decay, (m - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return framed.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n, avg(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT user_id, day, n, avg_value,
+             (avg_value - avg(avg_value) OVER (PARTITION BY user_id))
+               / stddev_samp(avg_value) OVER (PARTITION BY user_id) AS z
+      FROM daily
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d')     AS day,
+           CAST(n AS BIGINT)             AS n_events,
+           round(avg_value, 4)           AS avg_value,
+           round(z, 4)                   AS z
+    FROM scored
+    WHERE z IS NOT NULL AND abs(z) > 2
+    ORDER BY user_id, day
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection: each user's daily average value is
+    z-scored against THAT user's own distribution (unbounded window —
+    mean/std per key, broadcast back by the same window exchange, no
+    self-join) and days beyond 2σ surface. The metrics-monitoring query:
+    one shuffle on user_id shared by the daily agg and the scoring
+    window; output is only the anomalies, so result size is O(outliers)
+    not O(grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("avg_value"),
+    )
+    per_user = Window.partitionBy("user_id")
+    scored = daily.withColumn(
+        "z",
+        (F.col("avg_value") - F.avg("avg_value").over(per_user))
+        / F.stddev_samp("avg_value").over(per_user),
+    )
+    return (
+        scored.filter(F.col("z").isNotNull() & (F.abs("z") > 2))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("z", 4).alias("z"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q_graph_degrees",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nbr FROM pairs
+    ), deg AS (
+      SELECT id, count(DISTINCT nbr) AS degree FROM sym GROUP BY id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph — the shape check
+    BEFORE trusting clustering: a power-law tail or a spiking max degree
+    means an LSH band is bucketing unrelated docs (hub nodes chain
+    everything into one mega-cluster). Two shuffles (degree per node,
+    histogram over degrees), both map-side combined; the symmetrized
+    edge list never materializes per-node adjacency."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")).union(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count_distinct("nbr").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("degree").cast("long"), F.col("n_nodes").cast("long"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    e AS (SELECT id_a AS lo, id_b AS hi FROM pairs)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST(count(DISTINCT e1.lo) AS BIGINT) AS n_apex_nodes
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.hi
+    JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph (Suri &
+    Vassilvitskii, WWW'11): edges oriented low-id→high-id so each
+    triangle is generated by exactly one (lo,mid,hi) wedge and closed by
+    one equi-join — no double counting, no per-node adjacency
+    materialization, and wedge fan-out is bounded by out-degree under
+    the low→high orientation (hubs mostly receive). Triangle density vs
+    edge count separates clean dup-cliques (high closure) from chained
+    false-positive buckets (low closure)."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    e = pairs.select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+    )
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.count_distinct(F.col("e1.lo")).cast("long").alias("n_apex_nodes"),
+    )
