@@ -106,6 +106,7 @@ def load_all() -> None:
         streaming_batch,
         tpch,
         warehouse,
+        webtext,
         windows,
     )
 

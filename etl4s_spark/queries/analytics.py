@@ -433,3 +433,138 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_triangles"),
         F.count_distinct(F.col("e1.lo")).cast("long").alias("n_apex_nodes"),
     )
+
+
+@query(
+    "q_histogram_numeric",
+    oracle="""
+    WITH b AS (
+      SELECT least(19, ((CAST(round(l_extendedprice * 100) AS BIGINT) - 90000)
+                        * 20) // (10500000 - 90000 + 1)) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT)                        AS bucket,
+           round(900.00 + bucket * (105000.00 - 900.00) / 20, 2) AS lo,
+           round(900.00 + (bucket + 1) * (105000.00 - 900.00) / 20, 2) AS hi,
+           CAST(count(*) AS BIGINT)                      AS n
+    FROM b
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (20 buckets over the price domain) —
+    the data-profiling primitive behind NDV estimates and skew
+    detection. Bucketing is EXACT integer arithmetic on cents (floats
+    only reappear for the human-readable bounds), so no value can land
+    on a different side of a boundary in the two engines; one scan, one
+    map-side-combined shuffle on the bucket id, 20 output rows
+    regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_c, hi_c, nb = 90000, 10500000, 20
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.expr(
+            f"((CAST(round(l_extendedprice * 100) AS BIGINT) - {lo_c}) * {nb}) "
+            f"div ({hi_c} - {lo_c} + 1)"
+        ),
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("bucket").cast("long"),
+            F.round(
+                F.lit(900.00) + F.col("bucket") * (105000.00 - 900.00) / nb, 2
+            ).alias("lo"),
+            F.round(
+                F.lit(900.00) + (F.col("bucket") + 1) * (105000.00 - 900.00) / nb, 2
+            ).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)             AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT)  AS p,
+             CAST(round(l_discount * 100) AS BIGINT)       AS d
+      FROM lineitem
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+             sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd,
+             sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd
+      FROM f
+    )
+    SELECT round((n * sqp - sq * sp) /
+                 (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                  * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS corr_qty_price,
+           round((n * sqd - sq * sd) /
+                 (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                  * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_disc,
+           round((n * spd - sp * sd) /
+                 (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                  * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_price_disc
+    FROM s
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (quantity/price/discount) computed
+    from EXACT integer moment sums: the columns are fixed-point by
+    nature (integral quantity, cent prices, percent discounts), so n,
+    Σx, Σxy, Σx² are all bigint-exact and both engines feed the SAME
+    integers into one final float formula — correlation to 6 dp with no
+    summation-order sensitivity (built-in corr() accumulates doubles in
+    partition order and diverges in the last ulp across engines). One
+    scan, one single-row aggregate; the moment-sum trick is how a 100 TB
+    profile computes a full correlation matrix in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    # moment sums in DECIMAL: cent-scale squares are ~1e14 per row, so a
+    # bigint sum overflows past ~1e5 rows (ANSI raises); DuckDB's bigint
+    # sum is already exact 128-bit. Precisions sized so every derived
+    # product below stays within decimal(38).
+    def dsum(col, prec):
+        # cast AFTER the sum too: Spark widens sum(decimal(p)) to p+10,
+        # and the n·Σxx / Σx·Σx products below must stay inside 38 digits
+        return F.sum(col.cast(f"decimal({prec},0)")).cast(f"decimal({prec},0)")
+
+    s = f.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        dsum(F.col("q"), 16).alias("sq"),
+        dsum(F.col("p"), 16).alias("sp"),
+        dsum(F.col("d"), 16).alias("sd"),
+        dsum(F.col("q") * F.col("p"), 24).alias("sqp"),
+        dsum(F.col("q") * F.col("d"), 24).alias("sqd"),
+        dsum(F.col("p") * F.col("d"), 24).alias("spd"),
+        dsum(F.col("q") * F.col("q"), 24).alias("sqq"),
+        dsum(F.col("p") * F.col("p"), 24).alias("spp"),
+        dsum(F.col("d") * F.col("d"), 24).alias("sdd"),
+    )
+
+    def corr(nxy, sx, sy, sxx, syy):
+        return F.round(
+            (F.col("n") * F.col(nxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt((F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double"))
+                * F.sqrt(
+                    (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+                )
+            ),
+            6,
+        )
+
+    return s.select(
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

@@ -438,3 +438,84 @@ def q_join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fact_id", facts.o_custkey, "fact_date", "version_key")
         .orderBy("fact_id")
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key, 0 AS seq, 'I' AS op,
+             o_totalprice AS price FROM orders WHERE o_orderkey <= 4000
+      UNION ALL
+      SELECT o_orderkey, 1, 'U',
+             -- 10% uplift in exact integer cents (half-up): float
+             -- round(x*1.1, 2) splits engines on repr-half boundaries
+             ((CAST(round(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100)
+               / 100.0
+      FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 10 = 0
+    ), latest AS (
+      SELECT key, op, price,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+             count(*)    OVER (PARTITION BY key)                    AS n_ops
+      FROM log
+    )
+    SELECT key, price AS final_price, CAST(n_ops AS BIGINT) AS n_ops
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY key
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (the Debezium/ingest pattern): a
+    deterministic I/U/D log is synthesized from orders (insert at seq 0;
+    10%-uplift update at seq 1 for key%3=0; delete at seq 2 for
+    key%10=0), then collapsed to final table state — LAST op per key
+    wins, deletes drop the key. The collapse is one window on (key,
+    seq DESC) sharing its shuffle with the per-key op count, and
+    row_number()=1 compiles to a map-side WindowGroupLimit before the
+    exchange — at 100 TB the change log streams through this exact plan
+    per micro-batch (see versioned_upsert_batch for the sink half)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    inserts = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    uplift = (
+        F.expr(
+            "(CAST(round(o_totalprice * 100) AS BIGINT) * 110 + 50) div 100"
+        )
+        / F.lit(100.0)
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        uplift.alias("price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = inserts.union(updates).union(deletes)
+    from pyspark.sql.window import Window
+
+    by_key = Window.partitionBy("key")
+    latest = log.select(
+        "key",
+        "op",
+        "price",
+        F.row_number().over(by_key.orderBy(F.col("seq").desc())).alias("rn"),
+        F.count(F.lit(1)).over(by_key).alias("n_ops"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", F.col("price").alias("final_price"), F.col("n_ops").cast("long"))
+        .orderBy("key")
+    )
