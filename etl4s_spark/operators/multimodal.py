@@ -364,6 +364,61 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash (aHash) of an RGB pixel array: grayscale
+    (ITU-R BT.601 integer weights), nearest-neighbor downsample to 8×8,
+    threshold each cell against the 8×8 mean. The classic perceptual
+    fingerprint: invariant to resizing and small brightness/noise
+    perturbations, so re-encoded/thumbnailed copies of one image
+    collide — what byte-level sha can never give you. Integer luma
+    weights (299/587/114) keep the hash bit-identical across
+    platforms."""
+    h, w, _ = pixels.shape
+    yi = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
+    xi = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
+    small = pixels[yi][:, xi].astype(np.int64)
+    gray = (small[:, :, 0] * 299 + small[:, :, 1] * 587 + small[:, :, 2] * 114) // 1000
+    bits = (gray > gray.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # keep as signed 64-bit for the LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual aHash per raster payload inside one Arrow-batched
+    mapInPandas — the fingerprint stage of image dedup. Downstream is
+    ordinary relational work: exact-match groupBy for identical hashes,
+    or 4×16-bit band explode + bucket join for hamming-distance
+    near-dups (the same banded-LSH shape as simhash over text,
+    operators/dedup.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ahash": [
+                        ahash64(decode_bmp(bytes(p))) if p is not None else None
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

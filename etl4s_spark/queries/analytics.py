@@ -568,3 +568,79 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+      WHERE vec_id < 500
+    ), bounds AS (
+      SELECT dim, min(val) AS lo, max(val) AS hi FROM el GROUP BY dim
+    ), coded AS (
+      SELECT e.dim,
+             CAST(round((e.val - b.lo) * 255 / (b.hi - b.lo)) AS BIGINT) AS code,
+             e.val, b.lo, b.hi
+      FROM el e JOIN bounds b ON e.dim = b.dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           round(lo, 6) AS lo,
+           round(hi, 6) AS hi,
+           CAST(sum(CAST(round(abs(val - (lo + code * (hi - lo) / 255)) * 1000000
+                          ) AS BIGINT)) AS BIGINT) AS total_abs_err_e6,
+           CAST(count(DISTINCT code) AS BIGINT)    AS n_codes_used
+    FROM coded
+    GROUP BY dim, lo, hi
+    ORDER BY dim
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-range) embedding quantization with reconstruction
+    audit — the storage-pipeline stage that shrinks an embedding corpus
+    4× before ANN indexing: per-dimension min/max train the affine
+    code, each value maps to a 0..255 level, and the per-dim total
+    reconstruction error + code utilization are the quality gate.
+    posexplode flattens (vec, dim) → one shuffle on dim (64 keys) for
+    bounds, broadcast back, then one more for the audit aggregate; at
+    100 TB the bounds pass is a 64-row artifact computed once and the
+    encode is a scan projection.
+
+    Cross-engine determinism: per-row float ops (identical inputs,
+    identical op order) are bit-stable across engines; the only
+    accumulations — error sum and code count — happen AFTER per-row
+    rounding to integer micro-units, so summation order cannot move the
+    result."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    el = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "dim", "val")
+    bounds = el.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    coded = el.join(F.broadcast(bounds), "dim").select(
+        "dim",
+        "val",
+        "lo",
+        "hi",
+        F.round((F.col("val") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")))
+        .cast("long")
+        .alias("code"),
+    )
+    recon = F.col("lo") + F.col("code") * (F.col("hi") - F.col("lo")) / 255
+    return (
+        coded.groupBy("dim", "lo", "hi")
+        .agg(
+            F.sum(F.round(F.abs(F.col("val") - recon) * 1000000).cast("long"))
+            .cast("long")
+            .alias("total_abs_err_e6"),
+            F.count_distinct("code").cast("long").alias("n_codes_used"),
+        )
+        .select(
+            F.col("dim").cast("int"),
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            "total_abs_err_e6",
+            "n_codes_used",
+        )
+        .orderBy("dim")
+    )

@@ -1765,6 +1765,55 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=2).orderBy("media_id", "frame_idx")
 
 
+@query("q_multimodal_phash_dedup")  # binary pixel path — rows-only; hash
+# invariance/separation proven against driver-side recomputation in pytest
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (operators/multimodal.py image_ahash):
+    each doc synthesizes a 16×16 BMP from one of 12 base patterns plus
+    per-doc ±1 pixel noise — re-encodes/thumbnails of the same image in
+    the wild — then aHash fingerprints collapse the variants and exact
+    groupBy yields the duplicate clusters byte-sha could never find.
+    Fingerprint is one mapInPandas projection (pixels never leave the
+    executor); everything after is a plain shuffle on the 64-bit hash.
+    Rows-only: the hash depends on real pixel decode, which SQL cannot
+    mirror; pytest proves noise-invariance, pattern-separation, and
+    driver-side recompute parity."""
+    from etl4s_spark.operators.multimodal import encode_bmp, image_ahash
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                base_rng = np.random.default_rng(int(mid) % 12)
+                px = base_rng.integers(40, 216, (16, 16, 3), dtype=np.uint8)
+                noise_rng = np.random.default_rng(10_000 + int(mid))
+                mask = noise_rng.integers(0, 2, (16, 16, 1), dtype=np.uint8)
+                px = np.clip(px.astype(np.int16) + mask, 0, 255).astype(np.uint8)
+                rows.append((int(mid), encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, schema="media_id long, payload binary")
+    return (
+        image_ahash(media)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("ahash")
+    )
+
+
 @query(
     "q_dedup_cluster_sizes",
     oracle="""

@@ -137,6 +137,36 @@ def test_frame_sample_matches_driver_side_decode(spark):
         frame_sample(bad).collect()
 
 
+def test_image_ahash_invariance_and_separation(spark):
+    """aHash is invariant to small brightness noise and to resizing
+    (thumbnail of the same image → same hash), separates distinct
+    patterns, and the distributed path matches driver-side ahash64."""
+    import numpy as np
+
+    from etl4s_spark.operators.multimodal import ahash64, encode_bmp, image_ahash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(40, 216, (16, 16, 3), dtype=np.uint8)
+    noisy = np.clip(base.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    other = np.random.default_rng(4).integers(40, 216, (16, 16, 3), dtype=np.uint8)
+    # thumbnail: nearest-neighbor downsample of base to 8x8 (what a real
+    # resize pipeline emits) — aHash must survive it
+    yi = np.minimum(((np.arange(8) + 0.5) * 2).astype(int), 15)
+    thumb = base[yi][:, yi]
+
+    h_base, h_noisy, h_thumb = ahash64(base), ahash64(noisy), ahash64(thumb)
+    h_other = ahash64(other)
+    assert h_base == h_noisy == h_thumb
+    assert h_base != h_other
+
+    df = spark.createDataFrame(
+        [(1, encode_bmp(base)), (2, encode_bmp(noisy)), (3, encode_bmp(other))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.ahash for r in image_ahash(df).collect()}
+    assert got == {1: h_base, 2: h_noisy, 3: h_other}
+
+
 def test_stream_dedup_wm_replay_twice_delivered_exactly_once(spark, tmp_path):
     """The watermark-dedup operator is itself a retry shield: the same
     file replayed as two micro-batches within the horizon emits each key
