@@ -473,11 +473,14 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic I/U/D log is synthesized from orders (insert at seq 0;
     10%-uplift update at seq 1 for key%3=0; delete at seq 2 for
     key%10=0), then collapsed to final table state — LAST op per key
-    wins, deletes drop the key. The collapse is one window on (key,
-    seq DESC) sharing its shuffle with the per-key op count, and
-    row_number()=1 compiles to a map-side WindowGroupLimit before the
-    exchange — at 100 TB the change log streams through this exact plan
-    per micro-batch (see versioned_upsert_batch for the sink half)."""
+    wins, deletes drop the key. The collapse is ONE aggregation:
+    max(struct(seq, op, price)) picks the winning op and count gives
+    n_ops, both associative, so the plan is a single partial/final
+    HashAggregate pair with map-side combine — strictly cheaper than
+    the window formulation (whose per-key count blocks WindowGroupLimit
+    and forces every log row through the exchange). At 100 TB the
+    change log streams through this exact plan per micro-batch (see
+    versioned_upsert_batch for the sink half)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
     inserts = o.select(
         F.col("o_orderkey").alias("key"),
@@ -504,18 +507,12 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("price"),
     )
     log = inserts.union(updates).union(deletes)
-    from pyspark.sql.window import Window
-
-    by_key = Window.partitionBy("key")
-    latest = log.select(
-        "key",
-        "op",
-        "price",
-        F.row_number().over(by_key.orderBy(F.col("seq").desc())).alias("rn"),
-        F.count(F.lit(1)).over(by_key).alias("n_ops"),
+    latest = log.groupBy("key").agg(
+        F.max(F.struct("seq", "op", "price")).alias("last"),
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
     )
     return (
-        latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("key", F.col("price").alias("final_price"), F.col("n_ops").cast("long"))
+        latest.filter(F.col("last.op") != "D")
+        .select("key", F.col("last.price").alias("final_price"), "n_ops")
         .orderBy("key")
     )
