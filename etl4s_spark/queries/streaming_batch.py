@@ -908,6 +908,88 @@ def _upsert_merge_fn(prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
 
 
 @query(
+    "q_stream_static_join_replay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, value
+      FROM events WHERE event_id < 20000
+    )
+    SELECT c.c_nationkey                                      AS nationkey,
+           n.n_name                                           AS nation,
+           CAST(count(*) AS BIGINT)                           AS n_events,
+           round(CAST(sum(CAST(ev.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                                                              AS total_value
+    FROM ev
+    JOIN customer c ON c.c_custkey = ev.user_id + 1
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q_stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED stream-static enrichment — the most common
+    production streaming shape (fact stream ⨝ dimension table): replayed
+    events join a STATIC customer→nation dim inside the micro-batch
+    plan, aggregated per nation in complete mode. The static side needs
+    no watermark and holds no state — Spark broadcasts it into every
+    micro-batch (at scale the dim is re-read per batch, which is exactly
+    how slowly-changing enrichment stays fresh without restarting the
+    stream). Decimal-carried sums make micro-batch accumulation order
+    irrelevant; the oracle is the one-shot batch join+aggregate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_ss_static_replay_")
+    tbl = ev.select("event_id", "ts", "user_id", "value").toArrow()
+    n = tbl.num_rows
+    step = (n + 1) // 2
+    _stage_replay_files([tbl.slice(0, step), tbl.slice(step, step)], replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.select("event_id", "ts", "user_id", "value").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id + 1 == dim.c_custkey
+    )
+    agg = enriched.groupBy("nationkey", "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    sink = f"ss_static_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("nationkey")
+
+
+@query(
     "q_stream_upsert_replay",
     oracle=f"""
     WITH ev AS (
