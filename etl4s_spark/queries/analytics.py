@@ -644,3 +644,117 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "q_filter_bloom",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 450000
+    ), member_pos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom:' ||
+                                      CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 4096 AS pos
+      FROM members, unnest([0, 1, 2]) AS t(i)
+    ), probe AS (
+      SELECT c_custkey AS key,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':bloom:' ||
+                                      CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 4096 AS pos
+      FROM customer, unnest([0, 1, 2]) AS t(i)
+    ), hits AS (
+      SELECT p.key, count(*) AS n_hit
+      FROM probe p JOIN member_pos b ON p.pos = b.pos
+      GROUP BY p.key
+    ), verdicts AS (
+      SELECT c.c_custkey AS key,
+             coalesce(h.n_hit, 0) = 3                        AS maybe,
+             c.c_custkey IN (SELECT key FROM members)        AS actual
+      FROM customer c LEFT JOIN hits h ON h.key = c.c_custkey
+    )
+    SELECT CAST((SELECT count(*) FROM member_pos) AS BIGINT)  AS n_bits_set,
+           CAST(count(*) FILTER (actual) AS BIGINT)           AS n_members,
+           CAST(count(*) FILTER (maybe) AS BIGINT)            AS n_pass_filter,
+           CAST(count(*) FILTER (maybe AND NOT actual) AS BIGINT) AS n_false_pos,
+           CAST(count(*) FILTER (actual AND NOT maybe) AS BIGINT) AS n_false_neg
+    FROM verdicts
+    """,
+)
+def q_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter AS DATA (m=4096 bits, k=3, md5-derived positions —
+    the same engine-independent hash family the samplers use): build
+    the bit set from high-value buyers, probe EVERY customer, and audit
+    the filter (bits set, pass count, false positives, and the
+    must-be-zero false negatives). This is the semi-join-reduction
+    pattern at 100 TB — ship a kilobyte bit set instead of the member
+    list, pre-filter the big side, verify the survivors exactly; the
+    audit columns are what you check before trusting the shortcut.
+    Plan: member positions are one distinct-aggregate (4096-row cap),
+    the probe join is pos-key equi-join + count==k, all integer-exact
+    on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    members = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+
+    def positions(key_col, src):
+        return src.select(
+            key_col.alias("key"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+        ).select(
+            "key",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("key").cast("string"),
+                                F.lit(":bloom:"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+            ).alias("pos"),
+        )
+
+    member_pos = positions(F.col("key"), members).select("pos").distinct()
+    probe = positions(F.col("c_custkey"), c)
+    hits = (
+        probe.join(F.broadcast(member_pos), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    verdicts = (
+        c.select(F.col("c_custkey").alias("key"))
+        .join(hits, "key", "left")
+        .join(
+            members.withColumn("actual", F.lit(True)), "key", "left"
+        )
+        .select(
+            "key",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == 3).alias("maybe"),
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )
+    n_bits = member_pos.count()
+    return verdicts.agg(
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.count_if(F.col("actual")).cast("long").alias("n_members"),
+        F.count_if(F.col("maybe")).cast("long").alias("n_pass_filter"),
+        F.count_if(F.col("maybe") & ~F.col("actual"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.count_if(F.col("actual") & ~F.col("maybe"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )

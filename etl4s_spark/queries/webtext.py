@@ -206,3 +206,67 @@ def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "bigram")
         .limit(30)
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), n_docs AS (
+      SELECT count(*) AS n FROM docs
+    ), terms AS (
+      SELECT doc_id, source, unnest(ws) AS term FROM docs
+    ), clean AS (
+      SELECT doc_id, source, term FROM terms WHERE term <> ''
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM clean GROUP BY term
+    ), src_tf AS (
+      SELECT source, term, count(*) AS tf FROM clean GROUP BY source, term
+    ), scored AS (
+      SELECT s.source, s.term,
+             round(s.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+      FROM src_tf s JOIN df d ON s.term = d.term CROSS JOIN n_docs n
+    ), ranked AS (
+      SELECT source, term, tfidf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT source, CAST(rn AS INT) AS rn, term, tfidf
+    FROM ranked WHERE rn <= 3
+    ORDER BY source, rn
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinguishing terms via TF-IDF — the lightweight
+    topic fingerprint used to spot a source whose vocabulary drifts
+    (scraper broke, boilerplate flooded in). Document frequency and
+    per-source term frequency are INTEGER aggregates; the score
+    multiplies those exact integers by one ln() at the end, so both
+    engines compute identical doubles — no float summation anywhere.
+    Plan: one explode scan feeds both aggregates (term key shuffle,
+    map-side combined), df joins back on the term key, and the top-3
+    per source compiles to a map-side WindowGroupLimit."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    clean = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = d.count()
+    df = clean.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    src_tf = clean.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = src_tf.join(df, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", F.col("rn").cast("int"), "term", "tfidf")
+        .orderBy("source", "rn")
+    )
