@@ -137,6 +137,37 @@ def test_frame_sample_matches_driver_side_decode(spark):
         frame_sample(bad).collect()
 
 
+def test_ts_ewma_matches_pandas(spark):
+    """q_ts_ewma == pandas ewm(alpha=0.3, adjust=True) EXACTLY (to the
+    6 dp the query rounds to) for the first 16 rows per key, and within
+    the documented truncation bound ((1−α)^16 ≈ 0.003 relative weight)
+    beyond them."""
+    import pandas as pd
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in QUERIES["q_ts_ewma"](spark, sf).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev = ev[ev.user_id < 10].sort_values(["user_id", "ts", "event_id"])
+    worst_head, worst_tail = 0.0, 0.0
+    for uid, g in ev.groupby("user_id"):
+        exact = g.value.ewm(alpha=0.3, adjust=True).mean().tolist()
+        for pos, (eid, want) in enumerate(zip(g.event_id, exact)):
+            diff = abs(got[(uid, eid)] - want)
+            if pos < 16:
+                worst_head = max(worst_head, diff)
+            else:
+                worst_tail = max(worst_tail, diff / max(abs(want), 1e-9))
+    assert worst_head <= 1e-6, worst_head
+    assert worst_tail <= 0.02, worst_tail
+
+
 def test_image_ahash_invariance_and_separation(spark):
     """aHash is invariant to small brightness noise and to resizing
     (thumbnail of the same image → same hash), separates distinct
