@@ -267,3 +267,37 @@ def test_pq_encode_plan_constant_in_codebook_size(spark, sf_dir):
         len(p_small),
         len(p_big),
     )
+
+
+def test_round5_plan_contracts(spark, sf_dir):
+    """Scale-shape assertions for the round-5 surface: CDC collapse is a
+    pure aggregation (no Window), TF-IDF's per-source top-3 compiles to
+    a map-side WindowGroupLimit, the bloom probe broadcasts the bit set,
+    and the stream-static dim join broadcasts the dimension."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    cdc = plan_str(QUERIES["q_cdc_apply"](spark, sf_dir))
+    assert "partial_" in cdc and "Window" not in cdc
+
+    tfidf = plan_str(QUERIES["q_text_tfidf"](spark, sf_dir))
+    assert "WindowGroupLimit" in tfidf and "BroadcastHashJoin" in tfidf
+
+    bloom = plan_str(QUERIES["q_filter_bloom"](spark, sf_dir))
+    assert "BroadcastHashJoin" in bloom
+
+    quant = plan_str(QUERIES["q_embedding_quantize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in quant  # 64-row bounds join never shuffles
+
+
+def test_ts_grid_is_distributed_not_driver_side(spark, sf_dir):
+    """The resample grid must be explode(sequence(...)) in the plan —
+    generated executor-side from each key's span row — not a
+    driver-collected range. A LocalTableScan feeding the join would mean
+    the grid materialized on the driver."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_str(QUERIES["q_ts_resample"](spark, sf_dir))
+    assert "explode(sequence(" in plan, plan
+    assert "Generate" in plan, plan
