@@ -95,6 +95,7 @@ def load_all() -> None:
         aggregates,
         analytics,
         filters,
+        insights,
         joins,
         llm,
         scalars,

@@ -1,0 +1,760 @@
+"""Business-analytics + corpus-statistics queries (round 5).
+
+The warehouse half is the classic product-analytics canon — streaks
+(gaps-and-islands), RFM segmentation, market-basket lift, marketing
+attribution, Pareto/Lorenz concentration, key-skew profiling, exact
+quantiles — each expressed as windows + aggregates so Catalyst keeps
+everything in whole-stage codegen with one shuffle per logical key.
+
+The corpus half is tokenizer/LM prep: character-entropy profiling,
+byte-pair (first BPE merge round) candidate counts, lagged
+cross-correlation between event series, and a one-step k-means
+assignment audit over the embeddings table.
+
+Cross-engine determinism rules (FIXTURES.md §C): every count/sum that
+feeds a comparison is integer-exact (cents, micro-units, bigint
+moments); floats appear only in per-row arithmetic on identical
+inputs or final display columns rounded after exact integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id < 50
+    ), numbered AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(day), '%Y-%m-%d') AS streak_start,
+           strftime(max(day), '%Y-%m-%d') AS streak_end,
+           CAST(count(*) AS BIGINT)       AS streak_days
+    FROM numbered
+    GROUP BY user_id, island
+    HAVING count(*) >= 3
+    ORDER BY user_id, streak_start
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-activity streaks per user (gaps-and-islands): distinct
+    active days, then the classic ``day_number − row_number`` island key —
+    constant within a run of consecutive days, strictly increasing across
+    gaps — grouped to (start, end, length), keeping streaks ≥ 3 days.
+    One shuffle on user_id shared by the distinct, the window, and the
+    island aggregate (same partitioning, Catalyst reuses the exchange);
+    no self-join, no sequential scan — the standard engagement-streak
+    query a 100 TB events warehouse runs per day."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    days = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn(
+        "island",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return (
+        numbered.groupBy("user_id", "island")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC,    o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency (days since last order, vs corpus max
+    date), frequency (order count), monetary (lifetime cents) — scored
+    into quintiles with ``ntile(5)`` and aggregated to segment counts.
+    Every ntile ordering carries the c_custkey tie-break, making bucket
+    assignment a TOTAL order (both engines split remainder rows into the
+    leading buckets, so ties are the only divergence risk — removed).
+    Monetary is exact cents. The anchor date is a scalar subquery →
+    broadcast one-row join, not a collect. At 100 TB the three ntiles
+    are global sorts — the documented cost of exact quantile labels; the
+    cheap alternative (approx-percentile cutoffs) is q_sample_quality_decile's
+    pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_order"))
+    )
+    scored = per_cust.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            F.col("r_score").cast("int"),
+            F.col("f_score").cast("int"),
+            F.col("m_score").cast("int"),
+            "n_customers",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS total FROM ob
+    ), brand_n AS (
+      SELECT p_brand, count(*) AS n FROM ob GROUP BY p_brand
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_co
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_co AS BIGINT) AS n_co,
+           (n_co * 1000000) // (SELECT total FROM n_orders) AS support_e6,
+           (n_co * 1000000) // na.n                         AS confidence_e6,
+           round(CAST(n_co AS DOUBLE) * (SELECT total FROM n_orders)
+                 / (na.n * nb.n), 6)                        AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    ORDER BY n_co DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at the brand level: co-occurrence
+    within an order → support, confidence, lift — the screening pass
+    before any recommender. Baskets are DISTINCT (order, brand) so
+    duplicate line items don't inflate counts; the pair join is the
+    a < b self-join on the orderkey (fan-out bounded by basket size,
+    ~4 brands/order — never the 25² brand square). Support/confidence
+    are integer micro-units (exact div); lift is one float op on exact
+    integers, rounded. Top-20 by count with full tie-break → TakeOrdered,
+    no global sort. Brand (25 values) not partkey keeps pair cardinality
+    bounded at any scale — the partkey variant is the same plan with a
+    min-support HAVING."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    total = ob.select("l_orderkey").distinct().count()
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.expr(f"(n_co * 1000000) div {total}").alias("support_e6"),
+            F.expr("(n_co * 1000000) div n_a").alias("confidence_e6"),
+            F.round(F.col("n_co").cast("double") * total / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.col("n_co").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+    WITH first_purchase AS (
+      SELECT user_id, ts AS fp_ts, event_id AS fp_eid
+      FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn_first,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+      FROM events e JOIN first_purchase f ON e.user_id = f.user_id
+      WHERE e.ts < f.fp_ts OR (e.ts = f.fp_ts AND e.event_id < f.fp_eid)
+    ), per_user AS (
+      SELECT f.user_id,
+             coalesce(ft.event_type, '(none)') AS first_touch,
+             coalesce(lt.event_type, '(none)') AS last_touch
+      FROM first_purchase f
+      LEFT JOIN touches ft ON ft.user_id = f.user_id AND ft.rn_first = 1
+      LEFT JOIN touches lt ON lt.user_id = f.user_id AND lt.rn_last = 1
+    )
+    SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY first_touch, last_touch
+    ORDER BY first_touch, last_touch
+    """,
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every converting user (first
+    'purchase'), the FIRST-touch and LAST-touch event types among events
+    strictly before that purchase (lexicographic (ts, event_id) — total
+    order, no timestamp-tie ambiguity), aggregated to a conversion
+    matrix. Spark side uses ``min_by/max_by`` over the (ts, event_id)
+    struct — struct comparison is lexicographic, so both touches come
+    out of ONE aggregate over user_id instead of two ranking windows;
+    users whose conversion is their first event attribute to '(none)'.
+    Two shuffles total (first-purchase agg, touch agg) on the same key."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    fp = purch.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("fp")
+    )
+    joined = ev.join(fp, "user_id").filter(
+        F.struct("ts", "event_id") < F.col("fp")
+    )
+    touches = joined.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_touch"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_touch"),
+    )
+    per_user = fp.join(touches, "user_id", "left").select(
+        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+    )
+    return (
+        per_user.groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+@query(
+    "q_revenue_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev_cents,
+             ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+      FROM per_cust
+    )
+    SELECT CAST(decile AS INT)            AS decile,
+           CAST(count(*) AS BIGINT)       AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           CAST((sum(rev_cents) * 1000000)
+                // (SELECT sum(rev_cents) FROM per_cust) AS BIGINT)
+             AS revenue_share_e6
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz deciles): customers ranked by
+    lifetime revenue, cut into deciles (ntile with custkey tie-break —
+    total order), each decile's exact cent revenue and integer-division
+    share — the 80/20 read on whether a handful of accounts carry the
+    business. Cents are bigint-exact end to end; the global total is a
+    scalar computed by the same aggregate (DuckDB's scalar subquery,
+    Spark's one-row broadcast join). The single global sort inside ntile
+    is the honest price of exact deciles; everything else is one shuffle
+    on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    total = per_cust.agg(F.sum("rev_cents").alias("total"))
+    ranked = per_cust.select(
+        "rev_cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int"),
+            "n_customers",
+            "revenue_cents",
+            F.expr("(revenue_cents * 1000000) div total").alias("revenue_share_e6"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, l_suppkey) AS i,
+             row_number() OVER (ORDER BY c DESC, l_suppkey) AS top_i
+      FROM per_key
+    ), s AS (
+      SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_cnt,
+             min(c) AS min_cnt,
+             sum(i * c) AS weighted,
+             sum(c) FILTER (top_i <= 10) AS top10
+      FROM ranked
+    )
+    SELECT CAST(n_keys AS BIGINT)  AS n_keys,
+           CAST(n_rows AS BIGINT)  AS n_rows,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(min_cnt AS BIGINT) AS min_cnt,
+           CAST((top10 * 1000000) // n_rows AS BIGINT) AS top10_share_e6,
+           CAST(((2 * weighted - (n_keys + 1) * n_rows) * 1000000)
+                // (n_keys * n_rows) AS BIGINT)        AS gini_e6
+    FROM s
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for l_suppkey — the diagnostic you run
+    BEFORE a 100 TB shuffle join: key count, max/min per-key rows,
+    heavy-hitter share (top-10 keys' fraction of all rows), and the Gini
+    coefficient of the key distribution (0 = uniform, →1 = one hot key).
+    Gini uses the exact rank formulation G = (2·Σi·cᵢ − (n+1)·Σc)/(n·Σc)
+    over counts sorted ascending with key tie-break — all bigint until
+    one integer division to micro-units. The per-key agg is map-side
+    combined; the ranking sorts n_keys rows (tiny), not the fact table.
+    A gini_e6 above ~300000 or top10 share above ~5% is the signal to
+    slot-salt or AQE-skew-split that join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_key.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "l_suppkey")).alias("i"),
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "l_suppkey"))
+        .alias("top_i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.min("c").alias("min_cnt"),
+        F.sum(F.col("i") * F.col("c")).alias("weighted"),
+        F.sum(F.when(F.col("top_i") <= 10, F.col("c"))).alias("top10"),
+    )
+    return s.select(
+        F.col("n_keys").cast("long"),
+        F.col("n_rows").cast("long"),
+        F.col("max_cnt").cast("long"),
+        F.col("min_cnt").cast("long"),
+        F.expr("(top10 * 1000000) div n_rows").alias("top10_share_e6"),
+        F.expr(
+            "((2 * weighted - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
+        ).alias("gini_e6"),
+    )
+
+
+@query(
+    "q_agg_median_exact",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(quantile_cont(p, 0.25) / 100, 2) AS p25,
+           round(quantile_cont(p, 0.5)  / 100, 2) AS median,
+           round(quantile_cont(p, 0.75) / 100, 2) AS p75,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cents
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quartiles (percentile_cont semantics) of price
+    per return flag — the ground-truth sibling of q_agg_approx_percentile.
+    Computed on exact cent integers so the interpolation arithmetic
+    (a + (b−a)·f at f ∈ {.25,.5,.75}) is exact in binary floating point
+    regardless of which algebraically-equivalent formula each engine
+    uses — quarter-cent multiples are dyadic rationals well inside
+    double precision. Exact percentiles need the full value multiset per
+    group (Spark sorts within each of the 3 flag groups); at 100 TB you
+    run THIS for the audit and approx_percentile (t-digest, mergeable,
+    one pass) for the dashboard — both are in the surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    return (
+        cents.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(p, 0.25)") / 100, 2).alias("p25"),
+            F.round(F.expr("percentile(p, 0.5)") / 100, 2).alias("median"),
+            F.round(F.expr("percentile(p, 0.75)") / 100, 2).alias("p75"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, unnest(generate_series(1, len(text))) AS t(i)
+      WHERE doc_id < 200
+    ), freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(t.n AS BIGINT)          AS n_chars,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-sum((CAST(f.c AS DOUBLE) / t.n) * log2(CAST(f.c AS DOUBLE) / t.n)), 4)
+             AS entropy_bits
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.n, t.n_distinct
+    ORDER BY f.doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheapest
+    gibberish/boilerplate detector in a pretraining filter stack:
+    natural prose sits ~4.1–4.4 bits/char, base64 blobs and repeated
+    headers fall far outside. Characters are exploded via
+    ``transform(sequence(1, length), i → substring)`` (codegen'd, no
+    UDF), frequencies are one (doc, char) aggregate, and the entropy
+    terms −p·log₂p are per-row float ops on identical (c, n) integer
+    inputs, summed per doc (≤ ~96 printable terms of magnitude ≤ 0.53 —
+    far below 4-dp rounding sensitivity). Two shuffles, both on doc_id."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("n_distinct").cast("long").alias("n_distinct_chars"),
+            "entropy_bits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT substr(text, CAST(i AS INT), 2) AS pair
+      FROM documents, unnest(generate_series(1, len(text) - 1)) AS t(i)
+      WHERE doc_id < 300 AND len(text) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: adjacent character-pair
+    frequencies across the corpus — the top pair is the first merge rule.
+    Pairs are generated executor-side with
+    ``transform(sequence(1, length−1), i → substring(text, i, 2))``
+    (no UDF, no driver text), counted with one map-side-combined shuffle
+    on the pair (≤ alphabet² keys regardless of corpus size — this
+    aggregate's state is BOUNDED at 100 TB, which is why distributed BPE
+    training is feasible at all), then TakeOrdered top-30 with the pair
+    itself as tie-break."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.length("text") >= 2)
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+@query(
+    "q_ts_cross_corr",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day,
+             coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0) AS x,
+             coalesce(sum(CASE WHEN e.event_type = 'purchase' THEN 1 END), 0) AS y
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), lagged AS (
+      SELECT l.lag, a.x, b.y
+      FROM (SELECT unnest(generate_series(-3, 3)) AS lag) l
+      JOIN daily a ON true
+      JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+    ), m AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag_days,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+    FROM m ORDER BY lag_days
+    """,
+)
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily 'click' and 'purchase'
+    series (lags −3…+3): does click volume LEAD purchases? Daily counts
+    are zero-filled onto the calendar grid (sequence+explode, same
+    pattern as q_ts_resample), each lag pairs x(t) with y(t+ℓ) via a
+    date-shifted self-join of the TINY daily table (30 rows — the fact
+    table is touched once), and every correlation comes from exact
+    bigint moment sums with one final float formula rounded to 6 dp
+    (q_corr_matrix's determinism recipe). At 100 TB the daily
+    aggregation is the only big shuffle; the lag machinery runs on
+    O(days) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1)).alias("cx"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)).alias("cy"),
+    )
+    daily = (
+        grid.join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce("cx", F.lit(0)).alias("x"),
+            F.coalesce("cy", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = (
+        F.broadcast(lags)
+        .join(a)
+        .join(
+            b,
+            F.col("b.day")
+            == F.col("a.day") + F.make_dt_interval(F.col("lag")),
+        )
+        .select("lag", F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+    )
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        ),
+        6,
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        corr.alias("xcorr"),
+    ).orderBy("lag_days")
+
+
+@query(
+    "q_cluster_assign",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 4
+    ), dists AS (
+      SELECT e.vec_id, c.centroid_id,
+             CAST(round(list_sum(list_transform(
+                    list_zip(e.embedding, c.cvec),
+                    t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+                         * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))
+                  * 1000000) AS BIGINT) AS d_e6
+      FROM embeddings e, cent c
+      WHERE e.vec_id < 500
+    ), assigned AS (
+      SELECT vec_id, centroid_id, d_e6,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d_e6, centroid_id) AS rn
+      FROM dists
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT)  AS n_assigned,
+           CAST(sum(d_e6) AS BIGINT) AS total_d2_e6,
+           CAST(min(vec_id) AS BIGINT) AS min_member,
+           CAST(max(vec_id) AS BIGINT) AS max_member
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) assignment step with a per-cluster audit:
+    4 deterministic seed centroids (lowest vec_ids), every vector joins
+    its nearest centroid by squared L2. The centroid set is broadcast
+    (k rows — at 100 TB this is THE k-means plan: broadcast k·d floats,
+    one scan, one k-row aggregate; the update step is the same groupBy
+    producing new centroids). Distances fold the 64 dims in index order
+    on both engines (sequential fold, identical op order → bit-identical
+    doubles), then round to integer micro-units BEFORE the argmin, so
+    the (d_e6, centroid_id) comparison — and therefore every assignment
+    — is pure integer arithmetic. argmin via min_by on the struct, not a
+    ranking window: no per-vector sort, map-side combinable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+    vecs = e.filter(F.col("vec_id") < 500).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = vecs.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(d2 * 1000000).cast("long").alias("d_e6"),
+    )
+    assigned = dists.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("centroid_id", "d_e6"), F.struct("d_e6", "centroid_id")
+        ).alias("best")
+    )
+    return (
+        assigned.select("vec_id", "best.centroid_id", "best.d_e6")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d_e6").cast("long").alias("total_d2_e6"),
+            F.min("vec_id").cast("long").alias("min_member"),
+            F.max("vec_id").cast("long").alias("max_member"),
+        )
+        .orderBy("centroid_id")
+    )
