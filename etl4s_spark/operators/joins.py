@@ -66,7 +66,11 @@ def asof_join(
     (``direction="backward"``, inclusive — DuckDB ``ASOF JOIN``
     semantics), or the SMALLEST ``right_ts`` >= ``left_ts``
     (``direction="forward"`` — pandas ``merge_asof`` parity; the same
-    window scans with the sort reversed, so cost is identical).
+    window scans with the sort reversed, so cost is identical), or the
+    CLOSEST of the two (``direction="nearest"``, ties to backward —
+    pandas ``merge_asof(direction='nearest')``; both fills share one
+    hash exchange, so nearest costs one extra sort, not a second
+    shuffle).
 
     Implementation (union + window, SURVEY.md §7.4):
       1. Tag right rows side=0 carrying ONE payload struct (ts + value
@@ -90,8 +94,10 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     keys = list(keys)
     lcols = left.columns
 
@@ -122,33 +128,71 @@ def asof_join(
     # each left row. side stays ASC (right before left at equal ts →
     # inclusive both directions); payload stays ASC so the greatest value
     # tuple still wins ties wholesale.
-    ts_order = (
-        F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
-    )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(
-            ts_order,
-            F.col("__asof_side").asc(),
-            F.col("__asof_p").asc_nulls_first(),
+    def running_fill(ts_order):
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                ts_order,
+                F.col("__asof_side").asc(),
+                F.col("__asof_p").asc_nulls_first(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*",
-        F.last(F.col("__asof_p"), ignorenulls=True).over(w).alias("__asof_m"),
-    )
+        return F.last(F.col("__asof_p"), ignorenulls=True).over(w)
 
-    out = filled.filter(F.col("__asof_side") == 1)
-    if tolerance is not None:
-        if direction == "backward":
-            in_window = F.col("__asof_m.__ts") >= (F.col("__asof_ts") - tolerance)
-        else:
-            in_window = F.col("__asof_m.__ts") <= (F.col("__asof_ts") + tolerance)
-        out = out.select("*", F.when(in_window, F.col("__asof_m")).alias("__asof_mt"))
-        matched = "__asof_mt"
+    def within(match, direc):
+        if direc == "backward":
+            return F.col(f"{match}.__ts") >= (F.col("__asof_ts") - tolerance)
+        return F.col(f"{match}.__ts") <= (F.col("__asof_ts") + tolerance)
+
+    if direction == "nearest":
+        # both fills share ONE hash exchange on keys (same partitioning,
+        # two sort orders); the closer match wins, ties go backward —
+        # pandas merge_asof(direction='nearest') parity
+        filled = unioned.select(
+            "*",
+            running_fill(F.col("__asof_ts").asc()).alias("__asof_b"),
+            running_fill(F.col("__asof_ts").desc()).alias("__asof_f"),
+        )
+        out = filled.filter(F.col("__asof_side") == 1)
+        b, f = F.col("__asof_b"), F.col("__asof_f")
+        if tolerance is not None:
+            b = F.when(within("__asof_b", "backward"), b)
+            f = F.when(within("__asof_f", "forward"), f)
+        out = out.select("*", b.alias("__asof_bt"), f.alias("__asof_ft"))
+        diff_b = F.unix_micros(F.col("__asof_ts")) - F.unix_micros(
+            F.col("__asof_bt.__ts")
+        )
+        diff_f = F.unix_micros(F.col("__asof_ft.__ts")) - F.unix_micros(
+            F.col("__asof_ts")
+        )
+        out = out.select(
+            "*",
+            F.when(F.col("__asof_ft").isNull(), F.col("__asof_bt"))
+            .when(F.col("__asof_bt").isNull(), F.col("__asof_ft"))
+            .when(diff_b <= diff_f, F.col("__asof_bt"))
+            .otherwise(F.col("__asof_ft"))
+            .alias("__asof_mn"),
+        )
+        matched = "__asof_mn"
     else:
-        matched = "__asof_m"
+        ts_order = (
+            F.col("__asof_ts").asc()
+            if direction == "backward"
+            else F.col("__asof_ts").desc()
+        )
+        filled = unioned.select("*", running_fill(ts_order).alias("__asof_m"))
+        out = filled.filter(F.col("__asof_side") == 1)
+        if tolerance is not None:
+            out = out.select(
+                "*",
+                F.when(within("__asof_m", direction), F.col("__asof_m")).alias(
+                    "__asof_mt"
+                ),
+            )
+            matched = "__asof_mt"
+        else:
+            matched = "__asof_m"
 
     return out.select(
         *[F.col(f"__asof_l_{c}").alias(c) for c in lcols],

@@ -758,3 +758,168 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(cur.m, '%Y-%m')            AS month,
+           CAST(cur.rev_cents AS BIGINT)       AS revenue_cents,
+           round(CAST(cur.rev_cents AS DOUBLE) / pm.rev_cents, 6) AS mom_ratio,
+           round(CAST(cur.rev_cents AS DOUBLE) / py.rev_cents, 6) AS yoy_ratio
+    FROM monthly cur
+    LEFT JOIN monthly pm ON pm.m = cur.m - INTERVAL 1 MONTH
+    LEFT JOIN monthly py ON py.m = cur.m - INTERVAL 12 MONTH
+    ORDER BY month
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly revenue with month-over-month
+    and year-over-year ratios via CALENDAR self-joins (pm = m − 1 month,
+    py = m − 12 months) rather than lag(1)/lag(12) offsets — offset lags
+    silently compare the wrong periods when a month is missing; the
+    calendar join yields NULL, which is the honest answer. Revenue is
+    exact cents; each ratio is one float division of exact integers,
+    rounded. The monthly table is O(months) rows, so the two self-joins
+    are broadcast-trivial at any fact-table scale."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("MONTH", "o_orderdate").alias("m")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    cur = monthly.alias("cur")
+    pm = monthly.select(
+        (F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("m"),
+        F.col("rev_cents").alias("pm_rev"),
+    ).alias("pm")
+    py = monthly.select(
+        (F.col("m") + F.expr("INTERVAL 12 MONTH")).alias("m"),
+        F.col("rev_cents").alias("py_rev"),
+    ).alias("py")
+    return (
+        cur.join(F.broadcast(pm), "m", "left")
+        .join(F.broadcast(py), "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            F.col("rev_cents").cast("long").alias("revenue_cents"),
+            F.round(F.col("rev_cents").cast("double") / F.col("pm_rev"), 6).alias(
+                "mom_ratio"
+            ),
+            F.round(F.col("rev_cents").cast("double") / F.col("py_rev"), 6).alias(
+                "yoy_ratio"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_customer_ltv_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, year(min(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) - f.cohort_year AS INT) AS age_years,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT)      AS n_active,
+           CAST(count(*) AS BIGINT)                         AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_year, age_years
+    ORDER BY cohort_year, age_years
+    """,
+)
+def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort matrix: customers bucketed by
+    first-order year, revenue tracked by years-since-acquisition — the
+    (cohort × age) triangle every subscription/commerce business reads
+    to see whether newer cohorts monetize faster. The cohort lookup is a
+    per-customer MIN (one shuffle) joined back to the fact table on the
+    same key — at 100 TB this join co-locates if orders are bucketed by
+    custkey, and the cohort side is customers-sized, not orders-sized.
+    Exact cents; cohort_year from Spark's year() == DuckDB's year()."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year"))
+            .cast("int")
+            .alias("age_years"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+@query(
+    "q_incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+             AS avg_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via PARTIAL-STATE MERGE — the pattern that
+    turns a 100 TB daily rollup into an O(new data) job: each partition
+    epoch (here: first half-month vs rest) aggregates independently to
+    mergeable state (count, decimal sum, min, max), states union and
+    re-aggregate (counts add, sums add, min/max fold), and derived
+    metrics (avg) are computed ONLY from merged state. The oracle is the
+    one-shot aggregation over everything — proving merge(partials) ==
+    full recompute, the algebraic property that makes the incremental
+    schedule safe. Decimal-carried sums make the merge order immaterial
+    to the rounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state_a = partial(ev.filter(F.col("ts") < cut))
+    state_b = partial(ev.filter(F.col("ts") >= cut))
+    merged = (
+        state_a.unionByName(state_b)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s").cast("double"), 4).alias("total_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_value"),
+    ).orderBy("event_type")

@@ -485,3 +485,67 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("matched_ts", fmt).alias("matched_ts"),
         F.col("matched_value").alias("matched_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    bwd AS (
+      SELECT p.event_id, c.ts AS b_ts, c.value AS b_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), fwd AS (
+      SELECT p.event_id, c.ts AS f_ts, c.value AS f_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(strftime(
+             CASE WHEN f_ts IS NULL THEN b_ts
+                  WHEN b_ts IS NULL THEN f_ts
+                  WHEN epoch_us(p.ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(p.ts) THEN b_ts
+                  ELSE f_ts END,
+             '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS matched_ts,
+           CASE WHEN f_ts IS NULL THEN b_value
+                WHEN b_ts IS NULL THEN f_value
+                WHEN epoch_us(p.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(p.ts) THEN b_value
+                ELSE f_value END AS matched_value
+    FROM p
+    LEFT JOIN bwd ON bwd.event_id = p.event_id
+    LEFT JOIN fwd ON fwd.event_id = p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (direction="nearest" - pandas
+    merge_asof(direction='nearest') parity): each purchase matched to
+    the user's click closest in time in EITHER direction, microsecond
+    distance, ties to the backward match. The operator computes both
+    directional fills over ONE hash exchange (two sorts, zero extra
+    shuffles); the oracle composes DuckDB's two native ASOF directions
+    with the same integer-microsecond tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="nearest",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("matched_ts", fmt).alias("matched_ts"),
+        F.col("matched_value").alias("matched_value"),
+    ).orderBy("event_id")

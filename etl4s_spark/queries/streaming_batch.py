@@ -1447,3 +1447,92 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "path")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_stream_topk_replay",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600),
+                      '{_DUCK_FMT}') AS window_start,
+             event_type, count(*) AS n_events
+      FROM events WHERE event_id < 20000
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT window_start, CAST(rnk AS INT) AS rnk, event_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rnk <= 2
+    ORDER BY window_start, rnk
+    """,
+)
+def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: tumbling 10-minute counts per event type are
+    ACTUALLY STREAMED (file-source micro-batches → complete-mode memory
+    sink — the same replay machinery as q_stream_tumbling_replay), then
+    the top-2 types per window are ranked BATCH-side over the sink
+    table. This split is deliberate and is the production shape: ranking
+    inside the stream would need a per-window sort on every trigger,
+    while ranking the final state costs one WindowGroupLimit over
+    O(windows × types) rows. Counts are integers — no accumulation-order
+    sensitivity; rank ties break on event_type."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_topk_")
+    tbl = ev.toArrow()
+    n = tbl.num_rows
+    step = (n + 3) // 4
+    _stage_replay_files([tbl.slice(i * step, step) for i in range(4)], replay_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"topk_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(replay_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    counts = spark.table(sink).select(
+        F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "window_start",
+            F.col("rnk").cast("int"),
+            "event_type",
+            F.col("n_events").cast("long"),
+        )
+        .orderBy("window_start", "rnk")
+    )

@@ -163,3 +163,63 @@ def test_cluster_assign_argmin_tiebreak(spark, tmp_path):
     assert out[1] == (2, 1, 5)
     assert out[2] == (1, 2, 2)
     assert out[3] == (1, 3, 3)
+
+
+def test_asof_nearest_semantics(spark):
+    """nearest picks the closer side, ties go backward, one-sided rows
+    fall back to whichever direction exists, and tolerance nulls both."""
+    import datetime as dt
+
+    from etl4s_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(10)), (2, t(0)), (3, t(100)), (4, t(50))],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(7), 1.0), (1, t(13), 2.0),   # 3s both sides → tie → backward
+         (2, t(5), 3.0),                     # only forward exists
+         (3, t(60), 4.0),                    # only backward exists
+         (4, t(48), 5.0), (4, t(51), 6.0)],  # forward closer (1s vs 2s)
+        "id long, ts timestamp, value double",
+    )
+    out = {
+        r.id: r.matched_value
+        for r in asof_join(
+            left, right, keys=["id"], left_ts="ts", right_ts="ts",
+            right_values=["value"], direction="nearest",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0, 3: 4.0, 4: 6.0}
+
+    from pyspark.sql import functions as F
+
+    tol = {
+        r.id: r.matched_value
+        for r in asof_join(
+            left, right, keys=["id"], left_ts="ts", right_ts="ts",
+            right_values=["value"], direction="nearest",
+            tolerance=F.expr("INTERVAL 4 SECONDS"),
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: None, 3: None, 4: 6.0}
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    """Both directional fills must share ONE hash exchange — nearest may
+    not cost a second shuffle over backward."""
+    from pyspark.sql import functions as F
+
+    from etl4s_spark.operators.joins import asof_join
+    from etl4s_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    plan = plan_str(
+        asof_join(l, r, keys=["user_id"], left_ts="ts", right_ts="ts",
+                  right_values=["value"], direction="nearest")
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
