@@ -758,3 +758,93 @@ def q_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_neg"),
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS id, count(*) AS d FROM sym GROUP BY src
+    ), r0 AS (
+      SELECT id, d, CAST(1000000 AS BIGINT) AS r FROM deg
+    ), r1 AS (
+      SELECT n.id, n.d,
+             150000 + (85 * coalesce(sum(p.r // p.d), 0)) // 100 AS r
+      FROM r0 n LEFT JOIN sym e ON e.dst = n.id
+                LEFT JOIN r0 p ON p.id = e.src
+      GROUP BY n.id, n.d
+    ), r2 AS (
+      SELECT n.id, n.d,
+             150000 + (85 * coalesce(sum(p.r // p.d), 0)) // 100 AS r
+      FROM r1 n LEFT JOIN sym e ON e.dst = n.id
+                LEFT JOIN r1 p ON p.id = e.src
+      GROUP BY n.id, n.d
+    ), r3 AS (
+      SELECT n.id, n.d,
+             150000 + (85 * coalesce(sum(p.r // p.d), 0)) // 100 AS r
+      FROM r2 n LEFT JOIN sym e ON e.dst = n.id
+                LEFT JOIN r2 p ON p.id = e.src
+      GROUP BY n.id, n.d
+    )
+    SELECT id, CAST(d AS BIGINT) AS degree, CAST(r AS BIGINT) AS rank_e6
+    FROM r3 ORDER BY r DESC, id LIMIT 20
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the near-dup pair graph —
+    the hub detector: a doc with pathological rank is an LSH bucket
+    magnet chaining unrelated content. Entirely INTEGER arithmetic:
+    ranks live in micro-units, each neighbor contribution is rank div
+    degree (truncating — both engines truncate positives identically),
+    so every iteration is bit-reproducible across engines with NO float
+    summation anywhere; the oracle unrolls the same three iterations as
+    CTEs. Each iteration is one shuffle (contributions grouped by dst) —
+    the standard Pregel-on-DataFrames step; degrees ride along instead
+    of being re-joined. Top-20 via TakeOrdered."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    sym.cache()
+    ranks = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d")).select(
+        "id", "d", F.lit(1000000).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            sym.join(
+                ranks.select(
+                    F.col("id").alias("src"), F.expr("r div d").alias("c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            ranks.select("id", "d")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "d",
+                (
+                    F.lit(150000)
+                    + F.expr("(85 * coalesce(sc, 0)) div 100")
+                ).alias("r"),
+            )
+        )
+    out = (
+        ranks.select(
+            "id", F.col("d").cast("long").alias("degree"), F.col("r").cast("long").alias("rank_e6")
+        )
+        .orderBy(F.col("rank_e6").desc(), "id")
+        .limit(20)
+    )
+    # materialize before unpersist so the cached edge list serves all 3 joins
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

@@ -1,0 +1,350 @@
+"""Data-quality expectations + statistical audits (round 5).
+
+The expectations suite is the dbt-test / Great-Expectations pattern as
+ONE query: each rule is a tiny aggregate, the suite is their union —
+at 100 TB the rules that share a table share its scan (Catalyst reuses
+the exchange-free scans), and the output is a bounded rule-status
+table a scheduler can alert on.
+
+The statistical audits — Benford first-digit conformance, WoE/IV
+feature screening, OLS via moment sums — follow the module-wide
+determinism recipe: integer counts all the way, one float op per
+output row from exact integer inputs, rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl4s_spark.queries import query
+from etl4s_spark.sources.tables import load_table
+
+
+@query(
+    "q_audit_expectations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS rule,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_refint',
+             CAST(count(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_qty_in_range',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      UNION ALL
+      SELECT 'orders_totalprice_not_null',
+             CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_in_set',
+             CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_lines_per_order_1_to_7',
+             CAST(count(*) AS BIGINT)
+      FROM (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING count(*) < 1 OR count(*) > 7)
+    )
+    ORDER BY rule
+    """,
+)
+def q_audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations suite — six contract rules (PK uniqueness,
+    referential integrity, range, non-null, domain set, per-group
+    cardinality) evaluated in one query, emitting violation counts
+    (0 = pass). The anti-join is the referential check's scale shape
+    (never a collect of keys); the three orders rules share one scan
+    via conditional aggregation where possible. This is the query a
+    100 TB pipeline runs after every load — O(rules) output rows, all
+    integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name, df):
+        return df.select(
+            F.lit(name).alias("rule"), F.col("violations").cast("long")
+        )
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
+    )
+    refint = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    qty = li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    nn = o.agg(F.count_if(F.col("o_totalprice").isNull()).alias("violations"))
+    dom = o.agg(
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("violations")
+    )
+    card = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") < 1) | (F.col("n") > 7))
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return (
+        rule("orders_pk_unique", pk)
+        .unionByName(rule("orders_custkey_refint", refint))
+        .unionByName(rule("lineitem_qty_in_range", qty))
+        .unionByName(rule("orders_totalprice_not_null", nn))
+        .unionByName(rule("orders_status_in_set", dom))
+        .unionByName(rule("lineitem_lines_per_order_1_to_7", card))
+        .orderBy("rule")
+    )
+
+
+@query(
+    "q_audit_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // (SELECT total FROM tot) AS BIGINT) AS share_e6,
+           CAST(round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT)  AS benford_e6,
+           CAST(abs((n * 1000000) // (SELECT total FROM tot)
+                    - CAST(round(log10(1 + 1.0 / digit) * 1000000) AS BIGINT))
+                AS BIGINT) AS abs_dev_e6
+    FROM counts ORDER BY digit
+    """,
+)
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data screen: naturally-occurring amounts follow
+    P(d) = log₁₀(1+1/d); synthetic or tampered ones don't. The first
+    significant digit comes from the exact cent integer's string head
+    (no float log to bucket), shares are integer micro-units, and the
+    Benford expectation is ONE log per output row (9 rows) from integer
+    inputs — deterministic on both engines. One scan, one 9-key
+    map-side-combined aggregate at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")) * 1000000).cast("long")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long"),
+            F.expr("(n * 1000000) div total").alias("share_e6"),
+            benford.alias("benford_e6"),
+            F.abs(F.expr("(n * 1000000) div total") - benford)
+            .cast("long")
+            .alias("abs_dev_e6"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "q_feature_woe",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), binned AS (
+      SELECT y, ntile(10) OVER (ORDER BY price_cents, o_orderkey) AS bin
+      FROM base
+    ), per_bin AS (
+      SELECT bin, count(*) AS n, sum(y) AS n_event,
+             count(*) - sum(y) AS n_nonevent
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT sum(n_event) AS te, sum(n_nonevent) AS tn FROM per_bin
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_event AS BIGINT) AS n_event,
+           round(ln((CAST(n_event AS DOUBLE) * (SELECT tn FROM tot))
+                    / (CAST(n_nonevent AS DOUBLE) * (SELECT te FROM tot))), 6)
+             AS woe
+    FROM per_bin ORDER BY bin
+    """,
+)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence feature screening: order price deciled (ntile
+    with orderkey tie-break — total order), WoE = ln(event-share /
+    non-event-share) per bin against the 'F' (fulfilled) outcome — the
+    credit-scoring / feature-selection primitive that reads a feature's
+    monotonic relationship with a binary target before any model sees
+    it. WoE's float work is ONE ln per output row over a ratio of four
+    exact integers (the shares' denominators cancel algebraically — the
+    expression is written in the cancelled form so both engines evaluate
+    the identical float formula). The decile sort is the exact-quantile
+    cost, same trade as q_rfm_segmentation."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    binned = base.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy("price_cents", "o_orderkey"))
+        .alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_event"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_nonevent"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
+    )
+    woe = F.round(
+        F.log(
+            (F.col("n_event").cast("double") * F.col("tn"))
+            / (F.col("n_nonevent").cast("double") * F.col("te"))
+        ),
+        6,
+    )
+    return (
+        per_bin.join(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int"),
+            F.col("n").cast("long"),
+            F.col("n_event").cast("long"),
+            woe.alias("woe"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_regression_ols",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)            AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_unit,
+           round((CAST(sy AS DOUBLE) - ((n * sxy - sx * sy)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4)
+             AS intercept_cents,
+           round(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS (price-vs-quantity) in ONE distributed pass via exact
+    moment sums — slope, intercept, R² all derive from five bigint/
+    decimal sums with float math only in the final row (q_corr_matrix's
+    recipe; same reason: built-in regr_slope accumulates doubles in
+    partition order and drifts in the last ulp across engines). This is
+    how a 100 TB feature pipeline fits millions of tiny per-group
+    models: the moments are map-side-combinable aggregate state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def dsum(col, prec):
+        return F.sum(col.cast(f"decimal({prec},0)")).cast(f"decimal({prec},0)")
+
+    m = f.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        dsum(F.col("x"), 16).alias("sx"),
+        dsum(F.col("y"), 16).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 24).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 24).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 24).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov_n / var_x
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept_cents"),
+        F.round((cov_n * cov_n).cast("double") / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY dist, key_a, key_b
+    LIMIT 30
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join (typo-level duplicate detection on part
+    names): BLOCK on the first token, compare only within blocks with
+    edit distance ≤ 4 — the blocking+verify shape every ER system uses,
+    because bare levenshtein joins are O(n²). Blocking keys make the
+    join an equi-join (hash, co-locatable); the quadratic is bounded by
+    block size — exactly q_er_blocking's candidate discipline applied to
+    string similarity. Both engines implement the same Wagner-Fischer
+    edit distance; output totally ordered by (dist, keys) → TakeOrdered."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("dist", "key_a", "key_b")
+        .limit(30)
+    )
