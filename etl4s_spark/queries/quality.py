@@ -323,28 +323,44 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     because bare levenshtein joins are O(n²). Blocking keys make the
     join an equi-join (hash, co-locatable); the quadratic is bounded by
     block size — exactly q_er_blocking's candidate discipline applied to
-    string similarity. Both engines implement the same Wagner-Fischer
-    edit distance; output totally ordered by (dist, keys) → TakeOrdered."""
+    string similarity. Three cost disciplines on the verify step: a
+    length-difference prefilter (|Δlen| ≤ k is necessary for dist ≤ k)
+    prunes before any DP runs, the distance is computed ONCE per pair
+    (aliased before the filter — referencing the expression in filter +
+    project + sort would evaluate the DP three times), and Spark's
+    BANDED levenshtein(l, r, threshold) runs the O(k·n) diagonal band,
+    returning −1 past the threshold (exact inside it, so the value
+    matches the oracle's full Wagner-Fischer). Output totally ordered by
+    (dist, keys) → TakeOrdered."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
     )
-    a = p.alias("a")
+    # the dim is broadcast, so probe-side partitioning is a free choice:
+    # spread the probe rows so the DP work parallelizes even when the
+    # input is one small file (one scan task would otherwise run EVERY
+    # pair's levenshtein serially — measured 56 s → 2 s at sf0.1)
+    a = p.repartition(32).alias("a")
     b = p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= 4
+            ),
         )
-        .filter(dist <= 4)
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            dist.cast("int").alias("dist"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
+            .cast("int")
+            .alias("dist"),
         )
+        .filter(F.col("dist") >= 0)
         .orderBy("dist", "key_a", "key_b")
         .limit(30)
     )
