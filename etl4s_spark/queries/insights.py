@@ -188,35 +188,40 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining at the brand level: co-occurrence
     within an order → support, confidence, lift — the screening pass
-    before any recommender. Baskets are DISTINCT (order, brand) so
-    duplicate line items don't inflate counts; the pair join is the
-    a < b self-join on the orderkey (fan-out bounded by basket size,
-    ~4 brands/order — never the 25² brand square). Support/confidence
-    are integer micro-units (exact div); lift is one float op on exact
-    integers, rounded. Top-20 by count with full tie-break → TakeOrdered,
-    no global sort. Brand (25 values) not partkey keeps pair cardinality
-    bounded at any scale — the partkey variant is the same plan with a
-    min-support HAVING."""
+    before any recommender. Baskets are collect_set'd in ONE shuffle on
+    the orderkey (dedup + basket build in the same aggregate), then the
+    a < b pairs are generated MAP-SIDE from each sorted basket array
+    (nested transform over slices — fan-out bounded by basket size, ~4
+    brands/order, never the 25² brand square and never a second
+    fact-table shuffle; the self-join formulation costs an extra
+    exchange of the (order, brand) table for identical output).
+    Support/confidence are integer micro-units (exact div); lift is one
+    float op on exact integers, rounded. Top-20 by count with full
+    tie-break → TakeOrdered, no global sort. Brand (25 values) not
+    partkey keeps pair cardinality bounded at any scale — the partkey
+    variant is the same plan with a min-support HAVING."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    total = ob.select("l_orderkey").distinct().count()
-    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    a = ob.alias("a")
-    b = ob.alias("b")
+    baskets.cache()
+    total = baskets.count()
+    brand_n = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
     na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
