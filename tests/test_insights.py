@@ -223,3 +223,40 @@ def test_asof_nearest_single_shuffle(spark, sf_dir):
     )
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
+    """Cross-validate direction='nearest' against pandas merge_asof on
+    the real events slice — an independent reference implementation
+    (the oracle composes DuckDB ASOFs; pandas implements nearest
+    natively, ties to backward)."""
+    import pandas as pd
+
+    from etl4s_spark.operators.joins import asof_join
+    from etl4s_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    got = {
+        r.event_id: (r.matched_ts, r.matched_value)
+        for r in asof_join(
+            left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+            right_values=["value"], direction="nearest",
+        ).collect()
+    }
+
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="nearest",
+        suffixes=("", "_r"),
+    )
+    for row in merged.itertuples():
+        want = None if pd.isna(row.value) else row.value
+        assert got[row.event_id][1] == want, (row.event_id, got[row.event_id], want)
