@@ -1,0 +1,121 @@
+"""Physical-plan inventory across the declared query surface.
+
+For every registered query, build (never execute) the DataFrame and
+count the plan features that decide 100 TB behavior:
+
+- exchanges (shuffles) — the dominant cost at scale;
+- broadcast exchanges — bounded dims shipped instead of shuffled;
+- parquet scans — input touches (re-scans of the same table show up);
+- sorts / windows — per-partition vs global ordering work;
+- Python boundaries (BatchEvalPython / ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas) — rows leaving the JVM;
+- TakeOrderedAndProject — top-k done without a global sort;
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic joins (only
+  acceptable when one side is a constant-sized matrix).
+
+Usage:
+    python tools/plan_audit.py [--sf /root/testdata/sf0.001] [-o PLAN_AUDIT.json]
+
+Queries that EXECUTE during construction (streaming replays, sink
+round-trips, maintenance rewrites) are skipped by prefix — their cost
+is micro-batch machinery, not a static plan; the bench covers them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# construction has side effects (writes/streams/tables) — not static plans
+SKIP_PREFIXES = (
+    "q_stream_",
+    "q_sink_",
+    "q_maintenance_",
+    "q_scan_schema_evolution",
+    "q_csv_quarantine",
+    "q_upsert_merge",
+    "q_sort_zorder",
+)
+
+FEATURES = {
+    # tree-format node labels: "+- Exchange (5)", "+- BroadcastExchange (7)"
+    "exchanges": r"(?<!Broadcast)Exchange \(",
+    "broadcasts": r"BroadcastExchange",
+    "scans": r"Scan parquet",
+    "sorts": r"\bSort \(",
+    "windows": r"\bWindow \(",
+    "window_group_limits": r"WindowGroupLimit",
+    "top_k": r"TakeOrderedAndProject",
+    "python_eval": r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow",
+    "nested_loop": r"BroadcastNestedLoopJoin|CartesianProduct",
+    "sort_merge_joins": r"SortMergeJoin",
+    "hash_joins": r"BroadcastHashJoin|ShuffledHashJoin",
+}
+
+
+def audit(sf_dir: str, names: list[str] | None = None) -> dict:
+    from etl4s_spark.queries import QUERIES, load_all
+    from etl4s_spark.session import get_spark
+
+    load_all()
+    spark = get_spark()
+    out: dict[str, dict] = {}
+    targets = names or list(QUERIES)
+    for name in targets:
+        if any(name.startswith(p) for p in SKIP_PREFIXES):
+            out[name] = {"skipped": "constructs side effects (streams/sinks)"}
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            continue
+        tree = plan.split("\n\n")[0]
+        row = {
+            k: len(re.findall(pat, tree, flags=re.MULTILINE))
+            for k, pat in FEATURES.items()
+        }
+        out[name] = row
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-o", "--out", default=None)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    rows = audit(args.sf, args.names or None)
+
+    audited = {k: v for k, v in rows.items() if "skipped" not in v and "error" not in v}
+    totals = {
+        "n_queries": len(rows),
+        "n_audited": len(audited),
+        "n_python_boundary": sum(1 for v in audited.values() if v["python_eval"]),
+        "n_nested_loop": sum(1 for v in audited.values() if v["nested_loop"]),
+        "n_zero_shuffle": sum(1 for v in audited.values() if v["exchanges"] == 0),
+        "max_exchanges": max((v["exchanges"] for v in audited.values()), default=0),
+        "mean_exchanges": round(
+            sum(v["exchanges"] for v in audited.values()) / max(1, len(audited)), 2
+        ),
+    }
+    doc = {"sf": args.sf, "totals": totals, "queries": rows}
+    text = json.dumps(doc, indent=1, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(json.dumps(totals))
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
