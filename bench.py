@@ -144,6 +144,7 @@ def main() -> None:
         samples: list[float] = []
         run_loads: list[float] = []
         target_runs = n_runs
+        extra_runs = 0
         failed = False
         for i in range(32):  # re-evaluated target_runs bounds the loop
             if i >= target_runs:
@@ -174,10 +175,14 @@ def main() -> None:
             ) or (
                 len(samples) >= 2
                 and samples[0] > 0
-                and min(warm_so_far) > samples[0] * 1.5
+                and max(warm_so_far) > samples[0] * 1.5
             )
-            if i == target_runs - 1 and spread_hit and target_runs < n_runs + 2:
+            # cap extra runs at 2 RELATIVE to the (possibly adaptive)
+            # target — n_runs-relative capping let a slow query with the
+            # reduced target take 3 extras
+            if i == target_runs - 1 and spread_hit and extra_runs < 2:
                 target_runs += 1
+                extra_runs += 1
                 if name not in respread:
                     respread.append(name)
         runs[name] = samples

@@ -308,6 +308,10 @@ def connected_components(
     (chains), swap in the large-star/small-star variant; dedup graphs
     never need it.
     """
+    if on_nonconvergence not in ("raise", "star"):
+        raise ValueError(
+            f"on_nonconvergence must be 'raise' or 'star', got {on_nonconvergence!r}"
+        )
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 

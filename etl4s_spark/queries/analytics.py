@@ -49,6 +49,27 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_grid(ev: DataFrame):
+    """Shared resample scaffold: per-user span → exploded daily grid +
+    the per-(user, day) average (4 dp). Used by both q_ts_resample and
+    q_ts_interpolate so the grid rule lives in one place."""
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return grid, daily
+
+
 @query(
     "q_ts_resample",
     oracle="""
@@ -85,20 +106,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the span agg and the daily agg; the join back is
     grid ⨝ daily on the same key."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("DAY", F.min("ts")).alias("d0"),
-        F.date_trunc("DAY", F.max("ts")).alias("d1"),
-    )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-        ).alias("day"),
-    )
-    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-    )
+    grid, daily = _daily_grid(ev)
     return (
         grid.join(daily, ["user_id", "day"], "left")
         .select(
@@ -183,20 +191,12 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales-and-rounds the binary double, so 79.14835 split 79.1484 vs
     79.1483."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("DAY", F.min("ts")).alias("d0"),
-        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    grid, daily = _daily_grid(ev)
+    joined = grid.join(
+        daily.select("user_id", "day", F.col("avg_value").alias("v")),
+        ["user_id", "day"],
+        "left",
     )
-    grid = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-        ).alias("day"),
-    )
-    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
-        F.round(F.avg("value"), 4).alias("v")
-    )
-    joined = grid.join(daily, ["user_id", "day"], "left")
     back = (
         Window.partitionBy("user_id")
         .orderBy("day")

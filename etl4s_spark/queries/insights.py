@@ -207,8 +207,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    baskets.cache()
-    total = baskets.count()
+    # total rides along as a broadcast one-row join (no driver count, no
+    # cache to leak); the three baskets consumers share one identical
+    # exchange subplan, which ReuseExchange computes once
+    total = baskets.agg(F.count(F.lit(1)).alias("total"))
     brand_n = (
         baskets.select(F.explode("brands").alias("p_brand"))
         .groupBy("p_brand")
@@ -229,15 +231,17 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(na), "brand_a")
         .join(F.broadcast(nb), "brand_b")
+        .join(F.broadcast(total))
         .select(
             "brand_a",
             "brand_b",
             F.col("n_co").cast("long").alias("n_co"),
-            F.expr(f"(n_co * 1000000) div {total}").alias("support_e6"),
+            F.expr("(n_co * 1000000) div total").alias("support_e6"),
             F.expr("(n_co * 1000000) div n_a").alias("confidence_e6"),
-            F.round(F.col("n_co").cast("double") * total / (F.col("n_a") * F.col("n_b")), 6).alias(
-                "lift"
-            ),
+            F.round(
+                F.col("n_co").cast("double") * F.col("total") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
         )
         .orderBy(F.col("n_co").desc(), "brand_a", "brand_b")
         .limit(20)

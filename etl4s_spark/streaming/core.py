@@ -260,11 +260,20 @@ def versioned_upsert_batch(
     applying batch N without ``v{N-1}`` present means a batch was lost,
     and silently treating it as batch 0 would corrupt the target.
     Returns the written version path."""
-    import os
+    import posixpath
 
-    prev_path = os.path.join(target_base, f"v{batch_id - 1}")
+    def _dir_exists(path: str) -> bool:
+        # go through Hadoop's FS layer, not os.path: target_base may be
+        # hdfs:// or s3a:// — driver-local isdir would report every
+        # remote chain as broken
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath)) and bool(fs.getFileStatus(jpath).isDirectory())
+
+    prev_path = posixpath.join(target_base, f"v{batch_id - 1}")
     if batch_id > 0:
-        if not os.path.isdir(prev_path):
+        if not _dir_exists(prev_path):
             raise RuntimeError(
                 f"versioned upsert chain gap: batch {batch_id} arrived but "
                 f"{prev_path} does not exist"
@@ -273,7 +282,7 @@ def versioned_upsert_batch(
     else:
         prev = None
     merged = merge_fn(prev, batch_df)
-    dst = os.path.join(target_base, f"v{batch_id}")
+    dst = posixpath.join(target_base, f"v{batch_id}")
     merged.write.mode("overwrite").parquet(dst)
     return dst
 

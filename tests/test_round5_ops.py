@@ -137,7 +137,7 @@ def test_frame_sample_matches_driver_side_decode(spark):
         frame_sample(bad).collect()
 
 
-def test_ts_ewma_matches_pandas(spark):
+def test_ts_ewma_matches_pandas(spark, sf_dir):
     """q_ts_ewma == pandas ewm(alpha=0.3, adjust=True) EXACTLY (to the
     6 dp the query rounds to) for the first 16 rows per key, and within
     the documented truncation bound ((1−α)^16 ≈ 0.003 relative weight)
@@ -147,7 +147,7 @@ def test_ts_ewma_matches_pandas(spark):
     from etl4s_spark.queries import QUERIES, load_all
 
     load_all()
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     got = {
         (r.user_id, r.event_id): r.ewma
         for r in QUERIES["q_ts_ewma"](spark, sf).collect()

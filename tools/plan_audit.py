@@ -17,8 +17,12 @@ Usage:
     python tools/plan_audit.py [--sf /root/testdata/sf0.001] [-o PLAN_AUDIT.json]
 
 Queries that EXECUTE during construction (streaming replays, sink
-round-trips, maintenance rewrites) are skipped by prefix — their cost
-is micro-batch machinery, not a static plan; the bench covers them.
+round-trips, maintenance rewrites, eagerly-materialized iterative
+algorithms) are skipped — their returned plan is a sink read or a
+checkpoint scan, not the work; the bench covers them. Queries that run
+a scalar-parameter job during construction (a bloom bit-count, PQ
+codebook training) are NOT skipped: the job computes a plan constant
+and the returned plan is the full lazy pipeline.
 """
 
 from __future__ import annotations
@@ -40,6 +44,9 @@ SKIP_PREFIXES = (
     "q_csv_quarantine",
     "q_upsert_merge",
     "q_sort_zorder",
+    # iterative: eagerly materialized via localCheckpoint, so the
+    # returned plan is a checkpoint scan, not the per-iteration shuffles
+    "q_graph_pagerank",
 )
 
 FEATURES = {
