@@ -260,3 +260,50 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
     for row in merged.itertuples():
         want = None if pd.isna(row.value) else row.value
         assert got[row.event_id][1] == want, (row.event_id, got[row.event_id], want)
+
+
+def test_asof_all_directions_match_pandas_random(spark):
+    """Seeded-random fuzz: all three as-of directions against pandas
+    merge_asof on small generated frames (ties, duplicates, one-sided
+    keys, empty overlaps) — 5 seeds × 3 directions."""
+    import random
+
+    import pandas as pd
+
+    from etl4s_spark.operators.joins import asof_join
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        base = pd.Timestamp("2024-01-01")
+        lrows = [
+            (i, k, (base + pd.Timedelta(seconds=rng.randrange(0, 50))).to_pydatetime())
+            for i, k in enumerate(rng.choices([1, 2, 3], k=8))
+        ]
+        rrows = [
+            (k, (base + pd.Timedelta(seconds=rng.randrange(0, 50))).to_pydatetime(), float(j))
+            for j, k in enumerate(rng.choices([1, 2, 4], k=8))
+        ]
+        left = spark.createDataFrame(lrows, "id long, k long, ts timestamp")
+        right = spark.createDataFrame(rrows, "k long, ts timestamp, value double")
+        lp = left.toPandas().sort_values("ts", kind="stable").reset_index(drop=True)
+        rp = (
+            right.toPandas()
+            # pandas breaks right-side ts ties by position; the operator
+            # picks the greatest payload tuple — presort so they agree
+            .sort_values(["ts", "value"], kind="stable")
+            .reset_index(drop=True)
+        )
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r.id: r.matched_value
+                for r in asof_join(
+                    left, right, keys=["k"], left_ts="ts", right_ts="ts",
+                    right_values=["value"], direction=direction,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lp, rp, on="ts", by="k", direction=direction, suffixes=("", "_r")
+            )
+            for row in want_df.itertuples():
+                want = None if pd.isna(row.value) else row.value
+                assert got[row.id] == want, (seed, direction, row.id, got[row.id], want)
