@@ -1,0 +1,140 @@
+"""Product-analytics operators — reusable builders behind the round-5
+insights queries (streaks, attribution, concentration, key-skew).
+
+Each takes/returns DataFrames with explicit column parameters so any
+event-shaped or fact-shaped table can use them; the q_* queries bind
+them to the test tables and carry the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def activity_streaks(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    min_days: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: per-key runs of CONSECUTIVE active days →
+    (key, streak_start, streak_end, streak_days). The island id is the
+    classic ``day_number − row_number`` difference — constant within a
+    run, strictly increasing across gaps — so the whole computation is
+    one distinct + one window + one aggregate sharing a single hash
+    shuffle on the key."""
+    days = df.select(
+        F.col(key), F.date_trunc("DAY", F.col(ts)).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy(key).orderBy("day")
+    numbered = days.withColumn(
+        "island",
+        F.datediff("day", F.lit("1970-01-01").cast("date")) - F.row_number().over(w),
+    )
+    return (
+        numbered.groupBy(key, "island")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= min_days)
+        .select(key, "streak_start", "streak_end", "streak_days")
+    )
+
+
+def first_last_touch(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    label: str,
+    conversion: Column,
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Attribution: per key, the FIRST and LAST ``label`` value among
+    events strictly before the first event matching ``conversion``
+    (lexicographic (ts, order_col) — a total order, so same-timestamp
+    ties are deterministic). Keys whose conversion is their first event
+    get ``none_label``. Both touches come out of ONE aggregate via
+    min_by/max_by over the (ts, order_col) struct — no ranking windows,
+    two shuffles total on the key."""
+    conv = events.filter(conversion)
+    first_conv = conv.groupBy(key).agg(
+        F.min(F.struct(ts, order_col)).alias("__fc")
+    )
+    before = events.join(first_conv, key).filter(
+        F.struct(ts, order_col) < F.col("__fc")
+    )
+    touches = before.groupBy(key).agg(
+        F.min_by(label, F.struct(ts, order_col)).alias("first_touch"),
+        F.max_by(label, F.struct(ts, order_col)).alias("last_touch"),
+    )
+    return first_conv.join(touches, key, "left").select(
+        key,
+        F.coalesce("first_touch", F.lit(none_label)).alias("first_touch"),
+        F.coalesce("last_touch", F.lit(none_label)).alias("last_touch"),
+    )
+
+
+def lorenz_deciles(df: DataFrame, key: str, amount: Column) -> DataFrame:
+    """Concentration (Pareto/Lorenz) deciles of an exact-integer amount
+    per key: (decile, n_keys, amount_total, share_e6). ntile carries the
+    key tie-break (total order) and the share is integer division —
+    engine-exact. One shuffle on the key + the global sort exact deciles
+    require."""
+    per_key = df.groupBy(key).agg(F.sum(amount).alias("__amt"))
+    total = per_key.agg(F.sum("__amt").alias("__total"))
+    ranked = per_key.select(
+        "__amt",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("__amt").desc(), F.col(key)))
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("__amt").cast("long").alias("amount_total"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int"),
+            "n_keys",
+            "amount_total",
+            F.expr("(amount_total * 1000000) div __total").alias("share_e6"),
+        )
+    )
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """One-row shuffle-key skew diagnostic: n_keys, n_rows, max/min
+    per-key rows, top-N heavy-hitter share, exact-rank Gini — all bigint
+    until one integer division to micro-units. The ranking runs over the
+    per-key aggregate (O(keys) rows), never the fact table."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_key.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", key)).alias("i"),
+        F.row_number().over(Window.orderBy(F.col("c").desc(), key)).alias("top_i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.min("c").alias("min_cnt"),
+        F.sum(F.col("i") * F.col("c")).alias("weighted"),
+        F.sum(F.when(F.col("top_i") <= top_n, F.col("c"))).alias("topn"),
+    )
+    return s.select(
+        F.col("n_keys").cast("long"),
+        F.col("n_rows").cast("long"),
+        F.col("max_cnt").cast("long"),
+        F.col("min_cnt").cast("long"),
+        F.expr("(topn * 1000000) div n_rows").alias(f"top{top_n}_share_e6"),
+        F.expr(
+            "((2 * weighted - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
+        ).alias("gini_e6"),
+    )

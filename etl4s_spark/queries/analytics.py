@@ -385,17 +385,9 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything into one mega-cluster). Two shuffles (degree per node,
     histogram over degrees), both map-side combined; the symmetrized
     edge list never materializes per-node adjacency."""
-    pairs = _neardup_pairs(spark, sf_dir)
-    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")).union(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
-    )
-    deg = sym.groupBy("id").agg(F.count_distinct("nbr").alias("degree"))
-    return (
-        deg.groupBy("degree")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .select(F.col("degree").cast("long"), F.col("n_nodes").cast("long"))
-        .orderBy("degree")
-    )
+    from etl4s_spark.operators.graph import degree_histogram
+
+    return degree_histogram(_neardup_pairs(spark, sf_dir)).orderBy("degree")
 
 
 @query(
@@ -419,20 +411,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low→high orientation (hubs mostly receive). Triangle density vs
     edge count separates clean dup-cliques (high closure) from chained
     false-positive buckets (low closure)."""
-    pairs = _neardup_pairs(spark, sf_dir)
-    e = pairs.select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    wedges = e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
-    tri = wedges.join(
-        e3,
-        (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
-    )
-    return tri.agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles"),
-        F.count_distinct(F.col("e1.lo")).cast("long").alias("n_apex_nodes"),
-    )
+    from etl4s_spark.operators.graph import triangle_census
+
+    return triangle_census(_neardup_pairs(spark, sf_dir))
 
 
 @query(
@@ -806,45 +787,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs. Each iteration is one shuffle (contributions grouped by dst) —
     the standard Pregel-on-DataFrames step; degrees ride along instead
     of being re-joined. Top-20 via TakeOrdered."""
-    pairs = _neardup_pairs(spark, sf_dir)
-    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    sym.cache()
-    ranks = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d")).select(
-        "id", "d", F.lit(1000000).cast("long").alias("r")
-    )
-    for _ in range(3):
-        contrib = (
-            sym.join(
-                ranks.select(
-                    F.col("id").alias("src"), F.expr("r div d").alias("c")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("sc"))
-        )
-        ranks = (
-            ranks.select("id", "d")
-            .join(contrib, "id", "left")
-            .select(
-                "id",
-                "d",
-                (
-                    F.lit(150000)
-                    + F.expr("(85 * coalesce(sc, 0)) div 100")
-                ).alias("r"),
-            )
-        )
+    from etl4s_spark.operators.graph import pagerank_integer
+
+    pairs = _neardup_pairs(spark, sf_dir).cache()
     out = (
-        ranks.select(
-            "id", F.col("d").cast("long").alias("degree"), F.col("r").cast("long").alias("rank_e6")
-        )
+        pagerank_integer(pairs, iterations=3, damping_pct=85)
         .orderBy(F.col("rank_e6").desc(), "id")
         .limit(20)
     )
-    # materialize before unpersist so the cached edge list serves all 3 joins
+    # materialize before unpersist so the cached pair list serves every
+    # iteration's join exactly once; the 20-row checkpoint keeps the
+    # returned lineage flat
     out = out.localCheckpoint(eager=True)
-    sym.unpersist()
+    pairs.unpersist()
     return out

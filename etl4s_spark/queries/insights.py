@@ -58,26 +58,11 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     island aggregate (same partitioning, Catalyst reuses the exchange);
     no self-join, no sequential scan — the standard engagement-streak
     query a 100 TB events warehouse runs per day."""
+    from etl4s_spark.operators.analytics import activity_streaks
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    days = ev.select(
-        "user_id", F.date_trunc("DAY", "ts").cast("date").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    numbered = days.withColumn(
-        "island",
-        F.datediff("day", F.lit("1970-01-01").cast("date"))
-        - F.row_number().over(w),
-    )
-    return (
-        numbered.groupBy("user_id", "island")
-        .agg(
-            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
-            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
-            F.count(F.lit(1)).cast("long").alias("streak_days"),
-        )
-        .filter(F.col("streak_days") >= 3)
-        .select("user_id", "streak_start", "streak_end", "streak_days")
-        .orderBy("user_id", "streak_start")
+    return activity_streaks(ev, key="user_id", ts="ts", min_days=3).orderBy(
+        "user_id", "streak_start"
     )
 
 
@@ -291,21 +276,16 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of ONE aggregate over user_id instead of two ranking windows;
     users whose conversion is their first event attribute to '(none)'.
     Two shuffles total (first-purchase agg, touch agg) on the same key."""
+    from etl4s_spark.operators.analytics import first_last_touch
+
     ev = load_table(spark, sf_dir, "events")
-    purch = ev.filter(F.col("event_type") == "purchase")
-    fp = purch.groupBy("user_id").agg(
-        F.min(F.struct("ts", "event_id")).alias("fp")
-    )
-    joined = ev.join(fp, "user_id").filter(
-        F.struct("ts", "event_id") < F.col("fp")
-    )
-    touches = joined.groupBy("user_id").agg(
-        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_touch"),
-        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_touch"),
-    )
-    per_user = fp.join(touches, "user_id", "left").select(
-        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
-        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+    per_user = first_last_touch(
+        ev,
+        key="user_id",
+        ts="ts",
+        order_col="event_id",
+        label="event_type",
+        conversion=F.col("event_type") == "purchase",
     )
     return (
         per_user.groupBy("first_touch", "last_touch")
@@ -347,29 +327,18 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's one-row broadcast join). The single global sort inside ntile
     is the honest price of exact deciles; everything else is one shuffle
     on o_custkey."""
+    from etl4s_spark.operators.analytics import lorenz_deciles
+
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
-    )
-    total = per_cust.agg(F.sum("rev_cents").alias("total"))
-    ranked = per_cust.select(
-        "rev_cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey")))
-        .alias("decile"),
-    )
     return (
-        ranked.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        lorenz_deciles(
+            o, key="o_custkey", amount=F.round(F.col("o_totalprice") * 100).cast("long")
         )
-        .join(F.broadcast(total))
         .select(
-            F.col("decile").cast("int"),
-            "n_customers",
-            "revenue_cents",
-            F.expr("(revenue_cents * 1000000) div total").alias("revenue_share_e6"),
+            "decile",
+            F.col("n_keys").alias("n_customers"),
+            F.col("amount_total").alias("revenue_cents"),
+            F.col("share_e6").alias("revenue_share_e6"),
         )
         .orderBy("decile")
     )
@@ -412,33 +381,10 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined; the ranking sorts n_keys rows (tiny), not the fact table.
     A gini_e6 above ~300000 or top10 share above ~5% is the signal to
     slot-salt or AQE-skew-split that join."""
+    from etl4s_spark.operators.analytics import key_skew_profile
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
-    ranked = per_key.select(
-        "c",
-        F.row_number().over(Window.orderBy("c", "l_suppkey")).alias("i"),
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), "l_suppkey"))
-        .alias("top_i"),
-    )
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("c").alias("n_rows"),
-        F.max("c").alias("max_cnt"),
-        F.min("c").alias("min_cnt"),
-        F.sum(F.col("i") * F.col("c")).alias("weighted"),
-        F.sum(F.when(F.col("top_i") <= 10, F.col("c"))).alias("top10"),
-    )
-    return s.select(
-        F.col("n_keys").cast("long"),
-        F.col("n_rows").cast("long"),
-        F.col("max_cnt").cast("long"),
-        F.col("min_cnt").cast("long"),
-        F.expr("(top10 * 1000000) div n_rows").alias("top10_share_e6"),
-        F.expr(
-            "((2 * weighted - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
-        ).alias("gini_e6"),
-    )
+    return key_skew_profile(li, key="l_suppkey", top_n=10)
 
 
 @query(
