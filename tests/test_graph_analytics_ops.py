@@ -83,3 +83,27 @@ def test_key_skew_profile_gini_zero_on_uniform(spark):
     row2 = key_skew_profile(skewed, key="k").first()
     assert row2.gini_e6 > 700000  # one key holds 91% of rows
     assert row2.top10_share_e6 == 1000000
+
+
+def test_key_skew_gini_matches_reference_formula(spark):
+    """Random per-key multiplicities: operator Gini == the exact-rank
+    formula computed independently in Python over the same counts."""
+    import random
+
+    from etl4s_spark.operators.analytics import key_skew_profile
+
+    rng = random.Random(7)
+    counts = {k: rng.randrange(1, 40) for k in range(25)}
+    rows = [(k, i) for k, c in counts.items() for i in range(c)]
+    df = spark.createDataFrame(rows, "k long, i long")
+    got = key_skew_profile(df, key="k").first()
+
+    cs = sorted((c, k) for k, c in counts.items())
+    n = len(cs)
+    total = sum(c for c, _ in cs)
+    weighted = sum((i + 1) * c for i, (c, _) in enumerate(cs))
+    want_gini = ((2 * weighted - (n + 1) * total) * 1000000) // (n * total)
+    top10 = sum(c for c, _ in sorted(cs, reverse=True)[:10])
+    assert got.gini_e6 == want_gini
+    assert got.top10_share_e6 == (top10 * 1000000) // total
+    assert (got.n_keys, got.n_rows) == (n, total)
