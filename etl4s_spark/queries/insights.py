@@ -827,10 +827,12 @@ def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 + 100) // 200 AS BIGINT) / 10000.0 AS total_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 + count(*) * 100) // (2 * count(*) * 100) AS BIGINT) / 10000.0
              AS avg_value
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -870,11 +872,20 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("mx"),
         )
     )
+    # derived 4-dp values via exact integer half-up division of the
+    # 6-dp-exact decimal sum (round(double, 4) diverges across engines
+    # on 4-dp half boundaries — see q_rollup_hierarchy); raw-double
+    # min/max round directly (random doubles don't land on boundaries)
     return merged.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
-        F.round(F.col("s").cast("double"), 4).alias("total_value"),
+        (
+            F.expr("(2 * CAST(s * 1000000 AS BIGINT) + 100) div 200") / F.lit(10000.0)
+        ).alias("total_value"),
         F.round("mn", 4).alias("min_value"),
         F.round("mx", 4).alias("max_value"),
-        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_value"),
+        (
+            F.expr("(2 * CAST(s * 1000000 AS BIGINT) + n * 100) div (2 * n * 100)")
+            / F.lit(10000.0)
+        ).alias("avg_value"),
     ).orderBy("event_type")

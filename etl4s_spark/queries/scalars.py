@@ -150,13 +150,13 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding)                                          AS dim,
            array_to_string(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
-                               x -> printf('%.4f', round(x, 4))), ',') AS head4,
+                               x -> printf('%.4f', round(x, 4) + 0.0)), ',') AS head4,
            list_contains(CAST(embedding AS DOUBLE[]),
                          CAST(embedding[1] AS DOUBLE))             AS contains_first,
-           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) + 0.0 AS vec_sum,
            round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max,
            array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
-                               x -> printf('%.4f', round(x * 2.0, 4))), ',') AS doubled
+                               x -> printf('%.4f', round(x * 2.0, 4) + 0.0)), ',') AS doubled
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -174,7 +174,9 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def _fmt4(x):
-        return F.format_string("%.4f", F.round(x, 4))
+        # + 0.0 normalizes IEEE negative zero: DuckDB's round keeps -0.0
+        # (printf -> "-0.0000") while Spark's BigDecimal round does not
+        return F.format_string("%.4f", F.round(x, 4) + F.lit(0.0))
 
     return (
         e.filter(F.col("vec_id") < 50)
@@ -185,8 +187,9 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(F.slice(dvec, 1, 4), lambda x: _fmt4(x)), ","
             ).alias("head4"),
             F.array_contains(dvec, F.element_at(dvec, 1)).alias("contains_first"),
-            F.round(
-                F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 4
+            (
+                F.round(F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x), 4)
+                + F.lit(0.0)
             ).alias("vec_sum"),
             F.round(F.array_max(dvec), 4).alias("vec_max"),
             F.array_join(

@@ -325,36 +325,43 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 4-dp half-up rounding of a 6-dp-exact decimal, done as INTEGER division
+# of micro-units — round(CAST(dec AS DOUBLE), 4) hits the Spark
+# shortest-repr vs DuckDB binary-value divergence whenever the decimal
+# lands on a 4-dp half boundary (positive domain)
+def _duck_r4(expr: str) -> str:
+    return f"CAST((2 * CAST({expr} * 1000000 AS BIGINT) + 100) // 200 AS BIGINT) / 10000.0"
+
+
+_DUCK_AVG4 = (
+    "CAST((2 * CAST(sum(dv) * 1000000 AS BIGINT) + count(*) * 100)"
+    " // (2 * count(*) * 100) AS BIGINT) / 10000.0"
+)
+
+
+def _rollup_level_sql(res: str, trunc: str) -> str:
+    return f"""
+    SELECT '{res}' AS resolution,
+           strftime(date_trunc('{trunc}', ts), '{_DUCK_FMT}') AS bucket_start,
+           event_type, count(*) AS n_events,
+           {_duck_r4("sum(dv)")} AS total_value,
+           {_duck_r4("min(dv)")} AS min_value,
+           {_duck_r4("max(dv)")} AS max_value,
+           {_DUCK_AVG4} AS avg_value
+    FROM v GROUP BY 2, 3"""
+
+
 @query(
     "q_rollup_hierarchy",
     oracle=f"""
     WITH v AS (
       SELECT ts, event_type, CAST(value AS DECIMAL(18,6)) AS dv FROM events
     )
-    SELECT 'minute' AS resolution,
-           strftime(date_trunc('minute', ts), '{_DUCK_FMT}') AS bucket_start,
-           event_type, count(*) AS n_events,
-           round(CAST(sum(dv) AS DOUBLE), 4) AS total_value,
-           round(CAST(min(dv) AS DOUBLE), 4) AS min_value,
-           round(CAST(max(dv) AS DOUBLE), 4) AS max_value,
-           round(CAST(sum(dv) AS DOUBLE) / count(*), 4) AS avg_value
-    FROM v GROUP BY 2, 3
+    {_rollup_level_sql("minute", "minute")}
     UNION ALL
-    SELECT 'hour', strftime(date_trunc('hour', ts), '{_DUCK_FMT}'),
-           event_type, count(*),
-           round(CAST(sum(dv) AS DOUBLE), 4),
-           round(CAST(min(dv) AS DOUBLE), 4),
-           round(CAST(max(dv) AS DOUBLE), 4),
-           round(CAST(sum(dv) AS DOUBLE) / count(*), 4)
-    FROM v GROUP BY 2, 3
+    {_rollup_level_sql("hour", "hour")}
     UNION ALL
-    SELECT 'day', strftime(date_trunc('day', ts), '{_DUCK_FMT}'),
-           event_type, count(*),
-           round(CAST(sum(dv) AS DOUBLE), 4),
-           round(CAST(min(dv) AS DOUBLE), 4),
-           round(CAST(max(dv) AS DOUBLE), 4),
-           round(CAST(sum(dv) AS DOUBLE) / count(*), 4)
-    FROM v GROUP BY 2, 3
+    {_rollup_level_sql("day", "day")}
     ORDER BY 1, 2, 3
     """,
 )
@@ -363,22 +370,40 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     day rollups per event_type, each coarser level re-aggregated from the
     finer one (raw scanned once; see operators/rollup.py). The oracle
     aggregates each level straight from raw — results match exactly
-    because sums are carried as decimals (order-independent)."""
+    because sums are carried as decimals (order-independent) and the avg
+    is rounded by exact INTEGER half-up division of micro-unit sums:
+    round(double_sum/n, 4) diverged at sf0.001, where a bucket landed on
+    a 4-dp half boundary (38.37875) — Spark half-ups the shortest
+    decimal repr while DuckDB rounds the binary double (the
+    q_ts_interpolate divergence, caught here by the sf0.001 sweep)."""
     from etl4s_spark.operators.rollup import rollup_hierarchy
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "dv", F.col("value").cast("decimal(18,6)")
     )
     r = rollup_hierarchy(ev, "ts", "dv", keys=["event_type"])
+
+    # exact integer half-up to 4 dp from 6-dp decimals (see oracle note)
+    def r4(col: str):
+        return F.expr(
+            f"(2 * CAST({col} * 1000000 AS BIGINT) + 100) div 200"
+        ) / F.lit(10000.0)
+
     return r.select(
         "resolution",
         F.date_format("bucket_start", _TS_FMT).alias("bucket_start"),
         "event_type",
         "n_events",
-        F.round(F.col("total_value").cast("double"), 4).alias("total_value"),
-        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
-        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
-        F.round(F.col("total_value").cast("double") / F.col("n_events"), 4).alias("avg_value"),
+        r4("total_value").alias("total_value"),
+        r4("min_value").alias("min_value"),
+        r4("max_value").alias("max_value"),
+        (
+            F.expr(
+                "(2 * CAST(total_value * 1000000 AS BIGINT) + n_events * 100) "
+                "div (2 * n_events * 100)"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_value"),
     ).orderBy("resolution", "bucket_start", "event_type")
 
 
