@@ -23,17 +23,29 @@ _WORDS_LIM = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', '
 @query(
     "q_agg_groupby",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT)            AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d,
+             CAST(round(l_tax * 100) AS BIGINT)           AS t
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                   AS sum_qty,
-           round(sum(l_extendedprice), 4)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           CAST(sum(q) AS DOUBLE)                           AS sum_qty,
+           CAST(sum(p) AS DOUBLE) / 100                     AS sum_base_price,
+           CAST(sum(p * (100 - d)) AS DOUBLE) / 10000.0     AS sum_disc_price,
+           CAST((2 * sum(p * (100 - d) * (100 + t)) + 100)
+                // 200 AS BIGINT) / 10000.0                 AS sum_charge,
+           CAST((2 * sum(q) * 10000 + count(*))
+                // (2 * count(*)) AS BIGINT) / 10000.0      AS avg_qty,
+           CAST((2 * sum(p) * 100 + count(*))
+                // (2 * count(*)) AS BIGINT) / 10000.0      AS avg_price,
+           CAST((2 * sum(d) * 100 + count(*))
+                // (2 * count(*)) AS BIGINT) / 10000.0      AS avg_disc,
+           count(*)                                         AS count_order
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -44,21 +56,55 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: parquet scan (pushed filter on l_shipdate, pruned to 8 columns)
     → partial HashAggregate → shuffle on 2 low-cardinality keys → final
     HashAggregate → sort. One shuffle; scales linearly in input.
-    """
+
+    TPC-H defines these columns on DECIMALS, and this formulation keeps
+    them exact: cents/percent integers in, bigint moment sums (the
+    disc-price and charge products are integers at 10⁻⁴/10⁻⁶ scale),
+    ONE identical division (or integer half-up round) out. The original
+    round(sum(double), 4) had passed five rounds on luck — the same
+    class diverged at sf0.1 in q_agg_filtered, where ~100k-term float
+    sums accumulate in engine-specific orders (FIXTURES.md §C).
+
+    Range note: the charge-product sum is ~1e11/row, so bigint exactness
+    holds to ~5·10⁷ rows per group; beyond that ANSI mode RAISES (loud,
+    never silently wrong) and the sums should widen to decimal(38,0) —
+    at that scale a 4-dp double can't represent the total anyway (ulp of
+    1e13 is ~2·10⁻³), so the display contract itself changes first."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    c = li.filter(
+        F.lit("1998-09-02 00:00:00").cast("timestamp") >= F.col("l_shipdate")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        c.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            (F.sum("p").cast("double") / 100).alias("sum_base_price"),
+            (
+                F.sum(F.col("p") * (100 - F.col("d"))).cast("double") / 10000.0
+            ).alias("sum_disc_price"),
+            F.expr(
+                "CAST((2 * sum(p * (100 - d) * (100 + t)) + 100) div 200 AS BIGINT)"
+                " / 10000.0D"
+            ).alias("sum_charge"),
+            F.expr(
+                "CAST((2 * sum(q) * 10000 + count(1)) div (2 * count(1)) AS BIGINT)"
+                " / 10000.0D"
+            ).alias("avg_qty"),
+            F.expr(
+                "CAST((2 * sum(p) * 100 + count(1)) div (2 * count(1)) AS BIGINT)"
+                " / 10000.0D"
+            ).alias("avg_price"),
+            F.expr(
+                "CAST((2 * sum(d) * 100 + count(1)) div (2 * count(1)) AS BIGINT)"
+                " / 10000.0D"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -206,9 +252,13 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_quantity > 25)                    AS n_big,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05),
-                 4)                                                   AS disc_rev,
-           round(avg(l_quantity) FILTER (WHERE l_tax = 0), 4)         AS notax_avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100     AS disc_rev,
+           CAST((2 * sum(CAST(round(l_quantity) AS BIGINT))
+                       FILTER (WHERE l_tax = 0) * 10000
+                 + count(*) FILTER (WHERE l_tax = 0))
+                // (2 * count(*) FILTER (WHERE l_tax = 0)) AS BIGINT)
+             / 10000.0                                                AS notax_avg_qty,
            count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
                                                                       AS n_supp_f
     FROM lineitem
@@ -221,17 +271,28 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditioned aggregates over ONE scan and ONE shuffle — the
     alternative to N self-joined subqueries. Spark expresses them as
     count_if / agg-over-when; all conditions evaluate in the scan
-    stage."""
+    stage. Money/quantity aggregates are exact-integer (cents / integral
+    units) before ONE identical float op: round(sum(double), 4) diverged
+    at sf0.1, where ~100k-term float sums accumulate in different orders
+    on the two engines (FIXTURES.md §C)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count_if(F.col("l_quantity") > 25).alias("n_big"),
-            F.round(
-                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        F.round(F.col("l_extendedprice") * 100).cast("long"),
+                    )
+                ).cast("double")
+                / 100
             ).alias("disc_rev"),
-            F.round(
-                F.avg(F.when(F.col("l_tax") == 0, F.col("l_quantity"))), 4
+            F.expr(
+                "CAST((2 * sum(CASE WHEN l_tax = 0 THEN CAST(round(l_quantity) AS BIGINT) END) * 10000"
+                " + count(CASE WHEN l_tax = 0 THEN 1 END))"
+                " div (2 * count(CASE WHEN l_tax = 0 THEN 1 END)) AS BIGINT) / 10000.0D"
             ).alias("notax_avg_qty"),
             F.count_distinct(
                 F.when(F.col("l_linestatus") == "F", F.col("l_suppkey"))

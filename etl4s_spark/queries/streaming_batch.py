@@ -57,8 +57,9 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(to_timestamp(floor((epoch(ts) - off) / 600) * 600 + off),
                     '{_DUCK_FMT}')  AS window_start,
            count(*)                 AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4)     AS avg_value
+           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 + count(*) * 100)
+                // (2 * count(*) * 100) AS BIGINT) / 10000.0 AS avg_value
     FROM events CROSS JOIN offs
     GROUP BY 1
     ORDER BY 1
@@ -68,19 +69,20 @@ def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding every 5 — each event lands in exactly 2
     windows (the oracle reproduces that with the two start offsets).
 
-    avg is computed as an exact decimal sum divided by the count so the
-    result is independent of partial-aggregation order (doubles summed
-    in different orders land on different sides of the round() boundary).
+    avg is an exact decimal sum pushed through INTEGER half-up division
+    to 4 dp (micro-units / (n·100)): the earlier decimal-sum-as-double /
+    count formulation was already order-independent, but round(double, 4)
+    still split on a 4-dp half boundary at sf0.1 — Spark rounds the
+    shortest decimal repr, DuckDB the binary value (FIXTURES.md §C).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            F.expr(
+                "CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+                " + count(1) * 100) div (2 * count(1) * 100) AS BIGINT) / 10000.0D"
             ).alias("avg_value"),
         )
         .select(
@@ -330,12 +332,12 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortest-repr vs DuckDB binary-value divergence whenever the decimal
 # lands on a 4-dp half boundary (positive domain)
 def _duck_r4(expr: str) -> str:
-    return f"CAST((2 * CAST({expr} * 1000000 AS BIGINT) + 100) // 200 AS BIGINT) / 10000.0"
+    return f"CAST((2 * CAST({expr} * 1000000 AS BIGINT) + 100) // 200 AS BIGINT) / 10000.0D"
 
 
 _DUCK_AVG4 = (
     "CAST((2 * CAST(sum(dv) * 1000000 AS BIGINT) + count(*) * 100)"
-    " // (2 * count(*) * 100) AS BIGINT) / 10000.0"
+    " // (2 * count(*) * 100) AS BIGINT) / 10000.0D"
 )
 
 
