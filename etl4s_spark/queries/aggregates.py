@@ -439,17 +439,28 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 4) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — the grand-total cell sums the WHOLE table, so the money
+    column is exact cents (a double sum at 2e10 magnitude carries more
+    engine-order error than the 4-dp half width — FIXTURES.md §C)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("sum_price")
+        )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 

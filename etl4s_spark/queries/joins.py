@@ -247,7 +247,8 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -278,7 +279,18 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            # decimal-carried revenue (tpch.py _revenue recipe): a double
+            # sum over ~100k rows/nation carries engine-order error near
+            # the 4-dp half width; the 4-dp-exact products sum exactly
+            # as decimals
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy(F.col("revenue").desc(), "nation_name")
