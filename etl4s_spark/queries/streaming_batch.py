@@ -332,12 +332,12 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortest-repr vs DuckDB binary-value divergence whenever the decimal
 # lands on a 4-dp half boundary (positive domain)
 def _duck_r4(expr: str) -> str:
-    return f"CAST((2 * CAST({expr} * 1000000 AS BIGINT) + 100) // 200 AS BIGINT) / 10000.0D"
+    return f"CAST((2 * CAST({expr} * 1000000 AS BIGINT) + 100) // 200 AS BIGINT) / 10000.0"
 
 
 _DUCK_AVG4 = (
     "CAST((2 * CAST(sum(dv) * 1000000 AS BIGINT) + count(*) * 100)"
-    " // (2 * count(*) * 100) AS BIGINT) / 10000.0D"
+    " // (2 * count(*) * 100) AS BIGINT) / 10000.0"
 )
 
 
