@@ -413,7 +413,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive buckets (low closure)."""
     from etl4s_spark.operators.graph import triangle_census
 
-    return triangle_census(_neardup_pairs(spark, sf_dir))
+    # neardup pairs are id_a < id_b and distinct by construction — skip
+    # the operator's orient+dedup exchanges
+    return triangle_census(_neardup_pairs(spark, sf_dir), assume_oriented_distinct=True)
 
 
 @query(
@@ -787,17 +789,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs. Each iteration is one shuffle (contributions grouped by dst) —
     the standard Pregel-on-DataFrames step; degrees ride along instead
     of being re-joined. Top-20 via TakeOrdered."""
-    from etl4s_spark.operators.graph import pagerank_integer
+    from etl4s_spark.operators.graph import pagerank_edges, symmetrize
 
-    pairs = _neardup_pairs(spark, sf_dir).cache()
+    # cache the SYMMETRIZED edge list (distinct by construction: neardup
+    # pairs are unique and oriented) so all 4 passes — degree + 3
+    # iterations — reuse one materialized frame
+    sym = symmetrize(_neardup_pairs(spark, sf_dir)).cache()
     out = (
-        pagerank_integer(pairs, iterations=3, damping_pct=85)
+        pagerank_edges(sym, iterations=3, damping_pct=85)
         .orderBy(F.col("rank_e6").desc(), "id")
         .limit(20)
     )
-    # materialize before unpersist so the cached pair list serves every
-    # iteration's join exactly once; the 20-row checkpoint keeps the
+    # materialize before unpersist; the 20-row checkpoint keeps the
     # returned lineage flat
     out = out.localCheckpoint(eager=True)
-    pairs.unpersist()
+    sym.unpersist()
     return out

@@ -107,3 +107,15 @@ def test_key_skew_gini_matches_reference_formula(spark):
     assert got.gini_e6 == want_gini
     assert got.top10_share_e6 == (top10 * 1000000) // total
     assert (got.n_keys, got.n_rows) == (n, total)
+
+
+def test_pagerank_dedups_duplicate_edges_by_default(spark):
+    """A duplicate pair must not inflate degrees/contributions — default
+    contract matches degree_histogram/triangle_census normalization."""
+    from etl4s_spark.operators.graph import pagerank_integer
+
+    clean = _pairs(spark, [(1, 2), (1, 3)])
+    dup = _pairs(spark, [(1, 2), (1, 2), (1, 3)])
+    a = {r.id: (r.degree, r.rank_e6) for r in pagerank_integer(clean).collect()}
+    b = {r.id: (r.degree, r.rank_e6) for r in pagerank_integer(dup).collect()}
+    assert a == b

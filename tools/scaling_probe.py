@@ -29,15 +29,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (table, [key columns to shift]) — facts replicate K× with shifted keys;
-# customer shifts with orders so referential integrity holds at scale
+# (table, {column: key domain}) — facts replicate K× with shifted keys.
+# Columns sharing a DOMAIN (orders.o_custkey ↔ customer.c_custkey,
+# orders.o_orderkey ↔ lineitem.l_orderkey) shift by one shared unit =
+# max over the whole domain + 1 — per-table maxes desynchronize the
+# replicas whenever the maxes differ (e.g. orderless customers) and
+# silently break the referential integrity the probe promises.
 SHIFT = {
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "customer": ["c_custkey"],
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order"},
+    "customer": {"c_custkey": "cust"},
 }
 FIXED = ["part", "supplier", "nation", "region"]
 
@@ -73,14 +77,20 @@ def build_scaled(spark, src: str, dst: str, k: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
-    for t, keys in SHIFT.items():
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        maxes = df.agg(*[F.max(c).alias(c) for c in keys]).first()
+    frames = {t: spark.read.parquet(f"{src}/{t}.parquet") for t in SHIFT}
+    # one shift unit per key DOMAIN: max over every column in the domain
+    units: dict[str, int] = {}
+    for t, cols in SHIFT.items():
+        for c, dom in cols.items():
+            m = frames[t].agg(F.max(c)).first()[0]
+            units[dom] = max(units.get(dom, 0), int(m) + 1)
+    for t, cols in SHIFT.items():
+        df = frames[t]
         shifted = None
         for i in range(k):
             part = df
-            for c in keys:
-                part = part.withColumn(c, F.col(c) + F.lit(i * (maxes[c] + 1)))
+            for c, dom in cols.items():
+                part = part.withColumn(c, F.col(c) + F.lit(i * units[dom]))
             shifted = part if shifted is None else shifted.unionByName(part)
         shifted.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     for t in FIXED:
@@ -97,7 +107,11 @@ def time_queries(spark, qs, names, sf_dir: str, runs: int = 2) -> dict[str, floa
         best = None
         for _ in range(runs):
             t0 = time.monotonic()
-            qs[name](spark, sf_dir).count()
+            # noop sink materializes EVERY output column — .count() lets
+            # Catalyst prune unreferenced aggregates/projections, timing
+            # a reduced plan (verified: groupBy+sum under count() drops
+            # the sum and the column read entirely)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
