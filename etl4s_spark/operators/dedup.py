@@ -614,3 +614,98 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    anchor_k: int = 8,
+    anchor_sel: str = "4",
+) -> DataFrame:
+    """Cross-document repeated-substring spans via CONTENT-DEFINED
+    anchoring — the finer-grained, offset-insensitive tier below chunk
+    dedup, the DataFrame rendition of suffix-array substring dedup (Lee
+    et al., ACL 2022) using the winnowing/CDC selection trick (Schleimer
+    et al., SIGMOD 2003; rsync/LBFS chunking): a position is an ANCHOR
+    iff the hash of its local ``anchor_k``-gram clears a content-derived
+    predicate (first md5 hex char < ``anchor_sel``), so two documents
+    sharing a passage select the SAME in-passage positions regardless of
+    where the passage sits in each document. Fixed-stride sampling on
+    both sides has no such guarantee — windows only collide when the
+    offsets agree modulo the stride.
+
+    At each anchor the ``window``-char substring is hashed; hashes seen
+    in ≥ 2 distinct documents mark duplicated spans, merged per document
+    into maximal islands. Detection is probabilistic in passage length:
+    with selection rate r (= int(anchor_sel, 16)/16), a shared passage
+    with m eligible anchor positions (≈ len − window − anchor_k) is
+    missed with probability (1 − r)^m — ~0.1% for an 80-char passage at
+    the default r = 1/4.
+
+    Returns (id, span_start, span_end, span_len, n_windows), 1-based
+    inclusive char offsets.
+
+    Scale posture: anchor selection computes one short-gram hash per
+    character (linear in corpus bytes; on a Spark-only pipeline swap the
+    md5 predicate for xxhash64 or a Karp-Rabin rolling hash via
+    ``aggregate`` — md5 here is the cross-engine-reproducible choice),
+    keeps ~r of positions, and window hashes only those. The only wide
+    exchanges are one groupBy on the window hash (map-side combined
+    distinct-doc count) and one per-doc window for the span merge.
+    Nothing is quadratic: documents sharing a passage meet in the hash
+    group, never in a pairwise join."""
+    starts = F.sequence(F.lit(1), F.length(F.col(text_col)) - (window - 1))
+    pos = (
+        df.filter(F.length(F.col(text_col)) >= window)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            F.explode(starts).alias("start"),
+        )
+    )
+    anchors = pos.filter(
+        F.substring(
+            F.md5(F.substring(F.col(text_col), F.col("start"), anchor_k)), 1, 1
+        )
+        < anchor_sel
+    )
+    wins = anchors.select(
+        "id",
+        "start",
+        F.md5(F.substring(F.col(text_col), F.col("start"), window)).alias("h"),
+    )
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = (
+        wins.join(dup_hashes, "h")
+        .select("id", "start", (F.col("start") + (window - 1)).alias("end"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window as W
+
+    w_order = W.partitionBy("id").orderBy("start")
+    prev_max = F.max("end").over(w_order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("start") > prev_max + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_order))
+    return (
+        flagged.groupBy("id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )

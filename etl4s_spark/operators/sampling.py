@@ -217,3 +217,48 @@ def per_group_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col: Column,
+) -> DataFrame:
+    """Static domain-mixture reweighting to a UNIFORM token target — the
+    data-mixing stage of a pretraining pipeline (the fixed-target core
+    of DoReMi-style reweighting, minus the learned proxy): given each
+    domain's token mass, emit the per-domain sampling weight that
+    equalizes token share across domains. weight > 1 means the domain is
+    under-represented (upsample/repeat epochs), < 1 means downsample;
+    ``sample_frac`` caps at 1 for single-epoch pipelines.
+
+    All arithmetic is integer-derived — weight = T / (D · tokens) with
+    T, D, tokens exact BIGINTs and ONE float division — so a SQL oracle
+    reproduces every value bit-for-bit (no pow(), the α-smoothing trap:
+    libm pow is not cross-engine reproducible; a uniform target needs
+    none).
+
+    Plan: one map-side-combined agg over the corpus on the domain key,
+    then per-row expressions over the (tiny) domain frame with its
+    one-row totals broadcast back — the corpus is scanned exactly once.
+    Returns (domain, n_docs, n_tokens, actual_share, target_share,
+    weight, sample_frac, planned_tokens)."""
+    domains = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_tokens"),
+    )
+    totals = domains.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    weight = F.col("t") / (F.col("d") * F.col("n_tokens"))
+    frac = F.least(F.lit(1.0), weight)
+    return domains.join(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("actual_share"),
+        F.round(F.lit(1.0) / F.col("d"), 6).alias("target_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(frac, 6).alias("sample_frac"),
+        F.round(F.col("n_tokens") * frac).cast("long").alias("planned_tokens"),
+    )

@@ -100,6 +100,7 @@ def load_all() -> None:
         llm,
         quality,
         scalars,
+        scale_ops,
         scans,
         setops,
         sorts,

@@ -1,0 +1,193 @@
+"""Operator-level tests for the round-5 second-wave builders (BFS hops,
+Count-Min sketch, bitmap distinct, substring-span dedup, mixture
+weights) on crafted inputs with hand-computable answers — the query
+oracles cover them on the big tables; these pin the algebra."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def test_bfs_hops_chain_and_isolated_seed(spark):
+    from etl4s_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5, plus disconnected edge 8-9; seeds {1, 7}
+    # (7 touches no edge at all — still reported at hops 0)
+    edges = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+    seeds = spark.createDataFrame([(1,), (7,)], "id long")
+    got = {r.id: r.hops for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    assert got == {1: 0, 7: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_hops_respects_hop_budget_and_min_distance(spark):
+    from etl4s_spark.operators.graph import bfs_hops
+
+    # two routes to node 4: 1-2-3-4 (3 hops) and 1-4 (1 hop) -> min wins;
+    # node 6 is 5 hops out and must be cut by max_hops=4
+    edges = _pairs(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (5, 10), (10, 11), (11, 6)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.hops for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert got[4] == 1
+    assert got[5] == 2
+    assert 6 not in got  # 1-4-5-10-11-6 = 5 hops > budget
+    assert max(got.values()) <= 4
+
+
+# ------------------------------------------------------------- sketches
+
+
+def test_cms_estimate_upper_bounds_truth_and_counters_conserve_mass(spark):
+    from etl4s_spark.operators.sketches import cms_counters, cms_estimates
+
+    rng = random.Random(7)
+    keys = [rng.randrange(100) for _ in range(2000)] + [42] * 500
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    counters = cms_counters(df, "k", depth=4, width=64)
+    # every depth row holds exactly N increments
+    per_row = {r.j: r.total for r in counters.groupBy("j").agg(F.sum("c").alias("total")).collect()}
+    assert per_row == {j: len(keys) for j in range(4)}
+    truth = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = cms_estimates(df.select("k").distinct(), counters, "k", depth=4, width=64)
+    got = {r.k: r.est for r in est.collect()}
+    assert set(got) == set(truth)
+    for k, t in truth.items():
+        assert got[k] >= t  # CMS never underestimates
+    # the planted heavy hitter dominates the estimates too
+    assert max(got, key=lambda k: (got[k], -k)) == 42
+
+
+def test_bitmap_distinct_matches_count_distinct_across_boundaries(spark):
+    from etl4s_spark.operators.sketches import bitmap_distinct
+
+    rng = random.Random(11)
+    # ids straddling word boundaries (0, 61, 62, 123, 124) + random mass
+    rows = [("a", i) for i in (0, 61, 62, 123, 124)] + [
+        (rng.choice("ab"), rng.randrange(500)) for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long")
+    got = {
+        r.g: (r.n_distinct, r.n_buckets)
+        for r in bitmap_distinct(df, ["g"], "id", width=62).collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("id").alias("n")).collect()
+    }
+    for g, n in want.items():
+        assert got[g][0] == n
+        assert got[g][1] <= (500 // 62) + 1
+
+
+def test_bitmap_distinct_rejects_unsafe_width(spark):
+    import pytest
+
+    from etl4s_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame([("a", 1)], "g string, id long")
+    with pytest.raises(ValueError):
+        bitmap_distinct(df, ["g"], "id", width=63)  # 1<<62 is the sign bit + 1
+
+
+# ------------------------------------------------------------ substring
+
+
+def test_substring_dup_spans_finds_shared_passage_at_misaligned_offsets(spark):
+    from etl4s_spark.operators.dedup import substring_dup_spans
+
+    # the docs place the shared passage at offsets 6 and 24 — different
+    # phases mod any stride, the exact case fixed-stride sampling MISSES
+    # (stride-10 windows at ≡1 mod 10 sample in-passage offsets ≡5 vs ≡7
+    # mod 10: disjoint). Content-defined anchors sample the same
+    # in-passage positions in both docs by construction.
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again and again"
+        " while the band plays on and the caravan rolls through the night"
+    )
+    docs = [
+        (1, "AAAA " + shared + " unique tail one " + "x" * 40),
+        (2, "B" * 23 + shared + " totally different ending " + "y" * 40),
+        (3, "no overlap here at all " + "z" * 60),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = substring_dup_spans(df, "doc_id", "text", window=40).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.id, []).append(r)
+    # both sharers detect the passage; the unique doc reports nothing
+    assert set(by_doc) == {1, 2}
+    for doc_id, text in ((1, docs[0][1]), (2, docs[1][1])):
+        lo = text.index(shared) + 1
+        hi = lo + len(shared) - 1
+        for span in by_doc[doc_id]:
+            # every reported span lies inside the shared passage
+            assert lo <= span.span_start <= span.span_end <= hi
+            assert span.span_len == span.span_end - span.span_start + 1
+    # anchors are content-defined -> both docs report the same in-passage
+    # spans, just shifted by their offset difference (24 - 6 = 18)
+    rel = lambda doc_id: sorted(
+        (s.span_start - docs[doc_id - 1][1].index(shared), s.span_len)
+        for s in by_doc[doc_id]
+    )
+    assert rel(1) == rel(2)
+
+
+def test_substring_dup_spans_merges_contiguous_hits_into_islands(spark):
+    from etl4s_spark.operators.dedup import substring_dup_spans
+
+    # two docs identical for their first 200 chars (realistic prose so
+    # anchors exist), then diverging tails: hit windows must merge into
+    # ONE span per doc, not one row per anchor
+    common = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+        " tempor incididunt ut labore et dolore magna aliqua ut enim ad minim"
+        " veniam quis nostrud exercitation ullamco laboris nisi ut aliquip"
+    )
+    df = spark.createDataFrame(
+        [(1, common + " alpha " + "p" * 40), (2, common + " omega " + "q" * 40)],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(df, "doc_id", "text", window=40).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc_id in (1, 2):
+        (span,) = by_doc[doc_id]  # one merged island, not per-anchor rows
+        assert span.n_windows > 3
+        assert span.span_end <= len(common) + 39
+        assert span.span_len >= len(common) // 2
+
+
+# -------------------------------------------------------------- mixture
+
+
+def test_domain_mixture_weights_uniform_target(spark):
+    from etl4s_spark.operators.sampling import domain_mixture_weights
+
+    rows = (
+        [("web", 100)] * 8  # 800 tokens
+        + [("books", 100)] * 1  # 100
+        + [("code", 100)] * 1  # 100
+    )
+    df = spark.createDataFrame(rows, "source string, n long")
+    out = {
+        r.domain: r
+        for r in domain_mixture_weights(df, "source", F.col("n")).collect()
+    }
+    # T=1000, D=3 -> target 333.33 tokens/domain
+    assert out["web"].weight < 1 < out["books"].weight
+    assert out["books"].weight == out["code"].weight
+    # downsampled domain plans ~T/D tokens; upsampled ones cap at frac=1
+    assert out["web"].planned_tokens == 333
+    assert out["books"].planned_tokens == 100
+    assert out["books"].sample_frac == 1.0
+    assert abs(sum(r.actual_share for r in out.values()) - 1.0) < 1e-9
