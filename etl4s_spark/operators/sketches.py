@@ -35,23 +35,34 @@ def _cms_bucket(key, j: int, width: int):
 
 
 def cms_counters(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the Count-Min counter table: (j, bucket, c) with
-    depth × width rows. ONE map-side-combined shuffle over the fact
-    table (rows are exploded ×depth map-side, then grouped on the tiny
+    depth × width rows. ONE map-side-combined shuffle over the input
+    (rows are exploded ×depth map-side, then grouped on the tiny
     (j, bucket) domain) — the whole sketch is ~depth·width rows, small
     enough to broadcast anywhere, and mergeable across shards by summing
-    matching (j, bucket) cells."""
+    matching (j, bucket) cells.
+
+    ``weight_col`` inserts each key ``weight`` times (CMS over a
+    multiset = count-weighted inserts of its support) — pass a
+    pre-aggregated (key, count) frame to build the sketch without
+    re-scanning the fact table."""
     if depth > len(CMS_A):
         raise ValueError(f"depth must be <= {len(CMS_A)}, got {depth}")
     key = F.col(key_col).cast("long")
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
     rows = df.select(
+        w.alias("__w"),
         F.posexplode(
             F.array(*[_cms_bucket(key, j, width) for j in range(depth)])
-        ).alias("j", "bucket")
+        ).alias("j", "bucket"),
     )
-    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return rows.groupBy("j", "bucket").agg(F.sum("__w").alias("c"))
 
 
 def cms_estimates(

@@ -251,15 +251,25 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     est ≥ true with deterministic collision placement. The sketch is
     ~2k rows built in one map-side-combined shuffle and BROADCAST back
     for point queries — at 100 TB it is the per-shard heavy-hitter
-    pre-pass that never moves the fact table."""
+    pre-pass that never moves the fact table.
+
+    Single-scan formulation: the fact table collapses ONCE to per-key
+    true counts (cached — O(distinct keys)); the sketch is then built
+    from WEIGHTED increments over that table (identical counters, since
+    CMS over a multiset = count-weighted inserts of its support), and
+    the same frame supplies the probe keys and the truth column —
+    three logical roles, one parquet scan."""
     from etl4s_spark.operators.sketches import cms_counters, cms_estimates
 
     li = load_table(spark, sf_dir, "lineitem")
-    counters = cms_counters(li, "l_partkey", depth=4, width=512)
-    keys = li.select("l_partkey").distinct()
-    est = cms_estimates(keys, counters, "l_partkey", depth=4, width=512)
-    true = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("true_count")
+    true = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .persist()
+    )
+    counters = cms_counters(true, "l_partkey", depth=4, width=512, weight_col="true_count")
+    est = cms_estimates(
+        true.select("l_partkey"), counters, "l_partkey", depth=4, width=512
     )
     return (
         est.join(true, "l_partkey")

@@ -47,6 +47,7 @@ SKIP_PREFIXES = (
     # iterative: eagerly materialized via localCheckpoint, so the
     # returned plan is a checkpoint scan, not the per-iteration shuffles
     "q_graph_pagerank",
+    "q_graph_shortest_hops",
 )
 
 FEATURES = {

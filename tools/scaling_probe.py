@@ -70,6 +70,11 @@ PROBE_QUERIES = [
     "q_pack_sequences",
     "q_period_over_period",
     "q_agg_median_exact",
+    "q_dedup_substring",
+    "q_sketch_cms",
+    "q_agg_bitmap_distinct",
+    "q_window_rolling_distinct",
+    "q_mixture_weights",
 ]
 
 
