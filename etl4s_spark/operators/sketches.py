@@ -87,26 +87,20 @@ def cms_estimates(
     )
 
 
-def bitmap_distinct(
+def bitmap_words(
     df: DataFrame, group_cols: list[str], id_col: str, width: int = 62
 ) -> DataFrame:
-    """EXACT distinct count of a dense non-negative integer id per
-    group, without ``count_distinct``'s full-id shuffle: ids are packed
-    into ``width``-bit words (bucket = id div width, bit = id mod width),
-    words are OR-merged per (group, bucket) — map-side combined, so the
-    shuffle carries at most one word per bucket per group per task — and
-    popcounts are summed per group. The RoaringBitmap pattern in plain
-    ``bit_or``/``bit_count`` codegen; width ≤ 62 keeps ``1 << bit``
-    positive in a signed int64.
-
-    Returns group_cols + (n_distinct, n_buckets). Mergeable across
-    shards/streams by OR-ing matching buckets — the property
-    count_distinct lacks and the reason this shape survives incremental
-    rollups."""
+    """The mergeable bitmap STATE: group_cols + (bucket, word), where
+    bucket = id div width and word OR-accumulates bit (id mod width).
+    Map-side combined — the shuffle carries at most one word per bucket
+    per group per task. OR is associative, commutative AND idempotent,
+    so word states merge across shards, micro-batches, or duplicate
+    deliveries by OR-ing matching buckets (the property count-based
+    states lack). width ≤ 62 keeps ``1 << bit`` positive in a signed
+    int64."""
     if not 1 <= width <= 62:
         raise ValueError(f"width must be in [1, 62], got {width}")
-    id_ = F.col(id_col).cast("long")
-    words = (
+    return (
         df.select(
             *group_cols,
             # integer div (not float `/`): exact for ids beyond 2^53
@@ -119,7 +113,28 @@ def bitmap_distinct(
         .groupBy(*group_cols, "bucket")
         .agg(F.expr("bit_or(w)").alias("word"))
     )
+
+
+def bitmap_counts(words: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold bitmap word state to group_cols + (n_distinct, n_buckets)."""
     return words.groupBy(*group_cols).agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_distinct"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+def bitmap_distinct(
+    df: DataFrame, group_cols: list[str], id_col: str, width: int = 62
+) -> DataFrame:
+    """EXACT distinct count of a dense non-negative integer id per
+    group, without ``count_distinct``'s full-id shuffle: ids are packed
+    into ``width``-bit words, OR-merged per (group, bucket) — see
+    ``bitmap_words`` — and popcounts are summed per group. The
+    RoaringBitmap pattern in plain ``bit_or``/``bit_count`` codegen.
+
+    Returns group_cols + (n_distinct, n_buckets). Mergeable across
+    shards/streams by OR-ing matching buckets — the property
+    count_distinct lacks and the reason this shape survives incremental
+    rollups (q_stream_bitmap_distinct_replay streams through the same
+    word state)."""
+    return bitmap_counts(bitmap_words(df, group_cols, id_col, width), group_cols)

@@ -1563,3 +1563,109 @@ def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rnk")
     )
+
+
+def _bitmap_merge_fn(prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """Fold one raw micro-batch into per-(event_type, bucket) bitmap
+    word state via bit_or. OR is associative, commutative AND IDEMPOTENT
+    — merging the same user twice cannot double-count, the property
+    SUM/COUNT states lack and the reason exact distinct survives
+    at-least-once delivery. Module-level so the retry/idempotency pytest
+    exercises the EXACT function the declared query streams through."""
+    from etl4s_spark.operators.sketches import bitmap_words
+
+    agg = bitmap_words(batch_df, ["event_type"], "user_id", width=62)
+    if prev is None:
+        return agg
+    return (
+        prev.alias("t")
+        .join(agg.alias("b"), ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            # bitwiseOR, not `|` (PySpark overloads `|` as logical OR)
+            F.coalesce(F.col("t.word"), F.lit(0).cast("long"))
+            .bitwiseOR(F.coalesce(F.col("b.word"), F.lit(0).cast("long")))
+            .alias("word"),
+        )
+    )
+
+
+@query(
+    "q_stream_bitmap_distinct_replay",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id // 62) AS BIGINT) AS n_buckets
+    FROM events WHERE event_id < 20000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED exact distinct users per event type: each
+    micro-batch's bitmap word state (operators/sketches.py bitmap_words)
+    OR-merges into a versioned parquet target via foreachBatch — the
+    streaming rendition of q_agg_bitmap_distinct, proving the
+    mergeability claim end-to-end: three replayed micro-batches of
+    OR-folded state equal the one-shot batch count_distinct the oracle
+    computes. OR's idempotence means even a duplicate-delivered row
+    cannot drift the count — the exactly-once-ness lives in the STATE
+    ALGEBRA, not just the versioned-sink protocol (which still guards
+    retries via batch_id keying, streaming/core.py
+    versioned_upsert_batch). State is O(users/62) words per event type,
+    never a raw-id set."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    replay_dir = tempfile.mkdtemp(prefix="etl4s_bitmap_replay_src_")
+    target_base = tempfile.mkdtemp(prefix="etl4s_bitmap_target_")
+    tbl = ev.select("event_id", "event_type", "user_id").toArrow()
+    n = tbl.num_rows
+    step = (n + 2) // 3
+    _stage_replay_files(
+        [tbl.slice(i * step, step) for i in range(3)], replay_dir
+    )
+
+    stream = (
+        spark.readStream.schema(ev.select("event_id", "event_type", "user_id").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    from etl4s_spark.operators.sketches import bitmap_counts
+    from etl4s_spark.streaming.core import versioned_upsert_batch
+
+    versions: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dst = versioned_upsert_batch(
+            spark, target_base, batch_df, batch_id, _bitmap_merge_fn
+        )
+        versions.append(dst)
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+        final = (
+            bitmap_counts(spark.read.parquet(versions[-1]), ["event_type"])
+            .select(
+                "event_type",
+                F.col("n_distinct").alias("n_users"),
+                "n_buckets",
+            )
+            .orderBy("event_type")
+        )
+        final_tbl = final.toArrow()
+    finally:
+        q.stop()
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(target_base, ignore_errors=True)
+    return (
+        spark.createDataFrame(final_tbl.to_pandas())
+        .select(
+            "event_type",
+            F.col("n_users").cast("long"),
+            F.col("n_buckets").cast("long"),
+        )
+        .orderBy("event_type")
+    )

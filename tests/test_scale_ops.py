@@ -191,3 +191,34 @@ def test_domain_mixture_weights_uniform_target(spark):
     assert out["books"].planned_tokens == 100
     assert out["books"].sample_frac == 1.0
     assert abs(sum(r.actual_share for r in out.values()) - 1.0) < 1e-9
+
+
+def test_bitmap_merge_fn_is_idempotent_and_order_insensitive(spark):
+    """The streaming state algebra behind q_stream_bitmap_distinct_replay:
+    OR-merged word state equals the one-shot aggregate, survives
+    DUPLICATE batch delivery unchanged (idempotence — the at-least-once
+    safety property), and is insensitive to batch order."""
+    from etl4s_spark.operators.sketches import bitmap_counts, bitmap_words
+    from etl4s_spark.queries.streaming_batch import _bitmap_merge_fn
+
+    rows = [("click", i % 97) for i in range(400)] + [
+        ("buy", (i * 7) % 150) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    b1, b2 = df.filter("user_id % 2 = 0"), df.filter("user_id % 2 = 1")
+
+    def counts(words):
+        return {
+            r.event_type: (r.n_distinct, r.n_buckets)
+            for r in bitmap_counts(words, ["event_type"]).collect()
+        }
+
+    oneshot = counts(bitmap_words(df, ["event_type"], "user_id", 62))
+    merged = counts(_bitmap_merge_fn(_bitmap_merge_fn(None, b1), b2))
+    reordered = counts(_bitmap_merge_fn(_bitmap_merge_fn(None, b2), b1))
+    duplicated = counts(
+        _bitmap_merge_fn(_bitmap_merge_fn(_bitmap_merge_fn(None, b1), b2), b2)
+    )
+    assert merged == oneshot
+    assert reordered == oneshot
+    assert duplicated == oneshot  # re-delivered batch cannot drift the count
