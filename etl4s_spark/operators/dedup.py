@@ -621,54 +621,71 @@ def substring_dup_spans(
     text_col: str = "text",
     window: int = 40,
     anchor_k: int = 8,
-    anchor_sel: str = "4",
+    anchor_sel: str = "8",
 ) -> DataFrame:
     """Cross-document repeated-substring spans via CONTENT-DEFINED
     anchoring — the finer-grained, offset-insensitive tier below chunk
     dedup, the DataFrame rendition of suffix-array substring dedup (Lee
     et al., ACL 2022) using the winnowing/CDC selection trick (Schleimer
     et al., SIGMOD 2003; rsync/LBFS chunking): a position is an ANCHOR
-    iff the hash of its local ``anchor_k``-gram clears a content-derived
-    predicate (first md5 hex char < ``anchor_sel``), so two documents
-    sharing a passage select the SAME in-passage positions regardless of
-    where the passage sits in each document. Fixed-stride sampling on
-    both sides has no such guarantee — windows only collide when the
-    offsets agree modulo the stride.
+    iff it starts a word (position 1, or preceded by a space — the cheap
+    structural gate that travels WITH the content) AND the hash of its
+    local ``anchor_k``-gram clears a content-derived predicate (first
+    md5 hex char < ``anchor_sel``). Both tests are functions of the
+    passage alone, so two documents sharing a passage select the SAME
+    in-passage positions regardless of where the passage sits in each
+    document. Fixed-stride sampling on both sides has no such guarantee
+    — windows only collide when the offsets agree modulo the stride.
 
     At each anchor the ``window``-char substring is hashed; hashes seen
     in ≥ 2 distinct documents mark duplicated spans, merged per document
     into maximal islands. Detection is probabilistic in passage length:
-    with selection rate r (= int(anchor_sel, 16)/16), a shared passage
-    with m eligible anchor positions (≈ len − window − anchor_k) is
-    missed with probability (1 − r)^m — ~0.1% for an 80-char passage at
-    the default r = 1/4.
+    with hash rate r (= int(anchor_sel, 16)/16) over the passage's w
+    word starts, a shared passage is missed with probability (1 − r)^w —
+    ~0.02% for an 80-char prose passage (~13 word starts) at the
+    default r = 1/2. The word gate costs one 1-char compare per
+    position; the md5 runs only on word starts (~len/6), which is what
+    keeps the scan hash-light. Whitespace-free blobs (base64, minified
+    code) have no word starts and thus escape — gate such corpora
+    through a chunk-level pass (``q_dedup_spans``) or lower the gate to
+    pure winnowing by treating every position as a word start.
 
     Returns (id, span_start, span_end, span_len, n_windows), 1-based
     inclusive char offsets.
 
-    Scale posture: anchor selection computes one short-gram hash per
-    character (linear in corpus bytes; on a Spark-only pipeline swap the
-    md5 predicate for xxhash64 or a Karp-Rabin rolling hash via
-    ``aggregate`` — md5 here is the cross-engine-reproducible choice),
-    keeps ~r of positions, and window hashes only those. The only wide
-    exchanges are one groupBy on the window hash (map-side combined
-    distinct-doc count) and one per-doc window for the span merge.
-    Nothing is quadratic: documents sharing a passage meet in the hash
-    group, never in a pairwise join."""
+    Scale posture: one cheap char-compare per position, one short-gram
+    md5 per word start (on a Spark-only pipeline swap md5 for xxhash64
+    or a Karp-Rabin rolling hash via ``aggregate`` — md5 is the
+    cross-engine-reproducible choice), one window hash per surviving
+    anchor. The only wide exchanges are one groupBy on the window hash
+    (map-side combined distinct-doc count) and one per-doc window for
+    the span merge. Nothing is quadratic: documents sharing a passage
+    meet in the hash group, never in a pairwise join."""
+    from etl4s_spark.operators.parallelism import widen
+
     starts = F.sequence(F.lit(1), F.length(F.col(text_col)) - (window - 1))
     pos = (
-        df.filter(F.length(F.col(text_col)) >= window)
+        # the per-position fan-out runs inside the scan's codegen span —
+        # widen the row-grain frame first so a single-split local file
+        # doesn't serialize the whole hash scan onto one core
+        widen(df.filter(F.length(F.col(text_col)) >= window), id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(text_col),
             F.explode(starts).alias("start"),
         )
     )
+    word_start = (F.col("start") == 1) | (
+        F.substring(F.col(text_col), F.col("start") - 1, 1) == " "
+    )
     anchors = pos.filter(
-        F.substring(
-            F.md5(F.substring(F.col(text_col), F.col("start"), anchor_k)), 1, 1
+        word_start
+        & (
+            F.substring(
+                F.md5(F.substring(F.col(text_col), F.col("start"), anchor_k)), 1, 1
+            )
+            < anchor_sel
         )
-        < anchor_sel
     )
     wins = anchors.select(
         "id",

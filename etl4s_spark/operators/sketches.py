@@ -14,6 +14,13 @@ over pure BIGINT arithmetic — ``((a_j * key + b_j) % P) % width`` with
 P = 2^31 − 1 and fixed odd constants — NOT any engine hash builtin, so a
 DuckDB oracle reproduces every counter and every estimate bit-for-bit.
 No float appears anywhere in either operator.
+
+Native-builtin relationship: Spark also ships ``count_min_sketch()``
+(binary DataSketches payload) and the ``bitmap_construct_agg`` family
+(binary bitmaps — surfaced by q_agg_bitmap_native). Those are the
+engine-optimized fast paths; the renditions here keep the sketch STATE
+as ordinary relational rows, which is what makes them cross-engine
+verifiable, diffable, and shardable with plain SQL.
 """
 
 from __future__ import annotations

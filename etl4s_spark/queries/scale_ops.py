@@ -88,7 +88,8 @@ def q_graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wins AS (
       SELECT id, start, md5(substr(text, start, 40)) AS h
       FROM pos
-      WHERE substr(md5(substr(text, start, 8)), 1, 1) < '4'
+      WHERE (start = 1 OR substr(text, start - 1, 1) = ' ')
+        AND substr(md5(substr(text, start, 8)), 1, 1) < '8'
     ), dup AS (
       SELECT h FROM wins GROUP BY h HAVING count(DISTINCT id) >= 2
     ), hits AS (
@@ -118,9 +119,10 @@ def q_graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring spans (40-char windows at
     content-defined anchor positions, full corpus — linear in corpus
-    bytes): the offset-insensitive tier below chunk dedup. Anchors are
-    selected by a hash of the local 8-gram (winnowing/CDC trick,
-    Schleimer et al. SIGMOD 2003), so two docs sharing a passage sample
+    bytes): the offset-insensitive tier below chunk dedup. Anchors are word-start
+    positions thinned by a hash of the local 8-gram (winnowing/CDC
+    trick, Schleimer et al. SIGMOD 2003 — the md5 runs on ~1/6 of
+    positions, keeping the scan hash-light), so two docs sharing a passage sample
     the SAME in-passage windows wherever the passage sits — the property
     fixed-stride sampling lacks — making this the DataFrame rendition of
     suffix-array substring dedup (Lee et al., ACL 2022). Boilerplate and
@@ -132,7 +134,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        substring_dup_spans(d, "doc_id", "text", window=40, anchor_k=8, anchor_sel="4")
+        substring_dup_spans(d, "doc_id", "text", window=40, anchor_k=8, anchor_sel="8")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")
     )
@@ -330,4 +332,128 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_exact",
         )
         .orderBy("event_type")
+    )
+
+@query(
+    "q_agg_bitmap_native",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS BIGINT)
+             AS n_either
+    """,
+)
+def q_agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience set algebra via Spark's NATIVE bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg,
+    then bitmap_and_agg / bitmap_or_agg / bitmap_count): clickers ∩
+    purchasers and clickers ∪ purchasers WITHOUT a raw-id self-join —
+    the audience-overlap question count_distinct cannot answer from
+    per-group aggregates. Each group collapses map-side to one binary
+    bitmap per 32k-id bucket (the engine-native sibling of
+    q_agg_bitmap_distinct's cross-engine-reproducible long words); AND
+    is taken only over buckets where BOTH segments are present, OR over
+    all rows, and popcounts sum per segment. At 100 TB the per-type
+    bucket bitmaps persist as audience segments and every overlap query
+    is bitmap algebra over kilobytes, not a fact-table join; the oracle
+    recomputes all four counts exactly from raw ids."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    buckets = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .persist()
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n")
+    )
+    singles = per_type.groupBy().pivot("event_type", ["click", "purchase"]).sum("n")
+    inter = (
+        buckets.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.bitmap_and_agg("bm").alias("band"),
+            F.bitmap_or_agg("bm").alias("bor"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("nt") == 2, F.bitmap_count("band")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.bitmap_count("bor")).cast("long").alias("n_either"),
+        )
+    )
+    return singles.crossJoin(inter).select(
+        F.col("click").cast("long").alias("n_click"),
+        F.col("purchase").cast("long").alias("n_purchase"),
+        "n_both",
+        "n_either",
+    )
+
+
+@query(
+    "q_agg_theta_intersection",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM c JOIN p USING (user_id)) AS BIGINT) AS exact_both,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS BIGINT)
+             AS exact_either,
+           TRUE AS union_within_5pct,
+           TRUE AS intersection_within_10pct
+    """,
+)
+def q_agg_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, Spark 4.x theta_sketch_agg /
+    theta_union / theta_intersection) — the mergeable-sketch family
+    member HLL cannot replace: theta supports set INTERSECTION and
+    difference on sketches, so audience overlap is estimable from
+    persisted per-segment sketches without raw ids. Bounded-error
+    oracle in the q_agg_hll_union pattern: exact counts plus flags
+    asserting the union estimate lands within 5% and the intersection
+    within 10% (intersection error compounds — the documented
+    trade-off vs q_agg_bitmap_native's exact bitmaps, which cost
+    O(id-range) instead of O(k))."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sketches = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    est = sketches.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("__union"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("__inter"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        c.join(p, "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_both"))
+        .crossJoin(
+            c.union(p)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_either"))
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_both",
+        "exact_either",
+        (
+            F.abs(F.col("__union") - F.col("exact_either"))
+            <= 0.05 * F.col("exact_either")
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("__inter") - F.col("exact_both"))
+            <= 0.10 * F.col("exact_both")
+        ).alias("intersection_within_10pct"),
     )

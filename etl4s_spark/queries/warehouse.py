@@ -516,3 +516,85 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.col("last.price").alias("final_price"), "n_ops")
         .orderBy("key")
     )
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE event_id < 6000
+    ), counts AS (
+      SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id
+    ), last AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT c.user_id, c.n_events,
+           round(l.value, 4)                         AS last_value,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f')    AS last_ts
+    FROM counts c JOIN last l ON c.user_id = l.user_id AND l.rn = 1
+    ORDER BY c.user_id
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the versioned MERGE target — the READ side of
+    the copy-on-write upsert protocol (streaming/core.py
+    versioned_upsert_batch; its write side is driver-proven by
+    q_stream_upsert_replay): three event slices merge as v0→v1→v2, and
+    the query reads AS OF v1, whose content must equal a one-shot
+    aggregate over the first two slices only — snapshots are immutable
+    once written, so historical reads are exact, not best-effort. This
+    is the directory-versioned rendition of a lakehouse ``VERSION AS
+    OF``: version resolution is metadata (pick the path), the read plan
+    is an ordinary pruned parquet scan, and v2's existence cannot
+    perturb v1.
+
+    Scale posture: each version holds only the BOUNDED per-user state
+    (never raw events), the merge is one full-outer join per batch on
+    the state key, and the as-of read scans exactly one version."""
+    import shutil
+    import tempfile
+
+    from etl4s_spark.queries.streaming_batch import _TS_FMT, _upsert_merge_fn
+    from etl4s_spark.streaming.core import versioned_upsert_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    target_base = tempfile.mkdtemp(prefix="etl4s_time_travel_")
+    try:
+        paths = []
+        for batch_id, (lo, hi) in enumerate(((0, 3000), (3000, 6000), (6000, 9000))):
+            batch = ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            )
+            paths.append(
+                versioned_upsert_batch(
+                    spark, target_base, batch, batch_id, _upsert_merge_fn
+                )
+            )
+        as_of_v1 = (
+            spark.read.parquet(paths[1])
+            .select(
+                "user_id",
+                "n_events",
+                F.round(F.col("cand.value"), 4).alias("last_value"),
+                F.date_format(F.col("cand.ts"), _TS_FMT).alias("last_ts"),
+            )
+            .orderBy("user_id")
+        )
+        tbl = as_of_v1.toArrow()
+    finally:
+        shutil.rmtree(target_base, ignore_errors=True)
+    return (
+        spark.createDataFrame(tbl.to_pandas())
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("n_events").cast("long"),
+            "last_value",
+            "last_ts",
+        )
+        .orderBy("user_id")
+    )

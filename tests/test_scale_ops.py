@@ -128,8 +128,10 @@ def test_substring_dup_spans_finds_shared_passage_at_misaligned_offsets(spark):
         lo = text.index(shared) + 1
         hi = lo + len(shared) - 1
         for span in by_doc[doc_id]:
-            # every reported span lies inside the shared passage
-            assert lo <= span.span_start <= span.span_end <= hi
+            # every reported span lies inside the truly-shared region:
+            # both tails start with ' ', so windows may legitimately
+            # extend 1 char past the nominal passage end
+            assert lo <= span.span_start <= span.span_end <= hi + 1
             assert span.span_len == span.span_end - span.span_start + 1
     # anchors are content-defined -> both docs report the same in-passage
     # spans, just shifted by their offset difference (24 - 6 = 18)
