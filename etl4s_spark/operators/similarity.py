@@ -425,6 +425,13 @@ def embedding_neardup_lsh(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # AQE coalesces the distinct's exchange by BYTES, but the verify
+    # stage downstream (vectors broadcast in, exact cosine per pair) is
+    # compute-bound per row — a 2-task coalesce serializes it. Widen the
+    # candidate frame explicitly; user repartitions are AQE-exempt.
+    from etl4s_spark.operators.parallelism import widen
+
+    cands = widen(cands, "id_a")
     a = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")).withColumn(
         "__na", l2_norm(F.col("__va"))
     )

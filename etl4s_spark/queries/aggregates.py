@@ -690,3 +690,50 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(count(*) AS BIGINT)                      AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG (SQL:2016) — ordered string aggregation with an
+    explicit WITHIN GROUP sort, the deterministic sibling of
+    collect_list (whose order is partition-arrival and therefore
+    unhashable across engines; q_agg_collect handles that by
+    sort_array-ing). DISTINCT + ORDER BY make the output a pure
+    function of the group's value SET, so it hash-matches DuckDB's
+    string_agg exactly. The state is bounded by the distinct-value
+    domain here (order statuses), not group row count — the safe
+    LISTAGG usage at 100 TB; unbounded-domain listagg is the same
+    memory trap as collect_list and belongs behind a group-limit.
+
+    Routed through spark.sql, with n_statuses DERIVED from the string:
+    Spark 4.1's RewriteDistinctAggregates miscasts listagg's SortOrder
+    when another DISTINCT aggregate shares the Aggregate node
+    (ClassCastException) — one distinct aggregate per node is the
+    supported rung, and the count falls out of the result anyway."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, statuses,
+               CAST(size(split(statuses, ',')) AS BIGINT) AS n_statuses,
+               n_orders
+        FROM (
+          SELECT o_orderpriority,
+                 listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                 CAST(count(*) AS BIGINT)                AS n_orders
+          FROM __listagg_orders
+          GROUP BY o_orderpriority
+        )
+        ORDER BY o_orderpriority
+        """
+    )

@@ -365,3 +365,72 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"user":{"id":' || CAST(user_id AS VARCHAR) || '},"tags":["t'
+               || CAST(event_id % 3 AS VARCHAR) || '","x"]'
+               || CASE WHEN event_id % 5 <> 0
+                       THEN ',"depth":{"a":{"b":' || CAST(event_id % 7 AS VARCHAR) || '}}'
+                       ELSE '' END
+               || '}' AS js
+      FROM events WHERE event_id < 1000
+    )
+    SELECT event_id,
+           CAST(json_extract(js, '$.user.id') AS BIGINT)   AS uid,
+           json_extract_string(js, '$.tags[0]')            AS tag0,
+           CAST(json_extract(js, '$.depth.a.b') AS BIGINT) AS ab,
+           CASE WHEN event_id % 5 <> 0
+                THEN 'OBJECT<depth: OBJECT<a: OBJECT<b: BIGINT>>, tags: ARRAY<STRING>, user: OBJECT<id: BIGINT>>'
+                ELSE 'OBJECT<tags: ARRAY<STRING>, user: OBJECT<id: BIGINT>>'
+           END AS vschema
+    FROM j ORDER BY event_id
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured JSON — the
+    schema-on-read path for ragged event payloads: parse once into the
+    binary VARIANT encoding, then typed point-extracts (variant_get
+    with a JSON path + target type), absent-path tolerance
+    (try_variant_get → NULL, no exception), and per-row shape discovery
+    (schema_of_variant — proven against literal expected schemas, so
+    the discovered shape is part of the oracle contract). VARIANT beats
+    string get_json_object at scale because parsing happens ONCE and
+    extracts navigate the binary encoding — re-parse per extract is the
+    JSON hot-path tax (q_scalar_json measures that rung). JSON is
+    synthesized deterministically per row (nested object, array, and a
+    conditionally-absent branch) so both engines see identical
+    documents."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    js = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"tags":["t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('","x"]'),
+        F.when(
+            F.col("event_id") % 5 != 0,
+            F.concat(
+                F.lit(',"depth":{"a":{"b":'),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("}}"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    v = F.parse_json(js)
+    return (
+        ev.select("event_id", v.alias("v"))
+        .select(
+            "event_id",
+            F.variant_get("v", "$.user.id", "bigint").alias("uid"),
+            F.variant_get("v", "$.tags[0]", "string").alias("tag0"),
+            F.try_variant_get("v", "$.depth.a.b", "bigint").alias("ab"),
+            F.schema_of_variant("v").alias("vschema"),
+        )
+        .orderBy("event_id")
+    )
