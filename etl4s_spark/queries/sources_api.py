@@ -405,3 +405,61 @@ def q_maintenance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_scan_python_datasource",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+    hs AS (
+      SELECT i, (22695477 * i + 1) % 2147483647 AS h FROM ids
+    ), rows_ AS (
+      SELECT i AS doc_id,
+             ['en','de','fr','es','pt'][CAST(h % 5 AS INT) + 1] AS lang,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(3 + h % 6 AS INT) - 1),
+                 k -> ['alpha','beta','gamma','delta','epsilon','zeta','eta','theta']
+                        [CAST((h + 7 * k) % 8 AS INT) + 1]),
+               ' ')                       AS text,
+             CAST(3 + h % 6 AS BIGINT)    AS n_words
+      FROM hs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           min(text) AS first_text,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM rows_ GROUP BY lang ORDER BY lang
+    """,
+)
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (Spark 4 pyspark.sql.datasource) — the
+    connector seam for sources Spark can't read natively, consumed
+    through the ordinary spark.read.format() front door. The registered
+    'synthdocs' source (sources/pyds.py) declares 8 independent
+    partitions whose rows are PURE FUNCTIONS of the row id (LCG
+    arithmetic, no RNG state), so the scan parallelizes like a parquet
+    read, survives task retries bit-identically, and — the point of this
+    entry — a DuckDB oracle can recompute the entire result from the
+    same closed form. Partition planning, Python↔JVM Arrow transfer,
+    and the aggregate all ride the normal DataFrame path."""
+    from etl4s_spark.sources.pyds import register_synthdocs
+
+    register_synthdocs(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n", 1000)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.min("text").alias("first_text"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -202,3 +202,28 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == docs.count()
     assert sorted(back.columns) == sorted(docs.columns)
+
+
+def test_python_datasource_partition_invariant_and_deterministic(spark):
+    """The synthdocs Python data source must yield IDENTICAL rows
+    regardless of partition count (rows are pure functions of row id,
+    never of split boundaries) and match the driver-side closed form."""
+    from etl4s_spark.sources.pyds import register_synthdocs, synth_row
+
+    register_synthdocs(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("synthdocs")
+            .option("n", 200)
+            .option("parts", parts)
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    one, eight, thirteen = rows(1), rows(8), rows(13)
+    assert one == eight == thirteen
+    assert len(one) == 200
+    assert one == sorted(synth_row(i) for i in range(200))
+    langs = {r[1] for r in one}
+    assert langs == {"en", "de", "fr", "es", "pt"}  # LCG mixes all classes
