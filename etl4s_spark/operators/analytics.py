@@ -138,3 +138,71 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
             "((2 * weighted - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
         ).alias("gini_e6"),
     )
+
+
+def exact_quartiles_cents(
+    df: DataFrame, group_col: str, cents_col: str
+) -> DataFrame:
+    """EXACT interpolated quartiles (Spark ``percentile`` / SQL
+    percentile_cont semantics: 0-based index q·(n−1), linear
+    interpolation) over an integer-cents column — as a TWO-PHASE
+    counts-histogram instead of the builtin aggregate.
+
+    Why not ``percentile()``: that aggregate funnels every raw row into
+    one reducer PER GROUP (3 return flags → 3 tasks own the whole fact
+    table; the 10× scaling probe clocked it at 7.6× for 10× data, the
+    worst in the suite). Here the fact table collapses map-side to
+    (group, value, count) — full shuffle parallelism, combiner-friendly
+    — and only the DISTINCT-value histogram (bounded by the cents
+    domain, not row count) flows through the per-group cumulative
+    window. At 100 TB the histogram per group is still ~1M rows for
+    money-like domains: constant, not corpus-sized.
+
+    Exactness: quartile index arithmetic is pure integers —
+    t·4 = q4·(n−1) with q4 ∈ {1,2,3}, floor/ceil by integer div — and
+    the interpolated value a + (b−a)·frac is a quarter-cent multiple
+    (dyadic rational, exact in doubles), matching both engines'
+    percentile_cont bit-for-bit. Returns (group, p25, median, p75, n)
+    in CENTS (callers scale/round for display)."""
+    cnt = df.groupBy(F.col(group_col).alias("g"), F.col(cents_col).alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("p")
+    hist = cnt.select(
+        "g",
+        "p",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_start"),
+        F.sum("c").over(w).alias("cum_end"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    quartile_cols = []
+    for name, q4 in (("p25", 1), ("median", 2), ("p75", 3)):
+        t4 = F.lit(q4) * (F.col("n") - 1)  # index * 4, exact bigint
+        lo_idx = F.expr(f"({q4} * (n - 1)) div 4")
+        hi_idx = F.expr(f"({q4} * (n - 1) + 3) div 4")
+        frac4 = t4 % 4  # numerator of the fractional part, /4
+        a = F.max(
+            F.when(
+                (lo_idx >= F.col("cum_start")) & (lo_idx < F.col("cum_end")), F.col("p")
+            )
+        )
+        b = F.max(
+            F.when(
+                (hi_idx >= F.col("cum_start")) & (hi_idx < F.col("cum_end")), F.col("p")
+            )
+        )
+        frac_num = F.max(
+            F.when(
+                (lo_idx >= F.col("cum_start")) & (lo_idx < F.col("cum_end")), frac4
+            )
+        )
+        # a + (b - a) * frac4/4 — quarter-cent exact
+        quartile_cols.append(
+            (a + (b - a) * frac_num / F.lit(4.0)).alias(name)
+        )
+    return (
+        hist.groupBy("g")
+        .agg(*quartile_cols, F.max("n").cast("long").alias("n"))
+        .withColumnRenamed("g", group_col)
+    )

@@ -411,25 +411,30 @@ def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a + (b−a)·f at f ∈ {.25,.5,.75}) is exact in binary floating point
     regardless of which algebraically-equivalent formula each engine
     uses — quarter-cent multiples are dyadic rationals well inside
-    double precision. Exact percentiles need the full value multiset per
-    group (Spark sorts within each of the 3 flag groups); at 100 TB you
-    run THIS for the audit and approx_percentile (t-digest, mergeable,
-    one pass) for the dashboard — both are in the surface."""
+    double precision. Computed as a TWO-PHASE counts histogram
+    (operators/analytics.py exact_quartiles_cents) rather than the
+    builtin ``percentile`` aggregate, which funnels every raw row into
+    one reducer per group (3 flags owned the whole fact table — the
+    10× probe's worst ratio); the histogram shape keeps the fact
+    shuffle fully parallel and bounds per-group state by the cents
+    DOMAIN, not row count. At 100 TB you run THIS for the audit and
+    approx_percentile (t-digest, mergeable, one pass) for the
+    dashboard — both are in the surface."""
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-    return (
-        cents.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(p, 0.25)") / 100, 2).alias("p25"),
-            F.round(F.expr("percentile(p, 0.5)") / 100, 2).alias("median"),
-            F.round(F.expr("percentile(p, 0.75)") / 100, 2).alias("p75"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        .orderBy("l_returnflag")
-    )
+    qs = exact_quartiles_cents(cents, "l_returnflag", "p")
+    return qs.select(
+        "l_returnflag",
+        F.round(F.col("p25") / 100, 2).alias("p25"),
+        F.round(F.col("median") / 100, 2).alias("median"),
+        F.round(F.col("p75") / 100, 2).alias("p75"),
+        "n",
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -224,3 +224,27 @@ def test_bitmap_merge_fn_is_idempotent_and_order_insensitive(spark):
     assert merged == oneshot
     assert reordered == oneshot
     assert duplicated == oneshot  # re-delivered batch cannot drift the count
+
+
+def test_substring_dup_spans_invariants_on_real_corpus(spark, sf_dir):
+    """Structural invariants on the real documents table: spans are
+    well-formed, at least window-wide, disjoint per doc with gaps > 1
+    (adjacent/overlapping hits must have merged), and every span's
+    window count fits its extent."""
+    from etl4s_spark.operators.dedup import substring_dup_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = substring_dup_spans(d, "doc_id", "text", window=40).collect()
+    assert spans, "corpus has known duplicates; detector found none"
+    by_doc = {}
+    for r in spans:
+        assert r.span_len == r.span_end - r.span_start + 1
+        assert r.span_len >= 40
+        assert r.n_windows >= 1
+        # n_windows anchors all lie inside the span
+        assert r.n_windows <= r.span_len
+        by_doc.setdefault(r.id, []).append((r.span_start, r.span_end))
+    for doc_id, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1, f"doc {doc_id}: unmerged adjacent spans"
