@@ -252,3 +252,80 @@ def q_udtf_python_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders
+    ), hist AS (SELECT p, count(*) AS c FROM cents GROUP BY p),
+    tot AS (SELECT sum(c) AS n FROM hist),
+    cum AS (SELECT p, sum(c) OVER (ORDER BY p DESC) AS n_ge FROM hist),
+    thr AS (SELECT min(p) AS t FROM cum CROSS JOIN tot WHERE n_ge <= n // 10)
+    SELECT round(t / 100, 2) AS threshold,
+           CAST((SELECT coalesce(sum(c), 0) FROM hist WHERE p >= t) AS BIGINT) AS n_above,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_total
+    FROM thr
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0, SQL/PSM): an imperative BEGIN…END block
+    — DECLAREd variables, a WHILE loop, IF/ELSE with a scalar-subquery
+    condition — binary-searches the top-decile price cutoff over a
+    RANK-INDEXED histogram artifact (rn → (price, at-or-above count),
+    built once from a single fact-table scan, cached on one partition).
+    Each probe is a point lookup by rank, so the loop runs
+    ⌈log₂ n_distinct⌉ iterations whose cost is the DRIVER ROUND-TRIP
+    (~80 ms/statement), not a scan — the discipline scripted iteration
+    needs at 100 TB: bound the iteration count (log of the index, never
+    the domain) and never touch the fact table inside the loop. The
+    oracle derives the same cutoff closed-form (a descending cumulative
+    window), proving the loop converges to the mathematical lower bound
+    — scripting earns its keep on fixpoints SQL can't close-form, and
+    this entry pins the machinery (variables, loop, branch, subquery
+    conditions) against an exact answer."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .coalesce(1)
+        .persist()
+    )
+    hist.createOrReplaceTempView("__sql_script_hist")
+    idx = spark.sql(
+        """
+        SELECT row_number() OVER (ORDER BY p)        AS rn,
+               p, c,
+               sum(c) OVER (ORDER BY p DESC)         AS n_ge
+        FROM __sql_script_hist
+        """
+    ).coalesce(1).persist()
+    idx.count()
+    idx.createOrReplaceTempView("__sql_script_idx")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 1;
+          DECLARE hi BIGINT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE target BIGINT DEFAULT 0;
+          SET hi = (SELECT max(rn) FROM __sql_script_idx);
+          SET n = (SELECT sum(c) FROM __sql_script_idx);
+          SET target = n DIV 10;
+          WHILE lo < hi DO
+            IF (SELECT n_ge FROM __sql_script_idx
+                WHERE rn = (lo + hi) DIV 2) <= target THEN
+              SET hi = (lo + hi) DIV 2;
+            ELSE
+              SET lo = (lo + hi) DIV 2 + 1;
+            END IF;
+          END WHILE;
+          SELECT round((SELECT p FROM __sql_script_idx WHERE rn = lo) / 100, 2)
+                   AS threshold,
+                 (SELECT CAST(n_ge AS BIGINT) FROM __sql_script_idx
+                  WHERE rn = lo)                     AS n_above,
+                 CAST(n AS BIGINT)                   AS n_total;
+        END
+        """
+    )
