@@ -248,3 +248,99 @@ def test_substring_dup_spans_invariants_on_real_corpus(spark, sf_dir):
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1 + 1, f"doc {doc_id}: unmerged adjacent spans"
+
+
+# ------------------------------------------- transformWithState algebra
+
+
+class _StubValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _StubMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _StubHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _StubValueState()
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return _StubMapState()
+
+
+def test_tws_profile_processor_converges_to_batch_aggregate():
+    """The transformWithStateInPandas processor's STATE ALGEBRA (the
+    custom logic; the protocol itself is environment-gated — protobuf
+    absent, see SURVEY engine-API-only list): feeding micro-batches
+    through ValueState+MapState must converge to the one-shot batch
+    aggregate regardless of how rows are split into batches, and the
+    modal event type must tie-break lexicographically."""
+    import pandas as pd
+
+    from etl4s_spark.streaming.core import TwsProfileProcessor
+
+    rows = (
+        [("click", 10)] * 5
+        + [("view", 7)] * 5  # tie with click on count -> 'click' wins lexically
+        + [("error", 1)] * 3
+    )
+    pdf = pd.DataFrame(rows, columns=["event_type", "value_micros"])
+
+    def run(batch_sizes):
+        p = TwsProfileProcessor("user_id", "event_type", "value_micros")
+        p.init(_StubHandle())
+        out, start = None, 0
+        for bs in batch_sizes:
+            chunk = pdf.iloc[start : start + bs]
+            start += bs
+            (out,) = list(p.handleInputRows((42,), iter([chunk])))
+        return out.iloc[0]
+
+    for split in ([13], [1] * 13, [4, 4, 5], [12, 1]):
+        r = run(split)
+        assert r["n_events"] == 13
+        assert r["total_micros"] == 5 * 10 + 5 * 7 + 3 * 1
+        assert r["n_types"] == 3
+        assert r["top_type"] == "click"  # 5-5 tie -> lexicographic min
+
+
+def test_tws_wiring_raises_clearly_without_protobuf(spark):
+    import pytest
+
+    from etl4s_spark.streaming.core import tws_profile_agg
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "user_id long, event_type string, value_micros double"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: wiring would genuinely run")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="protobuf"):
+        tws_profile_agg(df, "user_id", "event_type", "value_micros")
