@@ -264,3 +264,115 @@ def unigram_logprob_scores(
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+BPE_MERGES_DEMO = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+)
+
+
+def bpe_merge_stage_sql(arr_col: str, x: str, y: str) -> str:
+    """One BPE merge pass as a pure SQL expression over a token array
+    column: leftmost-greedy fold (accumulator = space-joined tokens;
+    merge fires when the accumulator's LAST token is ``x`` and the
+    incoming token is ``y``), then re-split. Exactly the reference BPE
+    apply step (Sennrich et al., ACL 2016), engine-neutral: the same
+    text works in Spark (aggregate/endswith) — DuckDB mirrors with
+    list_reduce/ends_with. Each stage must read a MATERIALIZED column
+    (withColumn / CTE per merge): textually nesting stages repeats the
+    child expression 3× per level and the plan grows 3^k (a 14 MiB task
+    binary at k=8 in the prototype)."""
+    return (
+        f"split(aggregate(slice({arr_col}, 2, size({arr_col}) - 1), "
+        f"element_at({arr_col}, 1), "
+        f"(acc, t) -> CASE WHEN (acc = '{x}' OR endswith(acc, ' {x}')) AND t = '{y}' "
+        f"THEN CASE WHEN acc = '{x}' THEN '{x}{y}' "
+        f"ELSE concat(substring(acc, 1, length(acc) - {len(x)}), '{x}{y}') END "
+        f"ELSE concat(acc, ' ', t) END), ' ')"
+    )
+
+
+def bpe_apply(words: "DataFrame", word_col: str = "w", merges=BPE_MERGES_DEMO):
+    """Apply an ordered BPE merge list to a DISTINCT-word frame,
+    returning (word, tokens array, n_tokens). Tokenizing the vocabulary
+    instead of the corpus is the production shape: token counts join
+    back to occurrences by word, so the fold cost is O(|vocab|·len),
+    not O(corpus bytes) — and the stage-per-column structure keeps the
+    plan linear in the merge count."""
+    from pyspark.sql import functions as F
+
+    out = words.withColumn(
+        "__arr",
+        F.expr(
+            f"transform(sequence(1, length({word_col})), "
+            f"i -> substring({word_col}, i, 1))"
+        ),
+    )
+    for x, y in merges:
+        out = out.withColumn("__arr", F.expr(bpe_merge_stage_sql("__arr", x, y)))
+    return out.select(
+        word_col,
+        F.col("__arr").alias("tokens"),
+        F.size("__arr").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_learn(
+    docs: "DataFrame",
+    text_col: str = "text",
+    n_merges: int = 8,
+):
+    """LEARN a BPE merge list: n_merges sequential rounds, each one a
+    distributed pair-count over the current tokenization of the
+    DISTINCT-word frame (weighted by word frequency) with the top pair
+    — tie-broken (count DESC, x ASC, y ASC), so the learned list is
+    deterministic — collected to the driver and appended. This is
+    distributed BPE training's canonical shape (one Spark job per
+    merge; the driver holds only the merge list). Returns the ordered
+    list of (x, y) pairs."""
+    from pyspark.sql import functions as F
+
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    cur = vocab.withColumn(
+        "__arr",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    for _ in range(n_merges):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(__arr, 1, size(__arr) - 1), "
+                        "(x, i) -> struct(x AS x, element_at(__arr, i + 2) AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        x, y = pairs[0].x, pairs[0].y
+        merges.append((x, y))
+        cur = cur.withColumn(
+            "__arr", F.expr(bpe_merge_stage_sql("__arr", x, y))
+        ).localCheckpoint(eager=True)
+    return merges

@@ -2108,3 +2108,91 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "containment")
         .orderBy("id_a", "id_b")
     )
+
+
+def _bpe_oracle() -> str:
+    """DuckDB mirror of the 8-merge BPE apply: one CTE per merge stage
+    (textual nesting grows 3^k — the same reason the Spark side uses a
+    withColumn per stage)."""
+    from etl4s_spark.operators.text import BPE_MERGES_DEMO
+
+    stages = []
+    prev = "v0"
+    for i, (x, y) in enumerate(BPE_MERGES_DEMO, start=1):
+        fold = (
+            f"list_reduce(arr, (acc, t) -> "
+            f"CASE WHEN (acc = '{x}' OR ends_with(acc, ' {x}')) AND t = '{y}' "
+            f"THEN CASE WHEN acc = '{x}' THEN '{x}{y}' "
+            f"ELSE substr(acc, 1, len(acc) - {len(x)}) || '{x}{y}' END "
+            f"ELSE acc || ' ' || t END)"
+        )
+        stages.append(f"v{i} AS (SELECT w, string_split({fold}, ' ') AS arr FROM {prev})")
+        prev = f"v{i}"
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH occ AS (
+      SELECT source, w, count(*) AS c
+      FROM (SELECT source, unnest({_WORDS_SQL}) AS w FROM documents)
+      WHERE w <> '' GROUP BY source, w
+    ),
+    v0 AS (
+      SELECT w, list_transform(generate_series(1, len(w)),
+                               i -> substr(w, CAST(i AS INT), 1)) AS arr
+      FROM (SELECT DISTINCT w FROM occ)
+    ),
+    {stage_sql},
+    tok AS (SELECT w, len(arr) AS n_tokens FROM {prev})
+    SELECT source,
+           CAST(sum(c) AS BIGINT)              AS n_words,
+           CAST(sum(len(w) * c) AS BIGINT)     AS n_char_tokens,
+           CAST(sum(n_tokens * c) AS BIGINT)   AS n_bpe_tokens,
+           round(sum(n_tokens * c) / CAST(sum(len(w) * c) AS DOUBLE), 6)
+             AS compression
+    FROM occ JOIN tok USING (w)
+    GROUP BY source ORDER BY source
+    """
+
+
+@query("q_tokenize_bpe", oracle=_bpe_oracle())
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a BPE tokenizer (Sennrich et al., ACL 2016) corpus-wide,
+    entirely in codegen'd expressions — the tokenization stage of a
+    training-data pipeline, downstream of q_bpe_pair_counts (which
+    profiles the first merge round) and of operators/text.py
+    ``bpe_learn`` (the distributed trainer, pytest-proven to pick the
+    same merges as a reference Python implementation). The 8-merge
+    list is a FIXED artifact here, as tokenizers are at apply time.
+
+    The production shape this pins: tokenize the DISTINCT-word
+    vocabulary (fold cost O(|vocab|·word_len)), then join token counts
+    back to per-(source, word) occurrences — the corpus itself is
+    scanned once for word counts and never re-walked per merge. Each
+    merge stage is one materialized column (plan linear in merges;
+    textual nesting would grow 3^k). Per-source output: word/char/BPE
+    token masses and the compression ratio — the number a tokenizer
+    change actually moves."""
+    from etl4s_spark.operators.text import bpe_apply, words
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = (
+        d.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = bpe_apply(occ.select("w").distinct(), "w")
+    return (
+        occ.join(tok.select("w", "n_tokens"), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.length("w") * F.col("c")).cast("long").alias("n_char_tokens"),
+            F.sum(F.col("n_tokens") * F.col("c")).cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("n_tokens") * F.col("c"))
+                / F.sum(F.length("w") * F.col("c")).cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )

@@ -344,3 +344,83 @@ def test_tws_wiring_raises_clearly_without_protobuf(spark):
         pass
     with pytest.raises(RuntimeError, match="protobuf"):
         tws_profile_agg(df, "user_id", "event_type", "value_micros")
+
+
+# ------------------------------------------------------------------ bpe
+
+
+def _ref_bpe_apply(word, merges):
+    toks = list(word)
+    for x, y in merges:
+        out = []
+        for t in toks:
+            if out and out[-1] == x and t == y:
+                out[-1] = x + y
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def _ref_bpe_learn(word_freqs, n_merges):
+    merges = []
+    toks = {w: list(w) for w in word_freqs}
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            t = toks[w]
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (x, y) = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((x, y))
+        for w in toks:
+            toks[w] = _ref_bpe_apply_one(toks[w], x, y)
+    return merges
+
+
+def _ref_bpe_apply_one(t, x, y):
+    out = []
+    for tok in t:
+        if out and out[-1] == x and tok == y:
+            out[-1] = x + y
+        else:
+            out.append(tok)
+    return out
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    """The distributed BPE trainer (one Spark job per merge round,
+    frequency-weighted pair counts over the distinct-word frame) must
+    pick EXACTLY the merges a reference in-memory trainer picks,
+    including the deterministic (count DESC, x, y) tie-break."""
+    from etl4s_spark.operators.text import bpe_learn
+
+    corpus = [
+        "the theme thereof",
+        "then the thin theme",
+        "and another thing",
+        "banana bandana and",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_learn(df, "text", n_merges=5)
+
+    freqs = {}
+    for line in corpus:
+        for w in line.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _ref_bpe_learn(freqs, 5)
+    assert got == want
+
+
+def test_bpe_apply_matches_reference_on_vocab(spark):
+    from etl4s_spark.operators.text import BPE_MERGES_DEMO, bpe_apply
+
+    vocab = ["the", "then", "and", "thin", "error", "onion", "rethink", "a",
+             "thereandback", "inin", "ananas"]
+    df = spark.createDataFrame([(w,) for w in vocab], "w string")
+    got = {r.w: (list(r.tokens), r.n_tokens) for r in bpe_apply(df, "w").collect()}
+    for w in vocab:
+        ref = _ref_bpe_apply(w, BPE_MERGES_DEMO)
+        assert got[w] == (ref, len(ref)), w
