@@ -434,3 +434,108 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_scalar_try",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 5), 4) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not a number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS safe_cast,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey * 1000000 END AS safe_mul
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: the try_* family (try_divide /
+    try_cast / try_multiply) turns runtime errors — division by zero,
+    malformed casts — into NULLs instead of failed jobs. Under ANSI SQL
+    (Spark 4's default) a single bad row kills a 1000-executor stage at
+    the last retry; try_* is the row-level quarantine that keeps the
+    pipeline total, the scalar sibling of the PERMISSIVE-mode readers
+    (q_csv_quarantine / q_json_quarantine). The oracle mirrors each
+    error condition with explicit CASE guards (DuckDB's division
+    semantics differ), making 'which rows were quarantined' part of the
+    proven contract."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 4
+            ).alias("safe_div"),
+            F.expr(
+                "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'not a number' "
+                "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+            ).alias("safe_cast"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+            .otherwise(F.try_multiply(F.col("o_orderkey"), F.lit(1000000)))
+            .alias("safe_mul"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_scalar_collation",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey,
+             CASE c_custkey % 4 WHEN 0 THEN upper(c_mktsegment)
+                                WHEN 1 THEN lower(c_mktsegment)
+                                WHEN 2 THEN c_mktsegment
+                                ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                                            lower(substr(c_mktsegment, 2)))
+             END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment_ci,
+           CAST(count(*) AS BIGINT)              AS n_customers,
+           CAST(count(DISTINCT seg) AS BIGINT)   AS n_case_variants
+    FROM names GROUP BY lower(seg) ORDER BY segment_ci
+    """,
+)
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4.0 collations): mixed-case
+    segment labels (deterministically scrambled per row so both engines
+    see identical strings) group under UTF8_LCASE collation — equality,
+    GROUP BY, and joins become case-insensitive WITHOUT rewriting every
+    predicate through lower(), which is the migration story for
+    case-insensitive legacy warehouses (SQL Server/MySQL defaults). The
+    n_case_variants column counts the raw spellings each group
+    absorbed, proving the collation actually collapsed them; output is
+    normalized through lower() so the ORACLE (which groups by lower())
+    hashes identically — DuckDB's NOCASE would pick a nondeterministic
+    representative otherwise."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 4 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 4 == 1, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 4 == 2, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.expr("substring(c_mktsegment, 2)")),
+            )
+        )
+    )
+    names = c.select("c_custkey", seg.alias("seg"))
+    return (
+        names.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count_distinct(F.collate(F.col("seg"), "UTF8_BINARY"))
+            .cast("long")
+            .alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("segment_ci"),
+            "n_customers",
+            "n_case_variants",
+        )
+        .orderBy("segment_ci")
+    )
