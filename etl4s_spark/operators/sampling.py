@@ -262,3 +262,44 @@ def domain_mixture_weights(
         F.round(frac, 6).alias("sample_frac"),
         F.round(F.col("n_tokens") * frac).cast("long").alias("planned_tokens"),
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement:
+    each row gets the key u^(1/w) for u ~ Uniform(0,1); the k largest
+    keys are a correct weight-proportional sample. This is THE
+    distributed formulation — no sequential pass over a cumulative
+    weight array, no coordination: keys are computed row-locally, and
+    top-k is a TakeOrdered (per-partition heads + one tiny merge),
+    so at 100 TB the corpus is scanned once and only k rows move.
+
+    Determinism: u is content-addressed (md5 of seed:id, the module's
+    standard recipe) — (u32 + 0.5)/2^32 is an exact dyadic double in
+    (0,1), so reruns, retries, and the SQL oracle reproduce the exact
+    sample. Keys are compared in log space (ln(u)/w, monotone in
+    u^(1/w)) to dodge underflow at large weights; ln is within 1 ulp on
+    both engines and adjacent order-statistic gaps are ~10 orders of
+    magnitude larger, so the ranking is engine-stable. Ties broken by id.
+
+    Returns the k sampled rows with their ``score`` (= ln(u)/w).
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"w:{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("score", score)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

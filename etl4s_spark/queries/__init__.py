@@ -105,6 +105,7 @@ def load_all() -> None:
         setops,
         sorts,
         sources_api,
+        spatial,
         sql_entry,
         streaming_batch,
         tpch,

@@ -805,3 +805,229 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS p
+      FROM events
+    ), med AS (
+      SELECT g, quantile_cont(p, 0.5) AS med FROM cents GROUP BY g
+    ), dev AS (
+      SELECT c.g, c.p, abs(c.p - m.med) AS d
+      FROM cents c JOIN med m ON c.g = m.g
+    ), mad AS (
+      SELECT g, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY g
+    )
+    SELECT d.g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m.med) / 100, 4)  AS median_val,
+           round(any_value(a.mad) / 100, 4)  AS mad_val,
+           CAST(count(*) FILTER (WHERE d.d > 3 * 1.4826 * a.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d
+    JOIN med m ON d.g = m.g
+    JOIN mad a ON d.g = a.g
+    GROUP BY d.g
+    ORDER BY d.g
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type: median absolute deviation
+    (MAD), the estimator that — unlike the z-score's mean/σ — is not
+    itself dragged by the outliers it hunts. Both medians run through
+    the two-phase counts-histogram (operators/analytics.py
+    exact_quartiles_cents — fully parallel fact shuffle, per-group
+    state bounded by the value DOMAIN), on exact integers: deviations
+    are doubled (|2p − 2·med| is a BIGINT, since an interpolated median
+    of ints is a half-integer) so the second median is again integer
+    arithmetic, and every derived double is dyadic-exact — bit-identical
+    to the oracle's quantile_cont. The 3×1.4826×MAD fence is the
+    normal-consistent convention."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("p"),
+    )
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+
+    med = exact_quartiles_cents(cents, "g", "p").select(
+        "g", F.col("median").alias("med")
+    )
+    dev = cents.join(F.broadcast(med), "g").select(
+        "g",
+        "p",
+        "med",
+        F.abs(F.col("p") * 2 - F.round(F.col("med") * 2).cast("long")).alias("d2"),
+    )
+    mad = exact_quartiles_cents(dev.select("g", F.col("d2").alias("p")), "g", "p").select(
+        "g", (F.col("median") / 2).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("med") / 100, 4).alias("median_val"),
+            F.round(F.first("mad") / 100, 4).alias("mad_val"),
+            F.sum(
+                F.when(
+                    F.col("d2").cast("double") / 2 > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias("event_type"), "n", "median_val", "mad_val", "n_outliers"
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, day, c,
+             row_number()  OVER (PARTITION BY g ORDER BY day) AS t,
+             sum(c)        OVER (PARTITION BY g ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING)    AS s,
+             sum(c)        OVER (PARTITION BY g)              AS tot,
+             count(*)      OVER (PARTITION BY g)              AS nd
+      FROM daily
+    ), dev AS (
+      SELECT g, day, nd,
+             abs(CAST(s AS DOUBLE) - t * (CAST(tot AS DOUBLE) / nd)) AS d,
+             row_number() OVER (
+               PARTITION BY g
+               ORDER BY abs(CAST(s AS DOUBLE) - t * (CAST(tot AS DOUBLE) / nd)) DESC,
+                        day) AS rk
+      FROM cum
+    )
+    SELECT g AS event_type,
+           strftime(day, '%Y-%m-%d')  AS change_day,
+           CAST(nd AS BIGINT)         AS n_days,
+           round(d / 100, 2)          AS cusum_peak
+    FROM dev WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection per event type: the day
+    where the cumulative daily total deviates most from the constant-
+    rate line (S_t − t·μ) is the maximum-likelihood single change point
+    for a mean shift (Page's CUSUM, evaluated in batch). Daily totals
+    are exact cent BIGINTs, so the cumulative sums carry no float-order
+    ambiguity and μ is the one division — every deviation double is
+    bit-identical to the oracle's. Plan: ONE shuffle on event_type
+    shared by the daily agg and all four analytic windows (same key),
+    output one row per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    wg = Window.partitionBy("g")
+    wo = Window.partitionBy("g").orderBy("day")
+    cum = daily.select(
+        "g",
+        "day",
+        F.row_number().over(wo).alias("t"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.sum("c").over(wg).alias("tot"),
+        F.count(F.lit(1)).over(wg).alias("nd"),
+    )
+    d = F.abs(
+        F.col("s").cast("double") - F.col("t") * (F.col("tot").cast("double") / F.col("nd"))
+    )
+    dev = cum.select(
+        "g",
+        "day",
+        "nd",
+        d.alias("d"),
+        F.row_number().over(Window.partitionBy("g").orderBy(d.desc(), "day")).alias("rk"),
+    )
+    return (
+        dev.filter(F.col("rk") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.col("nd").cast("long").alias("n_days"),
+            F.round(F.col("d") / 100, 2).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), tiled AS (
+      SELECT l_returnflag, l_linestatus, p,
+             ntile(4) OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY p, l_orderkey, l_linenumber) AS bucket
+      FROM cents
+    )
+    SELECT l_returnflag, l_linestatus, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(min(p) / 100, 2)         AS lo,
+           round(max(p) / 100, 2)         AS hi,
+           CAST(sum(p) AS BIGINT)         AS sum_cents
+    FROM tiled
+    GROUP BY l_returnflag, l_linestatus, bucket
+    ORDER BY l_returnflag, l_linestatus, bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (price quartile buckets per flag/status
+    group) — the optimizer-statistics sibling of the equi-width
+    q_histogram_numeric: bucket BOUNDARIES adapt so counts equalize,
+    which is what selectivity estimation actually wants. ntile(4) over
+    a total order (cents + row key tie-break) is engine-deterministic;
+    per-group windows distribute across the 6 flag/status partitions.
+    At 100 TB you'd compute boundaries from the counts-histogram
+    (exact_quartiles_cents) instead of a global sort — both formulations
+    are in the surface; this one IS the semantic spec."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        "p", "l_orderkey", "l_linenumber"
+    )
+    return (
+        cents.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("l_returnflag", "l_linestatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("p") / 100, 2).alias("lo"),
+            F.round(F.max("p") / 100, 2).alias("hi"),
+            F.sum("p").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n",
+            "lo",
+            "hi",
+            "sum_cents",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "bucket")
+    )

@@ -2196,3 +2196,104 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substr(md5('w:42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(score, 6) AS score
+    FROM keyed
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional sampling without replacement (Efraimidis–
+    Spirakis exponential keys): 50 documents drawn with probability
+    proportional to n_chars, as one scan + TakeOrdered(50) — the
+    distributed replacement for the sequential cumulative-weight walk.
+    Content-addressed u makes the sample retry-stable and the oracle
+    re-derives the identical 50 rows (operators/sampling.py
+    weighted_sample_without_replacement)."""
+    from etl4s_spark.operators.sampling import weighted_sample_without_replacement
+
+    d = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample_without_replacement(d, "doc_id", "n_chars", k=50)
+    return picked.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.desc("score"), "doc_id")
+
+
+@query(
+    "q_embedding_standardize",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+    ), stats AS (
+      SELECT dim,
+             count(*) AS n,
+             sum(q)   AS s,
+             sum(q * q) AS ss
+      FROM el GROUP BY dim
+    )
+    SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+           round((e.q - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt((CAST(st.ss AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                        / (st.n - 1)), 4) AS z
+    FROM el e JOIN stats st ON e.dim = st.dim
+    WHERE e.vec_id < 30
+    ORDER BY e.vec_id, dim
+    """,
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION standardization of an embedding corpus (feature
+    z-scoring before indexing/clustering): posexplode to (vec_id, dim,
+    value), per-dim moments, normalize. The moments are computed over
+    milli-unit INTEGERS (sum and sum-of-squares are exact BIGINTs), so
+    mean/variance are bit-identical across engines and partition
+    orders — the float-sum engine-order trap (FIXTURES §C) never
+    arises. Plan: one scan + one map-side-combined shuffle on the 64
+    dim keys for stats, then the stats frame (64 rows) broadcasts back
+    onto the exploded corpus — the corpus itself is never shuffled.
+    Output restricted to 30 docs (the audit slice); the normalized
+    corpus at 100 TB would be written back, not collected."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    stats = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        el.filter(F.col("vec_id") < 30)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round((F.col("q") - mean) / F.sqrt(var), 4).alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )

@@ -270,3 +270,62 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rn").cast("int"), "term", "tfidf")
         .orderBy("source", "rn")
     )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+'))      AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))   AS n_syllables
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)     AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6  * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+    FROM counts
+    WHERE n_words > 0
+    ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic curation signal
+    for separating prose from boilerplate/code (very low scores) and
+    trivially-simple spam (very high). Syllables use the standard
+    vowel-group proxy ([aeiouy]+ runs), sentences the terminal-punct
+    runs, both as single regexp passes per document: three integer
+    counts per row, zero shuffles before the final sort, and the
+    formula's doubles are ratios of exact integers — identical in any
+    engine. At 100 TB this is a free rider on whatever scan already
+    touches the text (Catalyst collapses it into the same stage as the
+    other q_text_* signals)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lower = F.lower(F.col("text"))
+    counts = d.select(
+        "doc_id",
+        F.regexp_count(lower, F.lit("[a-z]+")).alias("n_words"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit("[.!?]+"))
+        ).alias("n_sentences"),
+        F.regexp_count(lower, F.lit("[aeiouy]+")).alias("n_syllables"),
+    )
+    return (
+        counts.filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,208 @@
+"""Unit tests for the round-5 continuation operators: grid radius join,
+A-ES weighted sampling, MAD outliers, CUSUM changepoint, equi-depth
+buckets, readability — each checked against an independent Python
+re-computation on crafted inputs (not the parquet corpus), so the
+DataFrame algebra is validated separately from the oracle parity the
+driver already gates."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_grid_radius_join_exact_pairs(spark):
+    """Bucketed join must find EXACTLY the brute-force pair set —
+    including pairs that straddle a cell boundary (the neighbor-explode
+    correctness case) — and never a pair beyond the radius."""
+    from etl4s_spark.operators.geo import grid_radius_join
+
+    pts_a = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0.5, 0.5), (9.9, 9.9), (10.1, 10.1), (25.0, 25.0), (0.1, 19.9)]
+    )]
+    pts_b = [(j, float(x), float(y)) for j, (x, y) in enumerate(
+        [(0.0, 0.0), (10.0, 10.0), (30.0, 30.0), (0.0, 20.0)]
+    )]
+    a = spark.createDataFrame(pts_a, ["aid", "x", "y"])
+    b = spark.createDataFrame(pts_b, ["bid", "bx", "by"])
+    r = 10.0
+    got = {
+        (row.aid, row.bid)
+        for row in grid_radius_join(a, b, "x", "y", "bx", "by", r).collect()
+    }
+    want = {
+        (i, j)
+        for i, x, y in pts_a
+        for j, bx, by in pts_b
+        if (x - bx) ** 2 + (y - by) ** 2 <= r * r
+    }
+    assert got == want
+    # sanity: the boundary-straddling pair (9.9,9.9)-(10.0,10.0) is in
+    assert (1, 1) in got and (2, 1) in got
+
+
+def test_grid_radius_join_negative_coords(spark):
+    """floor-based cells must stay correct for negative coordinates
+    (int-truncation toward zero would mis-bucket them)."""
+    from etl4s_spark.operators.geo import grid_radius_join
+
+    a = spark.createDataFrame([(0, -0.5, -0.5)], ["aid", "x", "y"])
+    b = spark.createDataFrame([(0, 0.5, 0.5)], ["bid", "bx", "by"])
+    got = grid_radius_join(a, b, "x", "y", "bx", "by", 2.0).collect()
+    assert len(got) == 1 and abs(got[0].dist_sq - 2.0) < 1e-12
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """The sampled ids must equal an independent Python A-ES replica
+    (same md5-derived u, same ln(u)/w keys)."""
+    import hashlib
+
+    from etl4s_spark.operators.sampling import weighted_sample_without_replacement
+
+    rows = [(i, 1 + (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = [
+        r.id
+        for r in weighted_sample_without_replacement(df, "id", "w", k=20).collect()
+    ]
+
+    def score(i, w):
+        h = int(hashlib.md5(f"w:42:{i}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    want = [i for i, w in sorted(rows, key=lambda t: (-score(*t), t[0]))[:20]]
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity: with weights 1000 vs 1, the heavy stratum
+    must dominate the sample."""
+    from etl4s_spark.operators.sampling import weighted_sample_without_replacement
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = weighted_sample_without_replacement(df, "id", "w", k=40).collect()
+    heavy = sum(1 for r in got if r.id < 50)
+    assert heavy >= 30  # E[heavy] ≈ 38 of 40; <30 would mean broken keys
+
+
+def test_mad_query_flags_planted_outliers(spark, tmp_path):
+    """q_anomaly_mad on a crafted table: 98 values at 10.00 ± 0.02 and
+    two at 500 — MAD must be tiny and exactly the two plants flagged
+    (a mean/σ z-score would swallow them into the inflated σ)."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    vals = [10.0 + (i % 5 - 2) * 0.01 for i in range(98)] + [500.0, 500.0]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 28), i, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_anomaly_mad"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n == 100 and row.n_outliers == 2
+    assert abs(row.median_val - 10.0) < 0.02
+
+
+def test_cusum_finds_planted_shift(spark, tmp_path):
+    """q_ts_changepoint on a step series (20 days at 10, then 20 days
+    at 110) must peak at the last pre-shift day."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = []
+    for d in range(40):
+        val = 10.0 if d < 20 else 110.0
+        rows.append(
+            (d, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), 1, "a", val, "{}")
+        )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_ts_changepoint"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].change_day == "2024-01-20"  # day 20 = last low-regime day
+    assert out[0].n_days == 40
+
+
+def test_equidepth_buckets_balance(spark, sf_dir):
+    """Bucket populations within each group differ by at most 1 row
+    (the ntile invariant) and boundaries are monotone."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_histogram_equidepth"](spark, sf_dir).collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault((r.l_returnflag, r.l_linestatus), []).append(r)
+    for grp, rs in by_grp.items():
+        ns = [r.n for r in rs]
+        assert max(ns) - min(ns) <= 1, grp
+        for a, b in zip(rs, rs[1:]):
+            assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9
+
+
+def test_readability_orders_simple_before_dense(spark, tmp_path):
+    """Short-sentence prose must score higher Flesch than run-on dense
+    text — the signal the curation filter actually uses."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    simple = "The cat sat. The dog ran. It was fun. We went home."
+    dense = (
+        "Notwithstanding considerable methodological heterogeneity the "
+        "meta-analytical aggregation demonstrates statistically significant "
+        "associations between multidimensional socioeconomic determinants "
+        "and longitudinal epidemiological outcomes"
+    )
+    rows = [(0, simple, "en", "a", len(simple)), (1, dense, "en", "a", len(dense))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r.flesch for r in QUERIES["q_text_readability"](spark, str(tmp_path)).collect()}
+    assert out[0] > 70 and out[1] < 20
+
+
+def test_embedding_standardize_moments(spark, sf_dir):
+    """Standardized output per dimension must have ~0 mean over the
+    audit slice only if the slice were the population — instead check
+    the exact contract: z recomputed from the full-corpus integer
+    moments matches."""
+    import duckdb
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_embedding_standardize"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    ref = con.execute(
+        """
+        WITH el AS (
+          SELECT vec_id, i AS dim,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+        ), st AS (
+          SELECT dim, count(*) AS n, sum(q) AS s, sum(q*q) AS ss FROM el GROUP BY dim
+        )
+        SELECT e.vec_id, e.dim,
+               round((e.q - CAST(st.s AS DOUBLE)/st.n)
+                     / sqrt((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE)/st.n)
+                            / (st.n - 1)), 4) AS z
+        FROM el e JOIN st ON e.dim = st.dim WHERE e.vec_id < 30
+        ORDER BY e.vec_id, e.dim
+        """
+    ).fetchall()
+    got = [(r.vec_id, r.dim, r.z) for r in out]
+    assert got == [(a, b, z) for a, b, z in ref]
