@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
@@ -736,4 +737,62 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ORDER BY o_orderpriority
         """
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH cw AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             sum(CAST(round(l_quantity) AS BIGINT))       AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, p, w,
+             sum(w) OVER (PARTITION BY g ORDER BY p
+                          ROWS UNBOUNDED PRECEDING)  AS cw,
+             sum(w) OVER (PARTITION BY g)            AS tw
+      FROM cw
+    )
+    SELECT g AS l_returnflag,
+           round(min(p) FILTER (WHERE 2 * cw >= tw) / 100, 2) AS weighted_median,
+           CAST(any_value(tw) AS BIGINT)                      AS total_weight
+    FROM cum
+    GROUP BY g
+    ORDER BY g
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median price per return flag (lower weighted
+    median: smallest value whose cumulative weight reaches half the
+    total) — the unit-economics median, where a 50-unit line counts 50×.
+    Same counts-histogram shape as exact_quartiles_cents: the fact
+    table collapses map-side to (flag, cents, Σweight) — the cumulative
+    window runs over the bounded price DOMAIN, never raw rows — and
+    weights/cents are exact BIGINTs, so the defining inequality
+    2·cumw ≥ total is integer arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cw = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy("g")
+    cum = cw.select(
+        "g",
+        "p",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wg).alias("tw"),
+    )
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.round(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p"))) / 100, 2
+            ).alias("weighted_median"),
+            F.first("tw").cast("long").alias("total_weight"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "weighted_median", "total_weight")
+        .orderBy("l_returnflag")
     )

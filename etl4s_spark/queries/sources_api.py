@@ -463,3 +463,44 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey % 5                       AS region_bucket,
+           CAST(count(*) AS BIGINT)              AS n,
+           CAST(sum(length(n_name)) AS BIGINT)   AS name_chars
+    FROM nation
+    GROUP BY n_nationkey % 5
+    ORDER BY region_bucket
+    """,
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip — Spark 4.0's BUILT-IN xml format
+    (the former spark-xml package, merged upstream: rowTag framing,
+    schema-on-read). XML is the interchange format regulators and
+    legacy ERP exports still speak; the queryable contract is that a
+    write→read cycle preserves the relational content exactly, proven
+    by aggregating the re-read frame against the source-table oracle.
+    Integer-only aggregates (counts + name lengths) keep the hash
+    immune to text-serialization float formatting."""
+    path = _sink_dir(sf_dir, "xml_roundtrip")
+    nat = load_table(spark, sf_dir, "nation")
+    nat.select("n_nationkey", "n_name").write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING")
+        .load(path)
+    )
+    return (
+        back.groupBy((F.col("n_nationkey") % 5).alias("region_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("region_bucket")
+    )

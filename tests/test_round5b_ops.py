@@ -206,3 +206,69 @@ def test_embedding_standardize_moments(spark, sf_dir):
     ).fetchall()
     got = [(r.vec_id, r.dim, r.z) for r in out]
     assert got == [(a, b, z) for a, b, z in ref]
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Histogram+window skyline equals the O(N²) dominance definition
+    on a crafted point set with boundary ties and duplicates."""
+    from etl4s_spark.queries import QUERIES, load_all  # noqa: F401
+
+    pts = [
+        (0, 100, 10), (1, 100, 10),   # duplicate frontier point (both kept)
+        (2, 100, 5),                  # same price, smaller -> dominated
+        (3, 200, 20), (4, 150, 10),   # 4 dominated by 0 on price? no: 150>100, sz equal -> dominated
+        (5, 300, 20),                 # dominated by 3
+        (6, 50, 1),                   # cheapest -> frontier
+    ]
+    # brute force
+    def dominated(a):
+        return any(
+            (b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2]))
+            for b in pts
+        )
+
+    want = sorted(p[0] for p in pts if not dominated(p))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(pts, ["id", "price_c", "sz"])
+    hist = df.groupBy("price_c").agg(F.max("sz").alias("max_sz"))
+    wlt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    wle = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, 0)
+    sky = (
+        hist.select(
+            "price_c", "max_sz",
+            F.max("max_sz").over(wlt).alias("m_lt"),
+            F.max("max_sz").over(wle).alias("m_le"),
+        )
+        .filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("max_sz")))
+            & (F.col("m_le") <= F.col("max_sz"))
+        )
+        .select("price_c", F.col("max_sz").alias("sz"))
+    )
+    got = sorted(r.id for r in df.join(sky, ["price_c", "sz"]).collect())
+    assert got == want
+
+
+def test_weighted_median_definition(spark, tmp_path):
+    """Lower weighted median on a table where the unweighted median
+    differs: values 1(w=1), 2(w=1), 3(w=10) -> weighted median 3."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 10)], ["p", "w"])
+    wo = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select("p", F.sum("w").over(wo).alias("cw"), F.sum("w").over(Window.partitionBy()).alias("tw"))
+    got = cum.agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p")))).collect()[0][0]
+    assert got == 3
+
+
+def test_xml_roundtrip_preserves_rows(spark, sf_dir):
+    """XML write->read cycle preserves every nation row."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_sink_xml_roundtrip"](spark, sf_dir).collect()
+    assert sum(r.n for r in out) == 25
