@@ -2297,3 +2297,51 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim")
     )
+
+
+@query(
+    "q_split_balance",
+    oracle="""
+    WITH s AS (
+      SELECT label,
+             CASE WHEN substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 8) < '0ccccccc' THEN 'val'
+                  WHEN substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM embeddings
+    ), counts AS (
+      SELECT split, label, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+    ), tot AS (
+      SELECT split, sum(n) AS t FROM counts GROUP BY split
+    )
+    SELECT c.split, CAST(c.label AS BIGINT) AS label, c.n,
+           round(CAST(c.n AS DOUBLE) / t.t, 4) AS share
+    FROM counts c JOIN tot t ON c.split = t.split
+    ORDER BY c.split, c.label
+    """,
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit per train/val/test split — the leakage/skew
+    check run right after split assignment: a label whose share differs
+    materially across splits means the hash-split is confounded with the
+    labeling process. Reuses the SAME disjoint-hash-range assignment as
+    q_sample_split (operators/sampling.py train_val_test_split), so this
+    audits the actual production splitter, not a reimplementation.
+    Shares are exact-integer ratios rounded at output."""
+    from etl4s_spark.operators.sampling import train_val_test_split
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = train_val_test_split(
+        e.select("vec_id", "label"), "vec_id", val_fraction=0.05, test_fraction=0.05
+    )
+    counts = s.groupBy("split", "label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("split").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(F.broadcast(tot), "split")
+        .select(
+            "split",
+            F.col("label").cast("long").alias("label"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 4).alias("share"),
+        )
+        .orderBy("split", "label")
+    )

@@ -598,3 +598,47 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_audit_join_fanout",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ), oc AS (
+      SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1
+    ), j AS (
+      SELECT lc.k, lc.c AS cl, oc.c AS cr FROM lc JOIN oc ON lc.k = oc.k
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_join_keys,
+           CAST(max(cl) AS BIGINT)         AS max_fanout_left,
+           CAST(max(cr) AS BIGINT)         AS max_fanout_right,
+           CAST(sum(cl * cr) AS BIGINT)    AS est_join_rows,
+           CAST(sum(CASE WHEN cl * cr >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_keys
+    FROM j
+    """,
+)
+def q_audit_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion guard: BEFORE running a join, profile per-key
+    multiplicities on both sides and the implied output cardinality
+    (Σ cl·cr) — the audit that catches the accidental many-to-many
+    (duplicate dimension keys, grain mismatch) that turns a 100 TB join
+    into a 10 PB shuffle. Two map-side-combined key counts + one
+    key-domain join; the fact tables themselves are never joined. The
+    estimate is EXACT (it is the inner-join cardinality identity), so
+    the oracle doubles as the proof."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+    oc = od.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cr"))
+    j = lc.join(oc, "k")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+        F.max("cl").cast("long").alias("max_fanout_left"),
+        F.max("cr").cast("long").alias("max_fanout_right"),
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("est_join_rows"),
+        F.sum(F.when(F.col("cl") * F.col("cr") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot_keys"),
+    )

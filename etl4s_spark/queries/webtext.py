@@ -329,3 +329,198 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_seqlen_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             length(format('{:b}', n_tokens)) AS bucket
+      FROM toks WHERE n_tokens > 0
+    )
+    SELECT CAST(bucket AS INT)                  AS bucket,
+           CAST(1 << (bucket - 1) AS BIGINT)    AS lo_tokens,
+           CAST((1 << bucket) - 1 AS BIGINT)    AS hi_tokens,
+           CAST(count(*) AS BIGINT)             AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)        AS total_tokens
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    calibration input for sequence packing and context-length choice
+    (what fraction of the corpus fits 2^k tokens?). The bucket is the
+    BIT LENGTH of the token count (length of its binary rendering) —
+    pure integer string ops, so bucket edges cannot drift the way
+    floor(log2(x)) can when two libms disagree in the last ulp.
+    One scan, one map-side-combined shuffle on ≤ ~20 bucket keys."""
+    from etl4s_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(token_count(F.col("text")).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    b = toks.withColumn("bucket", F.length(F.bin(F.col("n_tokens"))).cast("int"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(1L, bucket - 1)").cast("long").alias("lo_tokens"),
+            F.expr("shiftleft(1L, bucket) - 1").cast("long").alias("hi_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_corpus_drift",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id % 2 AS half,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), wf AS (SELECT half, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2),
+    piv AS (
+      SELECT word,
+             coalesce(sum(c) FILTER (WHERE half = 0), 0) AS ca,
+             coalesce(sum(c) FILTER (WHERE half = 1), 0) AS cb
+      FROM wf GROUP BY word
+    ), tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM piv
+    ), terms AS (
+      SELECT CAST(round(
+               ((p.ca + 1) / CAST(t.na + t.v AS DOUBLE))
+               * ln( ((p.ca + 1) / CAST(t.na + t.v AS DOUBLE))
+                   / ((p.cb + 1) / CAST(t.nb + t.v AS DOUBLE)) ) * 1000000000
+             ) AS BIGINT) AS kl_ab_e9,
+             CAST(round(
+               ((p.cb + 1) / CAST(t.nb + t.v AS DOUBLE))
+               * ln( ((p.cb + 1) / CAST(t.nb + t.v AS DOUBLE))
+                   / ((p.ca + 1) / CAST(t.na + t.v AS DOUBLE)) ) * 1000000000
+             ) AS BIGINT) AS kl_ba_e9
+      FROM piv p, tot t
+    )
+    SELECT CAST(any_value(t.na) AS BIGINT) AS n_words_a,
+           CAST(any_value(t.nb) AS BIGINT) AS n_words_b,
+           CAST(any_value(t.v)  AS BIGINT) AS vocab,
+           round(sum(kl_ab_e9) / 1000000000.0, 6) AS kl_ab,
+           round(sum(kl_ba_e9) / 1000000000.0, 6) AS kl_ba
+    FROM terms, tot t
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift: smoothed unigram KL divergence between two halves
+    of the corpus (even vs odd doc ids stand in for
+    yesterday's-crawl-vs-today's) — the distribution-shift alarm a
+    training-data pipeline runs before mixing a new dump in. Add-one
+    smoothing over the JOINT vocabulary; each word's KL term is
+    quantized to integer nano-nats and SUMMED EXACTLY (the float-sum
+    engine-order trap cannot arise — FIXTURES §C). Plan: one word
+    explode + one shuffle on word, then a 1-row broadcast of the
+    totals; vocabulary-sized state only."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select((F.col("doc_id") % 2).alias("half"), F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("half", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    piv = wf.groupBy("word").agg(
+        F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("c"))), F.lit(0)).alias("cb"),
+    )
+    tot = piv.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    j = piv.join(F.broadcast(tot))
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v")).cast("double")
+    terms = j.select(
+        "na",
+        "nb",
+        "v",
+        F.round(pa * F.log(pa / pb) * 1000000000).cast("long").alias("kl_ab_e9"),
+        F.round(pb * F.log(pb / pa) * 1000000000).cast("long").alias("kl_ba_e9"),
+    )
+    return terms.agg(
+        F.first("na").cast("long").alias("n_words_a"),
+        F.first("nb").cast("long").alias("n_words_b"),
+        F.first("v").cast("long").alias("vocab"),
+        F.round(F.sum("kl_ab_e9") / 1000000000.0, 6).alias("kl_ab"),
+        F.round(F.sum("kl_ba_e9") / 1000000000.0, 6).alias("kl_ba"),
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH docs AS (
+      SELECT source, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, s
+      FROM (
+        SELECT source,
+               unnest(CASE WHEN len(w) >= 5
+                    THEN list_distinct(list_transform(range(len(w) - 4),
+                                       i -> array_to_string(w[i+1:i+5], ' ')))
+                    ELSE [] END) AS s
+        FROM docs
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT 5-gram shingles they share — the triage view that
+    tells you WHICH crawl dumps overlap before running pairwise dedup.
+    Same shingle recipe as q_decontaminate; the self-join is on the
+    shingle key, so fan-out per shingle is bounded by the number of
+    sources containing it (≤ |sources|), never by corpus size; output
+    is the |sources|² upper triangle. At 100 TB: join on
+    xxhash64(shingle) longs, same plan."""
+    from etl4s_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    shingles = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 5),
+                lambda i: F.array_join(F.slice(w, i + 1, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    return (
+        sh.alias("a")
+        .join(b, "s")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )

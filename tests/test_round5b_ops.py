@@ -272,3 +272,93 @@ def test_xml_roundtrip_preserves_rows(spark, sf_dir):
     load_all()
     out = QUERIES["q_sink_xml_roundtrip"](spark, sf_dir).collect()
     assert sum(r.n for r in out) == 25
+
+
+def test_corpus_drift_zero_for_identical_halves(spark, tmp_path):
+    """KL must be exactly 0.0 when even and odd docs are identical."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = [(i, "alpha beta gamma delta", "en", "a", 22) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["q_corpus_drift"](spark, str(tmp_path)).collect()[0]
+    assert out.kl_ab == 0.0 and out.kl_ba == 0.0
+    assert out.vocab == 4
+
+
+def test_corpus_drift_positive_for_disjoint_halves(spark, tmp_path):
+    """Disjoint vocabularies must give symmetric positive KL."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = [
+        (i, "alpha beta" if i % 2 == 0 else "gamma delta", "en", "a", 10)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["q_corpus_drift"](spark, str(tmp_path)).collect()[0]
+    assert out.kl_ab > 0.1 and abs(out.kl_ab - out.kl_ba) < 1e-6  # symmetric setup
+
+
+def test_source_overlap_counts_shared_shingles(spark, tmp_path):
+    """Two sources sharing one 5-gram window overlap by exactly the
+    number of distinct shared shingles; a disjoint third source never
+    appears."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    shared = "one two three four five"
+    rows = [
+        (0, shared + " six", "en", "src_a", 20),
+        (1, "zero " + shared, "en", "src_b", 20),
+        (2, "p q r s t u v w", "en", "src_c", 15),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {(r.source_a, r.source_b): r.shared_shingles
+           for r in QUERIES["q_source_overlap"](spark, str(tmp_path)).collect()}
+    assert out == {("src_a", "src_b"): 1}
+
+
+def test_seqlen_histogram_bucket_edges(spark, sf_dir):
+    """Bucket b covers [2^(b-1), 2^b - 1] and doc counts total the
+    corpus."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_seqlen_histogram"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.lo_tokens == 2 ** (r.bucket - 1)
+        assert r.hi_tokens == 2 ** r.bucket - 1
+    assert sum(r.n_docs for r in rows) > 0
+
+
+def test_split_balance_shares_sum_to_one(spark, sf_dir):
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_split_balance"](spark, sf_dir).collect()
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+    assert set(by_split) == {"train", "val", "test"}
+    for split, rs in by_split.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 0.01, split
+
+
+def test_join_fanout_estimate_is_exact(spark, sf_dir):
+    """est_join_rows equals the actual inner-join cardinality."""
+    from etl4s_spark.queries import QUERIES, load_all
+    from etl4s_spark.sources.tables import load_table
+
+    load_all()
+    out = QUERIES["q_audit_join_fanout"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    actual = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert out.est_join_rows == actual

@@ -75,6 +75,15 @@ PROBE_QUERIES = [
     "q_agg_bitmap_distinct",
     "q_window_rolling_distinct",
     "q_mixture_weights",
+    # round-5 third wave (uncapped over their fact tables)
+    "q_join_geo_radius",
+    "q_geo_cell_density",
+    "q_sample_weighted",
+    "q_anomaly_mad",
+    "q_ts_changepoint",
+    "q_histogram_equidepth",
+    "q_agg_weighted_median",
+    "q_skyline_pareto",
 ]
 
 
