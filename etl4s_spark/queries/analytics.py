@@ -1031,3 +1031,23 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus", "bucket")
     )
+
+
+@query("q_graph_kcore")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE of the near-dup pair graph (operators/graph.py k_core):
+    iterative peeling of nodes with < 3 surviving neighbors — the
+    density filter separating real duplicate cliques (which survive)
+    from LSH chaining artifacts (whose tree-like tendrils peel away).
+    Rows-only at the driver (iterative fixpoint is not single-statement
+    SQL; DuckDB's recursive CTEs cannot re-aggregate degrees per round);
+    tests/test_round5b_ops.py proves the peeling against an independent
+    Python replica on crafted graphs, and the cluster-canonical family
+    covers the shared convergence machinery with oracles."""
+    from etl4s_spark.operators.graph import k_core
+
+    return (
+        k_core(_neardup_pairs(spark, sf_dir), k=3)
+        .select(F.col("id").cast("long"), "core_degree")
+        .orderBy("id")
+    )

@@ -642,3 +642,45 @@ def q_audit_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hot_keys"),
     )
+
+
+@query(
+    "q_audit_kanonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+             count(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT)                               AS n_classes,
+           CAST(min(n) AS BIGINT)                                 AS min_class_size,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+    FROM classes
+    """,
+)
+def q_audit_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, account-balance kilo-bucket): an
+    equivalence class smaller than k re-identifies its members by
+    joining public attributes alone — the release gate before sharing
+    a "de-identified" extract. The bucket edge is integer arithmetic
+    on exact cents (floor-div of a BIGINT), so class membership can
+    never straddle engines. One map-side-combined shuffle on the
+    quasi-identifier tuple; output is a single summary row, O(1)
+    regardless of corpus size."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("long").alias("n_rows_at_risk"),
+    )

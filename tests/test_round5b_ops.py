@@ -362,3 +362,57 @@ def test_join_fanout_estimate_is_exact(spark, sf_dir):
     od = load_table(spark, sf_dir, "orders")
     actual = li.join(od, li.l_orderkey == od.o_orderkey).count()
     assert out.est_join_rows == actual
+
+
+def test_kcore_matches_python_peeling(spark):
+    """k_core on a crafted graph = independent Python peeling: a
+    4-clique (3-core) with a pendant path (peels away)."""
+    from etl4s_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = clique + path
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.core_degree for r in k_core(df, k=3).collect()}
+
+    # python replica
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < 3]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = {n: len(nb) for n, nb in adj.items()}
+    assert got == want
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    from etl4s_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    assert k_core(df, k=3).count() == 0
+
+
+def test_kanonymity_counts_small_classes(spark, tmp_path):
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    # 6 rows in one class, 2 rows in another -> 1 violating class, 2 at risk
+    rows = [(i, f"c{i}", 1, 500.0, "SEG_A") for i in range(6)] + [
+        (10, "c10", 2, 500.0, "SEG_B"),
+        (11, "c11", 2, 500.0, "SEG_B"),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = QUERIES["q_audit_kanonymity"](spark, str(tmp_path)).collect()[0]
+    assert out.n_classes == 2
+    assert out.n_violating_classes == 1
+    assert out.n_rows_at_risk == 2
+    assert out.min_class_size == 2
