@@ -539,3 +539,74 @@ def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_ci")
     )
+
+
+@query(
+    "q_scalar_busdays",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate,
+             isodow(o_orderdate) - 1 AS dow0
+      FROM orders WHERE o_orderkey < 2000
+    ), rolled AS (
+      SELECT o_orderkey, o_orderdate, dow0,
+             CASE WHEN dow0 = 5 THEN o_orderdate + INTERVAL 2 DAY
+                  WHEN dow0 = 6 THEN o_orderdate + INTERVAL 1 DAY
+                  ELSE o_orderdate END AS start_bd
+      FROM base
+    ), shifted AS (
+      SELECT o_orderkey, o_orderdate, dow0, start_bd,
+             isodow(start_bd) - 1 AS sd0
+      FROM rolled
+    )
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(dow0 AS INT)                 AS dow0,
+           strftime(start_bd + (5 + 2 * ((sd0 + 5) // 5)) * INTERVAL 1 DAY,
+                    '%Y-%m-%d')              AS ship_by,
+           CAST(len(list_filter(generate_series(o_orderdate + INTERVAL 1 DAY,
+                                                o_orderdate + INTERVAL 30 DAY,
+                                                INTERVAL 1 DAY),
+                                d -> isodow(d) <= 5)) AS INT) AS busdays_next30
+    FROM shifted
+    ORDER BY o_orderkey
+    """,
+)
+def q_scalar_busdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendar arithmetic — SLA deadlines ("ship within 5
+    business days") and capacity windows (working days in the next 30)
+    — entirely in closed-form integer date math: weekend starts roll to
+    Monday, then result = start + n + 2·((dow + n) div 5) skips every
+    crossed weekend without a calendar table or UDF; the 30-day window
+    count is a higher-order filter over sequence(). Engine-portable
+    because both sides derive Monday=0 weekday indices (Spark's
+    Sunday-based dayofweek shifted, DuckDB's isodow − 1) and every
+    operation is exact integer/date arithmetic."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    dow0 = (F.dayofweek("o_orderdate") + 5) % 7  # Monday=0 .. Sunday=6
+    start_bd = F.when(dow0 == 5, F.date_add("o_orderdate", 2)).otherwise(
+        F.when(dow0 == 6, F.date_add("o_orderdate", 1)).otherwise(F.col("o_orderdate"))
+    )
+    b = od.select(
+        "o_orderkey",
+        "o_orderdate",
+        dow0.cast("int").alias("dow0"),
+        start_bd.alias("start_bd"),
+    ).withColumn("sd0", (F.dayofweek("start_bd") + 5) % 7)
+    ship = F.expr("date_add(start_bd, CAST(5 + 2 * ((sd0 + 5) div 5) AS INT))")
+    busdays = F.size(
+        F.filter(
+            F.sequence(
+                F.date_add("o_orderdate", 1),
+                F.date_add("o_orderdate", 30),
+            ),
+            lambda d: (F.dayofweek(d) + 5) % 7 <= 4,
+        )
+    )
+    return b.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "dow0",
+        F.date_format(ship, "yyyy-MM-dd").alias("ship_by"),
+        busdays.cast("int").alias("busdays_next30"),
+    ).orderBy("o_orderkey")

@@ -134,3 +134,67 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "cell_x", "cell_y")
         .limit(20)
     )
+
+
+@query(
+    "q_join_geo_nearest",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_coord_sql("cx:", "c_custkey")} AS x,
+             {_coord_sql("cy:", "c_custkey")} AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_coord_sql("sx:", "s_suppkey")} AS x,
+             {_coord_sql("sy:", "s_suppkey")} AS y
+      FROM supplier
+    ), pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+      FROM c, s
+    ), best AS (
+      SELECT c_custkey, min(d2) AS md FROM pairs GROUP BY c_custkey
+    )
+    SELECT p.c_custkey,
+           min(p.s_suppkey)               AS nearest_suppkey,
+           round(sqrt(any_value(b.md)), 3) AS dist_km
+    FROM pairs p JOIN best b
+      ON p.c_custkey = b.c_custkey AND p.d2 = b.md
+    GROUP BY p.c_custkey
+    ORDER BY p.c_custkey
+    """,
+)
+def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment: every customer mapped to its closest
+    supplier site — the fulfillment/routing primitive. The site list is
+    BOUNDED (warehouses, not customers), so the right plan at 100 TB is
+    exactly this one: broadcast the sites, evaluate |sites| distances
+    per row IN the scan stage, and reduce with a map-side-combined
+    min(struct(dist², suppkey)) — one aggregate shuffle of combiners,
+    no row explosion survives the map side, ties broken by the struct's
+    lexicographic order (same rule the oracle states as min-over-
+    argmin). The grid radius join (q_join_geo_radius) is the shape for
+    site lists too big to broadcast."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _coord("cx:", "c_custkey").alias("x"), _coord("cy:", "c_custkey").alias("y")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", _coord("sx:", "s_suppkey").alias("sx"), _coord("sy:", "s_suppkey").alias("sy")
+    )
+    dx = F.col("x") - F.col("sx")
+    dy = F.col("y") - F.col("sy")
+    pairs = c.join(F.broadcast(s)).select(
+        "c_custkey",
+        F.struct((dx * dx + dy * dy).alias("d2"), F.col("s_suppkey").alias("k")).alias("p"),
+    )
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(F.min("p").alias("best"))
+        .select(
+            "c_custkey",
+            F.col("best.k").alias("nearest_suppkey"),
+            F.round(F.sqrt("best.d2"), 3).alias("dist_km"),
+        )
+        .orderBy("c_custkey")
+    )

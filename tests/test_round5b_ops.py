@@ -416,3 +416,67 @@ def test_kanonymity_counts_small_classes(spark, tmp_path):
     assert out.n_violating_classes == 1
     assert out.n_rows_at_risk == 2
     assert out.min_class_size == 2
+
+
+def test_geo_nearest_matches_bruteforce(spark, sf_dir):
+    """min(struct) nearest assignment equals a brute-force argmin with
+    the same tie rule."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = {r.c_custkey: (r.nearest_suppkey, r.dist_km)
+           for r in QUERIES["q_join_geo_nearest"](spark, sf_dir).collect()}
+    import hashlib
+    import math
+
+    def coord(prefix, k):
+        h = int(hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:8], 16)
+        return h / 4294967296.0 * 1000.0
+
+    import duckdb
+    con = duckdb.connect()
+    custs = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM '{sf_dir}/customer.parquet'").fetchall()]
+    supps = [r[0] for r in con.execute(
+        f"SELECT s_suppkey FROM '{sf_dir}/supplier.parquet'").fetchall()]
+    spts = [(s, coord("sx:", s), coord("sy:", s)) for s in supps]
+    for c in custs:
+        cx, cy = coord("cx:", c), coord("cy:", c)
+        best = min(((cx - sx) ** 2 + (cy - sy) ** 2, s) for s, sx, sy in spts)
+        assert out[c][0] == best[1], c
+        assert abs(out[c][1] - round(math.sqrt(best[0]), 3)) < 1e-9, c
+
+
+def test_busdays_closed_form(spark, tmp_path):
+    """5-business-day deadline from each weekday equals a Python
+    calendar walk; weekend starts roll to Monday first."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    # one order on each day of a week (Mon 2024-01-01 .. Sun 2024-01-07)
+    rows = [
+        (i, i, f"P{i}", 100.0, datetime.date(2024, 1, 1 + i))
+        for i in range(7)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string, o_totalprice double, o_orderdate date"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {r.o_orderkey: r for r in QUERIES["q_scalar_busdays"](spark, str(tmp_path)).collect()}
+
+    def add_busdays(d, n):
+        while d.weekday() >= 5:  # roll weekend starts to Monday
+            d += datetime.timedelta(days=1)
+        added = 0
+        while added < n:
+            d += datetime.timedelta(days=1)
+            if d.weekday() < 5:
+                added += 1
+        return d
+
+    for i in range(7):
+        want = add_busdays(datetime.date(2024, 1, 1 + i), 5).isoformat()
+        assert out[i].ship_by == want, (i, out[i].ship_by, want)
+        # 30 calendar days always contain 20..22 weekdays
+        assert 20 <= out[i].busdays_next30 <= 22
