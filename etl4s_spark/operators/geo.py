@@ -67,8 +67,19 @@ def grid_radius_join(
     plan for a bounded site list against a huge point table. Columns of
     both inputs survive; the squared distance is returned as ``dist_sq``
     (take sqrt at the call site if the metric itself is wanted).
+
+    The grid side is ``radius × (1 + 1e-9)``, NOT radius: the float
+    predicate dx²+dy² ≤ r² admits pairs whose per-axis delta exceeds r
+    by up to ~1 ulp (dist² rounds DOWN onto r² exactly), and such a
+    delta can straddle TWO cell boundaries when one coordinate sits
+    just below zero — hypothesis found the counterexample (x=1.0 vs
+    x=-2e-309, r=1): cells 0 and −1 become 1 and −1, outside the
+    9-neighbor explode. Any cell side strictly greater than the
+    largest qualifying |delta| restores the lemma |cell(a)−cell(b)| ≤ 1
+    per axis, and 1e-9 relative slack dwarfs the 2⁻⁵² predicate
+    rounding while changing no verify decision.
     """
-    s = float(radius)
+    s = float(radius) * (1.0 + 1e-9)
     lcell = add_grid_cell(left, lx, ly, s)
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
@@ -90,6 +101,6 @@ def grid_radius_join(
     return (
         lcell.join(rcell, "cell")
         .withColumn("dist_sq", dx * dx + dy * dy)
-        .filter(F.col("dist_sq") <= F.lit(s * s))
+        .filter(F.col("dist_sq") <= F.lit(float(radius) * float(radius)))
         .drop("cell")
     )

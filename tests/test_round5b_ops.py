@@ -480,3 +480,90 @@ def test_busdays_closed_form(spark, tmp_path):
         assert out[i].ship_by == want, (i, out[i].ship_by, want)
         # 30 calendar days always contain 20..22 weekdays
         assert 20 <= out[i].busdays_next30 <= 22
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=1e-3, max_value=1e4, allow_nan=False),
+)
+def test_grid_neighbor_lemma(x1, y1, x2, y2, r):
+    """The correctness core of grid_radius_join, as pure math: any pair
+    accepted by the FLOAT predicate dx²+dy² ≤ r² lands in grid cells
+    (side r·(1+1e-9), the operator's inflated cell) differing by at
+    most 1 per axis — so the 9-cell neighbor explode never misses a
+    qualifying pair. With cell side exactly r this is FALSE: hypothesis
+    found (x=1.0, x'=-2e-309, r=1), where dist² rounds onto r² but the
+    cells differ by 2 — the bug the 1e-9 slack closes."""
+    import math
+
+    s = r * (1.0 + 1e-9)
+    if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r:
+        assert abs(math.floor(x1 / s) - math.floor(x2 / s)) <= 1
+        assert abs(math.floor(y1 / s) - math.floor(y2 / s)) <= 1
+
+
+def test_grid_radius_join_random_cloud(spark):
+    """Fixed-seed random cloud: bucketed join == brute force on 300×60
+    points (boundary straddles arise naturally at this density)."""
+    import random
+
+    from etl4s_spark.operators.geo import grid_radius_join
+
+    rng = random.Random(42)
+    pa = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(300)]
+    pb = [(j, rng.uniform(0, 100), rng.uniform(0, 100)) for j in range(60)]
+    r = 7.5
+    a = spark.createDataFrame(pa, ["aid", "x", "y"])
+    b = spark.createDataFrame(pb, ["bid", "bx", "by"])
+    got = {
+        (row.aid, row.bid)
+        for row in grid_radius_join(a, b, "x", "y", "bx", "by", r).collect()
+    }
+    want = {
+        (i, j)
+        for i, x, y in pa
+        for j, bx, by in pb
+        if (x - bx) ** 2 + (y - by) ** 2 <= r * r
+    }
+    assert got == want and len(want) > 100
+
+
+def test_weighted_median_random_vs_replica(spark):
+    """Fixed-seed random weighted sets: the cumulative-histogram lower
+    weighted median equals a sort-and-walk Python replica."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 50), rng.randint(1, 9)) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["p", "w"])
+    cw = df.groupBy("p").agg(F.sum("w").alias("w"))
+    wo = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cw.select(
+        "p",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    got = cum.agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p")))
+    ).collect()[0][0]
+
+    total = sum(w for _, w in rows)
+    acc = 0
+    want = None
+    for p, w in sorted(rows):
+        acc += w
+        if 2 * acc >= total:
+            want = p
+            break
+    assert got == want
