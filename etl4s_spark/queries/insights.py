@@ -894,3 +894,118 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("avg_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_interevent_latency",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type AS g,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type, user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), clean AS (SELECT g, gap_us AS p FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT g AS event_type,
+           CAST(count(*) AS BIGINT)                   AS n_gaps,
+           round(quantile_cont(p, 0.25) / 1000000, 2) AS p25_s,
+           round(quantile_cont(p, 0.5)  / 1000000, 2) AS median_s,
+           round(quantile_cont(p, 0.75) / 1000000, 2) AS p75_s,
+           round(max(p) / 1000000.0, 2)               AS max_s
+    FROM clean GROUP BY g ORDER BY g
+    """,
+)
+def q_interevent_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency distribution: per event type, the quartiles
+    of the gap between a user's consecutive events — the
+    engagement-cadence / SLA-latency query. Gaps are exact integer
+    SECONDS (epoch subtraction — no float time arithmetic), quartiles
+    run through the two-phase counts histogram
+    (operators/analytics.exact_quartiles_cents: the per-group funnel
+    never sees raw rows, only the bounded gap domain). One shuffle on
+    (type, user) for the lag window, one on type for the histogram."""
+    from pyspark.sql.window import Window as W
+
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        F.col("event_type").alias("g"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    qs = exact_quartiles_cents(gaps, "g", "p")
+    mx = gaps.groupBy("g").agg(F.max("p").alias("mx"))
+    return (
+        qs.join(mx, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(F.col("p25") / 1000000, 2).alias("p25_s"),
+            F.round(F.col("median") / 1000000, 2).alias("median_s"),
+            F.round(F.col("p75") / 1000000, 2).alias("p75_s"),
+            F.round(F.col("mx") / 1000000.0, 2).alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_concurrency_sweepline",
+    oracle="""
+    WITH intervals AS (
+      SELECT o_orderdate AS start_d,
+             CAST(o_orderdate + ((o_orderkey % 30) + 1) * INTERVAL 1 DAY AS DATE)
+               AS end_d
+      FROM orders
+    ), deltas AS (
+      SELECT start_d AS d, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT end_d AS d, -1 AS delta FROM intervals
+    ), daily AS (
+      SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+    ), running AS (
+      SELECT d, sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS open_orders
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(open_orders AS BIGINT) AS open_orders
+    FROM running
+    ORDER BY day
+    LIMIT 400
+    """,
+)
+def q_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many orders are
+    OPEN on each day (open = [orderdate, orderdate + synthetic
+    processing days)). The naive formulation joins every day against
+    every overlapping interval — O(days × intervals); the sweep line
+    turns each interval into a +1/−1 boundary event, aggregates deltas
+    per day (map-side combined), and takes a running sum over the DAY
+    domain — interval count never appears in any shuffle's row count.
+    The pattern behind concurrency dashboards, license-seat peaks, and
+    hotel-occupancy queries. Exact integers throughout."""
+    od = load_table(spark, sf_dir, "orders")
+    start = od.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    end = od.select(
+        F.date_add(
+            "o_orderdate", ((F.col("o_orderkey") % 30) + 1).cast("int")
+        ).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = start.union(end).groupBy("d").agg(F.sum("delta").alias("net"))
+    from pyspark.sql.window import Window as W
+
+    running = daily.select(
+        "d",
+        F.sum("net")
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .alias("open_orders"),
+    )
+    return (
+        running.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("open_orders").cast("long").alias("open_orders"),
+        )
+        .orderBy("day")
+        .limit(400)
+    )

@@ -2345,3 +2345,59 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "label")
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH counts AS (
+      SELECT label, count(*) AS c FROM embeddings GROUP BY label
+    ), floor_n AS (SELECT min(c) AS k FROM counts),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 8),
+                        vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT CAST(r.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT)  AS n_kept,
+           CAST(min(r.vec_id) AS BIGINT) AS min_id,
+           CAST(max(r.vec_id) AS BIGINT) AS max_id
+    FROM ranked r, floor_n f
+    WHERE r.rn <= f.k
+    GROUP BY r.label
+    ORDER BY r.label
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-class downsampling: every label capped at the MINORITY
+    class's size, members chosen in content-hash order — the
+    class-rebalancing step before training a classifier on skewed
+    labels, as a composition of existing machinery: one count
+    aggregation derives the floor (a scalar model parameter, the one
+    permitted collect class), then operators/sampling.per_group_cap
+    applies it (compiles to map-side WindowGroupLimit — the hot class
+    never materializes unbounded in one task). Deterministic and
+    oracle-reproducible like every sampler here."""
+    from etl4s_spark.operators.sampling import per_group_cap
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    k = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c"))
+        .first()[0]
+    )
+    kept = per_group_cap(e, "vec_id", "label", cap=int(k))
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("vec_id").cast("long").alias("min_id"),
+            F.max("vec_id").cast("long").alias("max_id"),
+        )
+        .select(F.col("label").cast("long").alias("label"), "n_kept", "min_id", "max_id")
+        .orderBy("label")
+    )

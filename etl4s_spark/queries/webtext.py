@@ -511,16 +511,42 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        d.select("source", F.explode(shingles).alias("s"))
-        .distinct()
+    # keys are xxhash64(shingle) longs (the docstring's "production"
+    # form: 8-byte shuffle keys; the oracle counts distinct STRINGS —
+    # equal unless xxhash64 collides inside one pair's shingle set,
+    # ~2⁻⁶⁴·n²); and instead of a 5M×5M self-join, each shingle's
+    # ≤|sources| owner set is collected once and its ordered pairs are
+    # generated MAP-SIDE from the sorted array (the basket-pairs shape)
+    # — one shuffle on the hash, pair fan-out bounded by |sources|²
+    # per shingle, never corpus size.
+    from etl4s_spark.operators.parallelism import widen
+
+    # single-split local parquet serializes the shingle-array build +
+    # explode onto ONE core (3.7 of the 4.5 s) — widen() BEFORE the
+    # heavy projection, exactly the substring-dedup fix (FIXTURES §C.2)
+    sh = widen(d.select("doc_id", "source", "text"), "doc_id").select(
+        "source", F.explode(shingles).alias("s")
+    ).select("source", F.xxhash64("s").alias("s"))
+    # collect_set dedups (source, shingle) inside the aggregation — no
+    # separate distinct exchange; the explode feeds ONE shuffle total
+    owners = sh.groupBy("s").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    pairs = owners.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
     )
-    b = sh.select(F.col("source").alias("source_b"), "s")
     return (
-        sh.alias("a")
-        .join(b, "s")
-        .filter(F.col("source") < F.col("source_b"))
-        .groupBy(F.col("source").alias("source_a"), "source_b")
+        pairs.groupBy(
+            F.col("pr.a").alias("source_a"), F.col("pr.b").alias("source_b")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
     )

@@ -567,3 +567,62 @@ def test_weighted_median_random_vs_replica(spark):
             want = p
             break
     assert got == want
+
+
+def test_sweepline_matches_interval_scan(spark, sf_dir):
+    """Open-order count per day equals a brute-force interval-overlap
+    count on a sampled set of days."""
+    import datetime
+
+    import duckdb
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = {r.day: r.open_orders for r in QUERIES["q_concurrency_sweepline"](spark, sf_dir).collect()}
+    con = duckdb.connect()
+    ivs = con.execute(
+        f"""SELECT o_orderdate, ((o_orderkey % 30) + 1) AS dur
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    days = sorted(out)[5:400:40]
+    for day in days:
+        d = datetime.date.fromisoformat(day)
+        want = sum(
+            1
+            for od, dur in ivs
+            if (od.date() if hasattr(od, "date") else od) <= d
+            < (od.date() if hasattr(od, "date") else od) + datetime.timedelta(days=int(dur))
+        )
+        assert out[day] == want, day
+
+
+def test_balanced_sample_equalizes_classes(spark, sf_dir):
+    """Every label keeps exactly the minority-class count."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_sample_balanced"](spark, sf_dir).collect()
+    counts = {r.label: r.n_kept for r in rows}
+    assert len(set(counts.values())) == 1  # all equal to the floor
+
+
+def test_interevent_latency_on_crafted_gaps(spark, tmp_path):
+    """Gaps 10s,20s,30s per user -> exact quartiles 15/20/25 s."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    offsets = [0, 10, 30, 60]  # gaps 10, 20, 30
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=s), 1, "a", 1.0, "{}")
+        for i, s in enumerate(offsets)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_interevent_latency"](spark, str(tmp_path)).collect()[0]
+    assert out.n_gaps == 3
+    assert (out.p25_s, out.median_s, out.p75_s, out.max_s) == (15.0, 20.0, 25.0, 30.0)
