@@ -1009,3 +1009,135 @@ def q_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(400)
     )
+
+
+@query(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view')     AS first_view,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS first_buy
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (first_buy - first_view) AS p
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_converted,
+           round(quantile_cont(p, 0.25) / 86400000000, 3)    AS p25_days,
+           round(quantile_cont(p, 0.5)  / 86400000000, 3)    AS median_days,
+           round(quantile_cont(p, 0.75) / 86400000000, 3)    AS p75_days
+    FROM conv
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    'purchase' follows their first 'view', the quartiles of the delay —
+    the funnel-velocity metric behind "median user converts in N days".
+    One shuffle on user_id computes both firsts as conditional MIN
+    aggregates (map-side combined — no window, no self-join); delays
+    are exact integer microseconds and the quartiles run through the
+    counts histogram (single group — its state is bounded by the delay
+    domain, not user count)."""
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("fb"),
+    )
+    conv = firsts.filter(
+        F.col("fv").isNotNull() & F.col("fb").isNotNull() & (F.col("fb") >= F.col("fv"))
+    ).select(F.lit(1).alias("g"), (F.col("fb") - F.col("fv")).alias("p"))
+    qs = exact_quartiles_cents(conv, "g", "p")
+    day_us = 86400000000
+    return qs.select(
+        F.col("n").cast("long").alias("n_converted"),
+        F.round(F.col("p25") / day_us, 3).alias("p25_days"),
+        F.round(F.col("median") / day_us, 3).alias("median_days"),
+        F.round(F.col("p75") / day_us, 3).alias("p75_days"),
+    )
+
+
+@query(
+    "q_session_duration_quartiles",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ), durs AS (
+      SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS p,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                     AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(quantile_cont(p, 0.25) / 60000000, 3)  AS p25_min,
+           round(quantile_cont(p, 0.5)  / 60000000, 3)  AS median_min,
+           round(quantile_cont(p, 0.75) / 60000000, 3)  AS p75_min
+    FROM durs
+    """,
+)
+def q_session_duration_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution with bounce count: sessions are
+    30-minute-gap groups (the same gaps-and-islands construction the
+    proven session queries use, compared at exact MICROSECOND precision
+    — the q_session_paths lesson), duration = last−first event, and the
+    quartiles again ride the counts histogram. Everything before the
+    final 1-group histogram partitions on user_id: the lag window, the
+    island cumsum, and the per-session agg share ONE shuffle."""
+    from pyspark.sql.window import Window as W
+
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+        F.col("event_id"),
+    )
+    sess = ordered.withColumn(
+        "sess_id",
+        F.sum("is_start").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    durs = sess.groupBy("user_id", "sess_id").agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("p"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    qs = exact_quartiles_cents(durs.select(F.lit(1).alias("g"), "p"), "g", "p")
+    bounces = durs.agg(
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long").alias("nb")
+    )
+    min_us = 60000000
+    return (
+        qs.join(F.broadcast(bounces))
+        .select(
+            F.col("n").cast("long").alias("n_sessions"),
+            F.col("nb").alias("n_bounces"),
+            F.round(F.col("p25") / min_us, 3).alias("p25_min"),
+            F.round(F.col("median") / min_us, 3).alias("median_min"),
+            F.round(F.col("p75") / min_us, 3).alias("p75_min"),
+        )
+    )

@@ -626,3 +626,50 @@ def test_interevent_latency_on_crafted_gaps(spark, tmp_path):
     out = QUERIES["q_interevent_latency"](spark, str(tmp_path)).collect()[0]
     assert out.n_gaps == 3
     assert (out.p25_s, out.median_s, out.p75_s, out.max_s) == (15.0, 20.0, 25.0, 30.0)
+
+
+def test_time_to_convert_crafted(spark, tmp_path):
+    """Two converting users (1-day and 3-day delays) and one
+    view-only user -> n=2, median 2 days."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + datetime.timedelta(days=1), 1, "purchase", 1.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),
+        (3, t0 + datetime.timedelta(days=3), 2, "purchase", 1.0, "{}"),
+        (4, t0, 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_funnel_time_to_convert"](spark, str(tmp_path)).collect()[0]
+    assert out.n_converted == 2
+    assert out.median_days == 2.0
+    assert (out.p25_days, out.p75_days) == (1.5, 2.5)
+
+
+def test_session_durations_crafted(spark, tmp_path):
+    """One user, two sessions (40-min gap splits): a 10-min 2-event
+    session and a single-event bounce."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + datetime.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(minutes=60), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_session_duration_quartiles"](spark, str(tmp_path)).collect()[0]
+    assert out.n_sessions == 2 and out.n_bounces == 1
+    assert out.median_min == 5.0  # durations 10 and 0 -> median 5
