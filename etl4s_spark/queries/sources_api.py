@@ -504,3 +504,53 @@ def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_bucket")
     )
+
+
+@query(
+    "q_join_dynamic_partition_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type IN ('purchase', 'signup')
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)                                AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is laid out
+    partitioned by event_type, and the pruning predicate arrives only
+    at RUNTIME — through a join with a filtered dimension — not as a
+    literal the planner can see. Spark broadcasts the dim side's keys
+    into the fact SCAN as a dynamicpruning subquery, so only the 2
+    matching partition directories are listed and read, exactly as if
+    the filter had been static (tests/test_round5b_ops.py asserts the
+    dynamicpruning expression in the executed plan). THE optimization
+    that makes star-schema joins over a 100 TB date-partitioned fact
+    viable; sums are exact cents."""
+    path = _sink_dir(sf_dir, "dpp_fact")
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(
+        ev.select("event_id", "value", "event_type"),
+        path,
+        partition_by=["event_type"],
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.col("event_type").isin("purchase", "signup"))
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -673,3 +673,16 @@ def test_session_durations_crafted(spark, tmp_path):
     out = QUERIES["q_session_duration_quartiles"](spark, str(tmp_path)).collect()[0]
     assert out.n_sessions == 2 and out.n_bounces == 1
     assert out.median_min == 5.0  # durations 10 and 0 -> median 5
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning expression (runtime
+    partition pruning via the dim join), not read all partitions."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q_join_dynamic_partition_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    out = {r.event_type: r.n for r in df.collect()}
+    assert set(out) == {"purchase", "signup"}
