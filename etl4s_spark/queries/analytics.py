@@ -1085,3 +1085,154 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").cast("long"), "core_degree")
         .orderBy("id")
     )
+
+
+@query(
+    "q_stat_mannwhitney",
+    oracle="""
+    WITH vals AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), hist AS (
+      SELECT p,
+             count(*)                                      AS c,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)      AS c1
+      FROM vals GROUP BY p
+    ), cum AS (
+      SELECT p, c, c1,
+             sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) - c AS cum_start
+      FROM hist
+    ), sums AS (
+      SELECT sum(c1)                            AS n1,
+             sum(c - c1)                        AS n2,
+             sum(c1 * (2 * cum_start + c + 1))  AS r1_x2,
+             sum(c * c * c - c)                 AS tie_term
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(r1_x2 / 2.0 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+           round((r1_x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n1 + n2 + 1)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+    FROM sums
+    """,
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the 'purchase' and
+    'click' value distributions — the nonparametric A/B test that does
+    not assume normality. Ranks come from the counts HISTOGRAM, never a
+    global sort of raw rows: each distinct cent value's average rank is
+    cum_start + (c+1)/2, and the group rank sum Σ c₁·(2·cum_start+c+1)
+    is kept DOUBLED so every accumulation is exact BIGINT (the .5s
+    appear only in the final display division). Tie-corrected variance,
+    z-statistic reproducible to the bit. One map-side-combined shuffle
+    on the value domain."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    vals = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("p"),
+    )
+    hist = vals.groupBy("p").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wdom = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "p", "c", "c1", (F.sum("c").over(wdom) - F.col("c")).alias("cum_start")
+    )
+    sums = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum_start") + F.col("c") + 1)).alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1_x2") / 2.0 - n1 * (n1 + 1) / 2.0
+    var = (n1.cast("double") * n2 / 12.0) * (
+        (n1 + n2 + 1)
+        - F.col("tie_term").cast("double") / ((n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return sums.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@query(
+    "q_stat_welch_t",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp,
+             count(*)            AS n,
+             sum(CAST(round(value * 100) AS BIGINT))          AS s,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))        AS ss
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN grp = 1 THEN n END)  AS n1,
+             max(CASE WHEN grp = 1 THEN s END)  AS s1,
+             max(CASE WHEN grp = 1 THEN ss END) AS ss1,
+             max(CASE WHEN grp = 2 THEN n END)  AS n2,
+             max(CASE WHEN grp = 2 THEN s END)  AS s2,
+             max(CASE WHEN grp = 2 THEN ss END) AS ss2
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100, 4)
+             AS mean_diff,
+           round(((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2))
+                 / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+                        + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2),
+                 4) AS t_stat
+    FROM w
+    """,
+)
+def q_stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic between the same two value
+    distributions — the parametric companion to q_stat_mannwhitney.
+    Group moments (n, Σx, Σx²) are exact BIGINTs over cents from ONE
+    map-side-combined pass; mean/variance/t are then a fixed sequence
+    of IEEE ops on identical integers, so the statistic is
+    cross-engine bit-stable without any distributional table (the
+    p-value needs erf — intentionally out of scope, as libm erf is not
+    cross-engine reproducible)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("grp"),
+        cents.alias("p"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("s"),
+        F.sum(F.col("p") * F.col("p")).alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 2, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == 2, F.col("ss"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n2) / (n2 - 1)
+    return w.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round((m1 - m2) / 100, 4).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(v1 / n1 + v2 / n2), 4).alias("t_stat"),
+    )

@@ -686,3 +686,78 @@ def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     out = {r.event_type: r.n for r in df.collect()}
     assert set(out) == {"purchase", "signup"}
+
+
+def test_mannwhitney_against_scipy_free_replica(spark, tmp_path):
+    """U and tie-corrected z on a crafted two-group table match an
+    independent Python computation (textbook formulas, no scipy)."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    g1 = [3, 5, 5, 8]      # purchases (cents: 300,500,500,800)
+    g2 = [1, 5, 9, 9, 12]  # clicks
+    rows = []
+    eid = 0
+    for v in g1:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "purchase", float(v), "{}")); eid += 1
+    for v in g2:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "click", float(v), "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_stat_mannwhitney"](spark, str(tmp_path)).collect()[0]
+
+    allv = sorted((v, "a") for v in g1) + sorted((v, "b") for v in g2)
+    allv = sorted(allv)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    vals = [v for v, _ in allv]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        r = (i + 1 + j) / 2  # average of positions i+1..j
+        ranks.setdefault(vals[i], r)
+        i = j
+    r1 = sum(ranks[v] for v in g1)
+    n1, n2 = len(g1), len(g2)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert out.n1 == n1 and out.n2 == n2
+    assert abs(out.u1 - u1) < 1e-9
+
+    from collections import Counter
+
+    n = n1 + n2
+    tie = sum(c**3 - c for c in Counter(vals).values())
+    var = (n1 * n2 / 12) * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / var**0.5
+    assert abs(out.z - round(z, 4)) < 1e-9
+
+
+def test_welch_t_against_replica(spark, tmp_path):
+    import datetime
+    import statistics
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    g1 = [10.0, 12.0, 11.0, 13.0]
+    g2 = [8.0, 9.0, 7.5, 8.5, 9.5]
+    rows = []
+    eid = 0
+    for v in g1:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "purchase", v, "{}")); eid += 1
+    for v in g2:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "click", v, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_stat_welch_t"](spark, str(tmp_path)).collect()[0]
+    m1, m2 = statistics.mean(g1), statistics.mean(g2)
+    v1, v2 = statistics.variance(g1), statistics.variance(g2)
+    t = (m1 - m2) / (v1 / len(g1) + v2 / len(g2)) ** 0.5
+    assert abs(out.mean_diff - round(m1 - m2, 4)) < 1e-9
+    assert abs(out.t_stat - round(t, 4)) < 1e-6
