@@ -1236,3 +1236,137 @@ def q_stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((m1 - m2) / 100, 4).alias("mean_diff"),
         F.round((m1 - m2) / F.sqrt(v1 / n1 + v2 / n2), 4).alias("t_stat"),
     )
+
+
+@query(
+    "q_stat_ks",
+    oracle="""
+    WITH vals AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), hist AS (
+      SELECT p,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM vals GROUP BY p
+    ), cum AS (
+      SELECT p,
+             sum(c1) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS f2
+      FROM hist
+    ), tot AS (
+      SELECT max(f1) AS n1, max(f2) AS n2 FROM cum
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(max(abs(c.f1 * t.n2 - c.f2 * t.n1)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(c.f1 * t.n2 - c.f2 * t.n1)) AS DOUBLE)
+                 / (t.n1 * t.n2), 6) AS d_stat
+    FROM cum c, tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the 'purchase' and
+    'click' value distributions — the distribution-shape test that
+    catches what mean tests miss. ENTIRELY integer-exact: the empirical
+    CDF gap at value v is |F₁·n₂ − F₂·n₁| / (n₁n₂), and the max runs
+    over the INTEGER numerators — no float comparison anywhere until
+    the single display division. CDFs come from one cumulative window
+    over the value-domain histogram (bounded state, no sort of raw
+    rows)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    hist = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("p"),
+    ).groupBy("p").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wdom = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("c1").over(wdom).alias("f1"), F.sum("c2").over(wdom).alias("f2")
+    )
+    return (
+        cum.withColumn("n1", F.max("f1").over(Window.partitionBy()))
+        .withColumn("n2", F.max("f2").over(Window.partitionBy()))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
+                "d_num"
+            )
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("d_stat"),
+        )
+    )
+
+
+@query(
+    "q_stat_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS cohort, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT o.event_type, o.cohort, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_n,
+             sum(o.o) OVER (PARTITION BY o.cohort)     AS col_n,
+             sum(o.o) OVER ()                          AS total
+      FROM obs o
+    ), terms AS (
+      SELECT CAST(round(
+               ((o - CAST(row_n AS DOUBLE) * col_n / total)
+                * (o - CAST(row_n AS DOUBLE) * col_n / total))
+               / (CAST(row_n AS DOUBLE) * col_n / total) * 1000000000
+             ) AS BIGINT) AS t_e9,
+             total, row_n, col_n
+      FROM margins
+    )
+    SELECT CAST(count(*) AS BIGINT)                               AS n_cells,
+           round(sum(t_e9) / 1000000000.0, 4)                     AS chi_sq,
+           round(sqrt((sum(t_e9) / 1000000000.0)
+                      / (any_value(total) * 3)), 4)               AS cramers_v
+    FROM terms
+    """,
+)
+def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test (event type × user cohort) with
+    Cramér's V effect size — does behavior composition differ by
+    cohort? Observed counts are one map-side-combined shuffle; expected
+    counts come from margin windows over the TINY contingency frame
+    (20 cells); each cell's (O−E)²/E term is quantized to integer
+    nano-units and summed exactly (the KL rule — float-order-proof).
+    V's denominator uses min(r−1, c−1) = 3 for the 5×4 table."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("total"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
+    terms = margins.select(
+        "total",
+        F.round(((F.col("o") - e) * (F.col("o") - e)) / e * 1000000000)
+        .cast("long")
+        .alias("t_e9"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("t_e9") / 1000000000.0, 4).alias("chi_sq"),
+        F.round(
+            F.sqrt((F.sum("t_e9") / 1000000000.0) / (F.first("total") * 3)), 4
+        ).alias("cramers_v"),
+    )

@@ -761,3 +761,54 @@ def test_welch_t_against_replica(spark, tmp_path):
     t = (m1 - m2) / (v1 / len(g1) + v2 / len(g2)) ** 0.5
     assert abs(out.mean_diff - round(m1 - m2, 4)) < 1e-9
     assert abs(out.t_stat - round(t, 4)) < 1e-6
+
+
+def test_ks_statistic_replica(spark, tmp_path):
+    """Integer-exact KS D on crafted groups matches a Python ECDF walk."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    g1 = [1.0, 2.0, 3.0, 4.0]
+    g2 = [3.0, 4.0, 5.0, 6.0, 7.0]
+    rows, eid = [], 0
+    for v in g1:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "purchase", v, "{}")); eid += 1
+    for v in g2:
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "click", v, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_stat_ks"](spark, str(tmp_path)).collect()[0]
+    n1, n2 = len(g1), len(g2)
+    d = max(
+        abs(sum(1 for x in g1 if x <= v) * n2 - sum(1 for x in g2 if x <= v) * n1)
+        for v in sorted(set(g1 + g2))
+    )
+    assert (out.n1, out.n2, out.d_num) == (n1, n2, d)
+    assert abs(out.d_stat - round(d / (n1 * n2), 6)) < 1e-12
+
+
+def test_chisq_independent_table_is_near_zero(spark, tmp_path):
+    """A perfectly independent contingency table gives chi_sq == 0."""
+    import datetime
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows, eid = [], 0
+    # 2 types x 4 cohorts, identical counts -> exact independence
+    for t in ("view", "click"):
+        for cohort in range(4):
+            for _ in range(10):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 1), cohort, t, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_stat_chisq"](spark, str(tmp_path)).collect()[0]
+    assert out.n_cells == 8
+    assert out.chi_sq == 0.0
