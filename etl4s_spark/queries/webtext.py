@@ -550,3 +550,90 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS f FROM w WHERE word <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(f) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf
+      WHERE word IN ('data', 'model', 'system') GROUP BY word
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+               * (t.f * 2.2)
+               / (t.f + 1.2 * (1 - 0.75 + 0.75 * d.dl
+                               / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+               * 1000000000) AS BIGINT) AS s_e9
+      FROM tf t
+      JOIN dfreq q ON t.word = q.word
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(s_e9) / 1000000000.0, 4) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY sum(s_e9) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k₁=1.2, b=0.75) of the corpus against the query
+    {data, model, system} — the lexical-retrieval scorer that still
+    anchors hybrid search. Term frequencies, document lengths, and
+    document frequencies are exact integers from two shuffles (word,
+    doc); the three per-term score doubles are nano-quantized and
+    summed exactly (KL rule), so ranking ties and the oracle hash are
+    engine-stable. The query-term table is tiny → broadcast; corpus
+    scanned once; TakeOrdered(20) finishes without a global sort."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("f").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    dfreq = (
+        tf.filter(F.col("word").isin("data", "model", "system"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    term = (
+        idf
+        * (F.col("f") * 2.2)
+        / (F.col("f") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(term * 1000000000).cast("long").alias("s_e9"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_e9").alias("total_e9"))
+        .select("doc_id", F.round(F.col("total_e9") / 1000000000.0, 4).alias("bm25"))
+        .orderBy(F.desc("total_e9"), "doc_id")
+        .limit(20)
+    )

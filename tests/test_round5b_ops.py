@@ -812,3 +812,21 @@ def test_chisq_independent_table_is_near_zero(spark, tmp_path):
     out = QUERIES["q_stat_chisq"](spark, str(tmp_path)).collect()[0]
     assert out.n_cells == 8
     assert out.chi_sq == 0.0
+
+
+def test_bm25_ranks_relevant_doc_first(spark, tmp_path):
+    """A doc saturated with query terms must outrank a doc with one
+    mention, which outranks a doc with none (absent from top list)."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = [
+        (0, "data model system data model data", "en", "a", 30),
+        (1, "the quick brown fox mentions data once", "en", "a", 30),
+        (2, "nothing relevant here at all friend", "en", "a", 30),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = [r.doc_id for r in QUERIES["q_text_bm25"](spark, str(tmp_path)).collect()]
+    assert out == [0, 1]  # doc 2 scores nothing and is absent
