@@ -2401,3 +2401,120 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long").alias("label"), "n_kept", "min_id", "max_id")
         .orderBy("label")
     )
+
+
+@query(
+    "q_dedup_minhash_checkable",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(len(w) - 2),
+                                     i -> array_to_string(w[i+1:i+3], ' ')))
+                  ELSE [] END AS shingles
+      FROM docs
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647,
+                     CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) % 2147483647])
+               AS hs
+      FROM sh WHERE len(shingles) > 0
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               p -> list_min(list_transform(hs,
+                      h -> (h[1] + p * h[2] + p * p) % 2147483647)))
+               AS sig
+      FROM hashed
+    ), bands AS (
+      SELECT doc_id, b AS band_idx,
+             array_to_string(sig[4 * b + 1 : 4 * b + 4], ',') AS band_key
+      FROM sigs, unnest(generate_series(0, 15)) AS t(b)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band_idx
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(count(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
+    FROM pairs
+    GROUP BY id_a, id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_minhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with a FULLY cross-engine-checkable
+    hash family: base hash = md5-prefix → 31-bit int, permutations are
+    Kirsch–Mitzenmacher double hashes h_p = (h₁ + p·h₂ + p²) mod
+    (2³¹−1) over two independent md5-prefix hashes — every product
+    stays under 2³⁸, exact BIGINT in both engines — so the ORACLE
+    re-derives identical 64-slot signatures, identical 16-band keys,
+    and identical candidate pairs. The production path
+    (q_dedup_minhash, operators/dedup.py) keeps xxhash64 — one fused
+    JVM hash, no md5 string pass — and stays rows-only with pytest
+    recall floors; THIS query proves the banding ALGORITHM itself
+    end-to-end. Same plan shape: one (band_idx, band_key) shuffle
+    proposes, pair-group counts shared bands."""
+    from etl4s_spark.operators.parallelism import widen
+    from etl4s_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # production shape (operators/dedup.py): explode shingles to ROWS,
+    # then a FLAT 64-column projection + min-aggregation — higher-order
+    # lambdas are interpreted per element, and projection collapse
+    # inlines the md5 chain into every permutation (measured 40+ s at
+    # sf0.1); the flat form stays in whole-stage codegen (~3 s)
+    exploded = (
+        widen(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % 2147483647 AS h1",
+            "CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) % 2147483647 AS h2",
+        )
+    )
+    sig_df = (
+        exploded.selectExpr(
+            "doc_id",
+            *[f"((h1 + {p} * h2 + {p * p}) % 2147483647) AS h{p}" for p in range(64)],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.expr(f"min(h{p}) AS h{p}") for p in range(64)])
+    )
+    band_structs = ", ".join(
+        "named_struct('band_idx', {b}, 'band_key', concat_ws(',', {cols}))".format(
+            b=b, cols=", ".join(f"h{b * 4 + i}" for i in range(4))
+        )
+        for b in range(16)
+    )
+    bands = sig_df.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+    # the self-join references bands TWICE — materialize once or the
+    # md5+signature pipeline recomputes per side
+    bands = bands.localCheckpoint(eager=True)
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        bands.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") < F.col("id_b"))
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count_distinct("band_idx").cast("long").alias("n_shared_bands"))
+        .orderBy("id_a", "id_b")
+    )

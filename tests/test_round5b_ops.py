@@ -830,3 +830,24 @@ def test_bm25_ranks_relevant_doc_first(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = [r.doc_id for r in QUERIES["q_text_bm25"](spark, str(tmp_path)).collect()]
     assert out == [0, 1]  # doc 2 scores nothing and is absent
+
+
+def test_minhash_checkable_catches_neardup(spark, tmp_path):
+    """A doc and its one-word-edited copy must share most bands; an
+    unrelated doc must propose no pair with them."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    base = " ".join(f"word{i}" for i in range(60))
+    edited = base.replace("word30", "editedword")
+    other = " ".join(f"zzz{i}" for i in range(60))
+    rows = [(0, base, "en", "a", len(base)),
+            (1, edited, "en", "a", len(edited)),
+            (2, other, "en", "a", len(other))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {(r.id_a, r.id_b): r.n_shared_bands
+           for r in QUERIES["q_dedup_minhash_checkable"](spark, str(tmp_path)).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 8  # most of 16 bands agree
+    assert all(k == (0, 1) for k in out)
