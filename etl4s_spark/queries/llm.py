@@ -2518,3 +2518,113 @@ def q_dedup_minhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("band_idx").cast("long").alias("n_shared_bands"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_dedup_embedding_lsh_checkable",
+    oracle="""
+    WITH planes AS (
+      SELECT p, d,
+             CAST(('0x' || substr(md5('pl:' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+               - 2147483648 AS coeff
+      FROM unnest(generate_series(0, 31)) AS tp(p),
+           unnest(generate_series(0, 63)) AS td(d)
+    ), el AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+      WHERE vec_id < 500
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.q * pl.coeff) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN planes pl ON e.d = pl.d
+      GROUP BY e.vec_id, pl.p
+    ), bands AS (
+      SELECT vec_id, p // 8 AS band_idx,
+             sum(bit * (1 << (p % 8))) AS band_key
+      FROM bits GROUP BY vec_id, p // 8
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_dot_product(x.embedding, y.embedding)
+                 / (sqrt(list_dot_product(x.embedding, x.embedding))
+                    * sqrt(list_dot_product(y.embedding, y.embedding))), 4) AS cos
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE list_dot_product(x.embedding, y.embedding)
+          / (sqrt(list_dot_product(x.embedding, x.embedding))
+             * sqrt(list_dot_product(y.embedding, y.embedding))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_embedding_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup funnel with a FULLY cross-engine
+    derivation: 32 hyperplanes whose coefficients are md5-derived
+    SIGNED INTEGERS and milli-quantized embeddings make every sign bit
+    an exact BIGINT dot product — no float accumulation order anywhere
+    in the propose stage, so the oracle re-derives identical 8-bit band
+    keys and identical candidates; the verify stage is the proven exact
+    cosine (float ops on identical inputs). The production path
+    (q_dedup_embedding_lsh, operators/similarity.py) keeps float
+    hyperplanes + rows-only pytest floors; THIS proves the bucketing
+    algebra end to end. Plan: planes are generated EXECUTOR-side by
+    spark.range (no collect, no literals), broadcast onto the exploded
+    corpus; bits/bands are map-side-combined integer aggregates; the
+    band self-join proposes; broadcast-joined embeddings verify."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    planes = (
+        spark.range(32 * 64)
+        .selectExpr(
+            "CAST(id div 64 AS INT) AS p",
+            "CAST(id % 64 AS INT) AS d",
+            "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
+            "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
+        )
+    )
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
+        "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
+    )
+    bits = (
+        el.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("q") * F.col("coeff")) >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    bands = bits.groupBy(
+        "vec_id", F.expr("p div 8").alias("band_idx")
+    ).agg(F.sum(F.expr("bit * shiftleft(1, p % 8)")).alias("band_key"))
+    b2 = bands.select(
+        F.col("vec_id").alias("id_b"), "band_idx", "band_key"
+    )
+    cand = (
+        bands.join(b2, ["band_idx", "band_key"])
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    emb = e.select("vec_id", "embedding")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    x = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cand.join(F.broadcast(x), "id_a")
+        .join(F.broadcast(y), "id_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

@@ -851,3 +851,27 @@ def test_minhash_checkable_catches_neardup(spark, tmp_path):
            for r in QUERIES["q_dedup_minhash_checkable"](spark, str(tmp_path)).collect()}
     assert (0, 1) in out and out[(0, 1)] >= 8  # most of 16 bands agree
     assert all(k == (0, 1) for k in out)
+
+
+def test_embedding_lsh_checkable_proposal_is_sound(spark, sf_dir):
+    """Every output pair must genuinely clear the cosine threshold
+    (soundness), and identical vectors must always be proposed (identical
+    sign bits -> identical band keys -> guaranteed candidate)."""
+    import duckdb
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_dedup_embedding_lsh_checkable"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    for r in out:
+        cos = con.execute(
+            """SELECT list_dot_product(a.embedding, b.embedding)
+                      / (sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(b.embedding, b.embedding)))
+               FROM embeddings a, embeddings b
+               WHERE a.vec_id = ? AND b.vec_id = ?""",
+            [r.id_a, r.id_b],
+        ).fetchone()[0]
+        assert cos >= 0.4 - 1e-9
