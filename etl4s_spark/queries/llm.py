@@ -2628,3 +2628,83 @@ def q_dedup_embedding_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFra
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_dedup_simhash_checkable",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+      FROM documents WHERE doc_id < 300
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2
+    ), hashed AS (
+      SELECT doc_id, c,
+             CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM tf
+    ), votes AS (
+      SELECT doc_id, i,
+             sum(c * (((h >> i) & 1) * 2 - 1)) AS v
+      FROM hashed, unnest(generate_series(0, 59)) AS t(i)
+      GROUP BY doc_id, i
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id
+    ), anchor AS (
+      SELECT simhash AS a FROM sigs WHERE doc_id = 0
+    )
+    SELECT s.doc_id,
+           CAST(s.simhash AS BIGINT)                 AS simhash60,
+           CAST(bit_count(xor(s.simhash, an.a)) AS INT) AS hamming_to_doc0
+    FROM sigs s, anchor an
+    ORDER BY s.doc_id
+    """,
+)
+def q_dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) with a FULLY cross-engine derivation: word
+    hashes are md5-prefix 60-bit BIGINTs, per-bit votes are
+    count-weighted exact integer sums, the signature packs votes>0 into
+    a 60-bit BIGINT, and Hamming distance to the corpus' first doc is
+    bit_count(xor) — not one float anywhere, so the oracle re-derives
+    every signature bit-for-bit (the production q_dedup_simhash keeps
+    xxhash64 and stays rows-only). Plan: one (doc, word) count shuffle,
+    then a FLAT 60-column vote aggregation (codegen — the same
+    flat-projection rule as the checkable MinHash), one row per doc."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tf = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hashed = tf.selectExpr(
+        "doc_id",
+        "c",
+        "CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) AS h",
+    )
+    votes = hashed.selectExpr(
+        "doc_id",
+        *[f"c * ((((h >> {i}) & 1) * 2) - 1) AS v{i}" for i in range(60)],
+    ).groupBy("doc_id").agg(*[F.expr(f"sum(v{i}) AS v{i}") for i in range(60)])
+    sig = votes.selectExpr(
+        "doc_id",
+        " + ".join(
+            f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0L END)"
+            for i in range(60)
+        )
+        + " AS simhash",
+    )
+    anchor = sig.filter(F.col("doc_id") == 0).select(F.col("simhash").alias("a"))
+    return (
+        sig.join(F.broadcast(anchor))
+        .selectExpr(
+            "doc_id",
+            "CAST(simhash AS BIGINT) AS simhash60",
+            "CAST(bit_count(simhash ^ a) AS INT) AS hamming_to_doc0",
+        )
+        .orderBy("doc_id")
+    )

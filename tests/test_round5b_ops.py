@@ -875,3 +875,23 @@ def test_embedding_lsh_checkable_proposal_is_sound(spark, sf_dir):
             [r.id_a, r.id_b],
         ).fetchone()[0]
         assert cos >= 0.4 - 1e-9
+
+
+def test_simhash_checkable_near_dup_distance(spark, tmp_path):
+    """A near-identical doc must land within a few Hamming bits of the
+    anchor; an unrelated doc must be far."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    base = " ".join(f"token{i}" for i in range(80))
+    near = base.replace("token40", "changed")
+    far = " ".join(f"other{i}" for i in range(80))
+    rows = [(0, base, "en", "a", 1), (1, near, "en", "a", 1), (2, far, "en", "a", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r.hamming_to_doc0
+           for r in QUERIES["q_dedup_simhash_checkable"](spark, str(tmp_path)).collect()}
+    assert out[0] == 0
+    assert out[1] <= 12          # one word of 80 flips few vote sums
+    assert out[2] >= 18          # unrelated vocab -> ~30 expected
