@@ -260,7 +260,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "doc_id", "text").select("doc_id", "lang", "source").orderBy("doc_id")
 
 
-@query("q_dedup_minhash")  # xxhash64 signatures — rows-only; determinism tested in pytest
+@query("q_dedup_minhash")  # xxhash64 signatures — rows-only; determinism in pytest; algorithm oracle-proven via q_dedup_minhash_checkable
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (64 perms, 16 bands)."""
     d = load_table(spark, sf_dir, "documents")
@@ -280,7 +280,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_funnel(d, "doc_id", "text", min_jaccard=0.8).orderBy("id_a", "id_b")
 
 
-@query("q_dedup_simhash")  # rows-only; Hamming-distance semantics tested in pytest
+@query("q_dedup_simhash")  # rows-only; Hamming semantics in pytest; algorithm oracle-proven via q_dedup_simhash_checkable
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + distance to the corpus' first doc —
     exercises the zero-shuffle fingerprint and hamming64."""
@@ -2707,4 +2707,122 @@ def q_dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(bit_count(simhash ^ a) AS INT) AS hamming_to_doc0",
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_shuffle_epoch",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    pos AS (
+      SELECT d.doc_id, e.epoch,
+             (22695477 * (d.doc_id + 1000003 * e.epoch)) % n.n AS pos
+      FROM documents d, unnest(generate_series(0, 1)) AS e(epoch), n
+    )
+    SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
+    FROM pos
+    WHERE pos < 10
+    ORDER BY epoch, pos
+    """,
+)
+def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global shuffle WITHOUT materializing a
+    permutation: position = (a·(id + c·epoch)) mod N with a coprime to
+    N (a = 22695477, odd and 5-free — coprime to every power-of-ten
+    corpus size, the FIXTURES LCG rule) is a bijection on [0, N) that
+    changes every epoch — the training-loader shuffle that needs no
+    rand(), no sort, no shuffle files, and replays identically on any
+    worker. The query shows both epochs' first 10 load positions; at
+    scale the SAME expression is the sort key for write-time layout or
+    the filter for "give me shard s of epoch e". N is the one scalar
+    aggregate (broadcast one-row join, not a collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(epochs))
+        .join(F.broadcast(n))
+        .select(
+            "epoch",
+            ((F.lit(22695477) * (F.col("doc_id") + 1000003 * F.col("epoch"))) % F.col("n"))
+            .cast("long")
+            .alias("pos"),
+            "doc_id",
+        )
+        .filter(F.col("pos") < 10)
+        .orderBy("epoch", "pos")
+    )
+
+
+@query(
+    "q_sample_repeat_upsample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'wiki' THEN 2.5 WHEN 'github' THEN 1.0 ELSE 0.4 END AS w
+      FROM documents
+    ), repeated AS (
+      SELECT doc_id, source, w, e.copy_idx
+      FROM weighted, unnest(generate_series(0, CAST(ceil(w) AS INT) - 1)) AS e(copy_idx)
+      WHERE copy_idx + 1 <= floor(w)
+         OR substr(md5('rep:42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < substr(CAST(printf('%08x',
+                CAST(round((w - floor(w)) * 4294967296) AS BIGINT)) AS VARCHAR), 1, 8)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)           AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM repeated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_sample_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-upsampling to domain weights: weight w means ⌊w⌋
+    guaranteed copies of every doc plus one more with probability
+    w−⌊w⌋, decided content-addressedly (md5 threshold — the sampler
+    recipe), so 2.5 epochs of wiki is exactly 2 copies of every doc +
+    a deterministic, retry-stable half. Copies are born from
+    explode(sequence(...)) IN the scan projection — no join against a
+    generated epoch table, no shuffle until the audit count; at 100 TB
+    the exploded stream feeds the tokenizer/packer directly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source") == "wiki", F.lit(2.5))
+        .when(F.col("source") == "github", F.lit(1.0))
+        .otherwise(F.lit(0.4))
+    )
+    frac_threshold = F.lpad(
+        F.conv(F.round((w - F.floor(w)) * 4294967296).cast("long").cast("string"), 10, 16),
+        8,
+        "0",
+    )
+    repeated = (
+        d.select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("w")).cast("int") - 1)
+            ).alias("copy_idx"),
+        )
+        .filter(
+            (F.col("copy_idx") + 1 <= F.floor("w"))
+            | (
+                F.substring(
+                    F.md5(F.concat(F.lit("rep:42:"), F.col("doc_id").cast("string"))), 1, 8
+                )
+                < F.lower(frac_threshold)
+            )
+        )
+    )
+    return (
+        repeated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("source")
     )

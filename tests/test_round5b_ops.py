@@ -895,3 +895,45 @@ def test_simhash_checkable_near_dup_distance(spark, tmp_path):
     assert out[0] == 0
     assert out[1] <= 12          # one word of 80 flips few vote sums
     assert out[2] >= 18          # unrelated vocab -> ~30 expected
+
+
+def test_epoch_shuffle_is_bijection(spark, sf_dir):
+    """Positions within an epoch must be a permutation (no collisions)
+    and epochs must differ."""
+    import duckdb
+
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    ids = [r[0] for r in con.execute(f"SELECT doc_id FROM '{sf_dir}/documents.parquet'").fetchall()]
+    for epoch in (0, 1):
+        pos = {(22695477 * (i + 1000003 * epoch)) % n for i in ids}
+        assert len(pos) == len(ids)  # bijection (a coprime to n)
+    out = QUERIES["q_shuffle_epoch"](spark, sf_dir).collect()
+    e0 = [r.doc_id for r in out if r.epoch == 0]
+    e1 = [r.doc_id for r in out if r.epoch == 1]
+    assert len(e0) == len(e1) == 10 and e0 != e1
+
+
+def test_repeat_upsample_copy_counts(spark, sf_dir):
+    """Every doc gets floor(w) guaranteed copies; the fractional extra
+    lands between floor and ceil in aggregate."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = {r.source: r for r in QUERIES["q_sample_repeat_upsample"](spark, sf_dir).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    counts = dict(con.execute(
+        f"SELECT source, count(*) FROM '{sf_dir}/documents.parquet' GROUP BY source"
+    ).fetchall())
+    for src, r in rows.items():
+        w = 2.5 if src == "wiki" else (1.0 if src == "github" else 0.4)
+        n = counts[src]
+        import math
+
+        lo, hi = math.floor(w) * n, math.ceil(w) * n
+        assert lo <= r.n_copies <= hi, (src, r.n_copies, lo, hi)
