@@ -2826,3 +2826,111 @@ def q_sample_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_sim_ann_lsh_checkable",
+    oracle="""
+    WITH planes AS (
+      SELECT p, d,
+             CAST(('0x' || substr(md5('pl:' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+               - 2147483648 AS coeff
+      FROM unnest(generate_series(0, 15)) AS tp(p),
+           unnest(generate_series(0, 63)) AS td(d)
+    ), el AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.q * pl.coeff) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN planes pl ON e.d = pl.d
+      GROUP BY e.vec_id, pl.p
+    ), bands AS (
+      SELECT vec_id, p // 8 AS band_idx,
+             sum(bit * (1 << (p % 8))) AS band_key
+      FROM bits GROUP BY vec_id, p // 8
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+      WHERE q.vec_id < 5 AND c.vec_id >= 5
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(x.embedding, y.embedding)
+               / (sqrt(list_dot_product(x.embedding, x.embedding))
+                  * sqrt(list_dot_product(y.embedding, y.embedding))) AS cos,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_dot_product(x.embedding, y.embedding)
+                        / (sqrt(list_dot_product(x.embedding, x.embedding))
+                           * sqrt(list_dot_product(y.embedding, y.embedding))) DESC,
+                        c.neighbor_id) AS rank
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.query_id
+      JOIN embeddings y ON y.vec_id = c.neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 4) AS cos
+    FROM scored WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_sim_ann_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 retrieval with the INTEGER-exact hyperplane index (16
+    md5-derived integer planes → two 8-bit band keys) and exact-cosine
+    re-rank — the checkable twin of q_sim_ann_lsh: propose via
+    band-key equi-join (queries vec_id<5, corpus the rest), verify and
+    rank with the proven exact cosine, total-ordered by (cos desc,
+    neighbor). Same funnel at 100 TB: band keys are the corpus index;
+    queries broadcast; only candidate buckets are scored."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = spark.range(16 * 64).selectExpr(
+        "CAST(id div 64 AS INT) AS p",
+        "CAST(id % 64 AS INT) AS d",
+        "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
+        "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
+    )
+    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
+    )
+    bands = (
+        el.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.when(F.sum(F.col("q") * F.col("coeff")) >= 0, 1).otherwise(0).alias("bit"))
+        .groupBy("vec_id", F.expr("p div 8").alias("band_idx"))
+        .agg(F.sum(F.expr("bit * shiftleft(1, p % 8)")).alias("band_key"))
+        .localCheckpoint(eager=True)
+    )
+    qb = bands.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cb = bands.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "band_idx", "band_key"
+    )
+    cand = qb.join(cb, ["band_idx", "band_key"]).select("query_id", "neighbor_id").distinct()
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    x = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        cand.join(F.broadcast(x), "query_id")
+        .join(F.broadcast(y), "neighbor_id")
+        .withColumn("cos_raw", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return scored.select(
+        "query_id", F.col("rank").cast("int"), "neighbor_id", F.round("cos_raw", 4).alias("cos")
+    ).orderBy("query_id", "rank")
