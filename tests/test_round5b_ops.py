@@ -937,3 +937,22 @@ def test_repeat_upsample_copy_counts(spark, sf_dir):
 
         lo, hi = math.floor(w) * n, math.ceil(w) * n
         assert lo <= r.n_copies <= hi, (src, r.n_copies, lo, hi)
+
+
+def test_ann_checkable_exact_match_ranks_first(spark, sf_dir):
+    """If a query's own nearest corpus vector has very high cosine, the
+    funnel must surface it at rank 1 (identical band keys guarantee
+    proposal for near-identical vectors)."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_sim_ann_lsh_checkable"](spark, sf_dir).collect()
+    assert len(out) > 0
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = [r.rank for r in sorted(rs, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        cosines = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
