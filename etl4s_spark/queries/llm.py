@@ -2934,3 +2934,121 @@ def q_sim_ann_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "query_id", F.col("rank").cast("int"), "neighbor_id", F.round("cos_raw", 4).alias("cos")
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q_sample_dsir",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt,
+             word, count(*) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ), piv AS (
+      SELECT word,
+             coalesce(sum(c) FILTER (WHERE tgt = 1), 0) AS ct,
+             coalesce(sum(c) FILTER (WHERE tgt = 0), 0) AS cs
+      FROM wf GROUP BY word
+    ), tot AS (
+      SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM piv
+    ), lam AS (
+      SELECT p.word,
+             CAST(round(
+               (ln((p.ct + 1) / CAST(t.nt + t.v AS DOUBLE))
+                - ln((p.cs + 1) / CAST(t.ns + t.v AS DOUBLE))) * 1000000000
+             ) AS BIGINT) AS llr_e9
+      FROM piv p, tot t
+    ), docscore AS (
+      SELECT d.doc_id, d.source,
+             sum(dw.c * l.llr_e9)      AS score_e9,
+             sum(dw.c)                 AS n_words
+      FROM (
+        SELECT doc_id, source, word, count(*) AS c
+        FROM w WHERE word <> '' GROUP BY 1, 2, 3
+      ) dw
+      JOIN lam l ON dw.word = l.word
+      JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+        ON dw.doc_id = d.doc_id
+      WHERE d.source NOT IN ('src0','src1','src2','src3')
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(score_e9 / (n_words * 1000000000.0), 6) AS avg_llr
+    FROM docscore
+    ORDER BY score_e9 * 1.0 / n_words DESC, doc_id
+    LIMIT 25
+    """,
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS'23, unigram
+    variant): score every candidate document by its average unigram
+    log-likelihood RATIO between a target-domain LM and the general-
+    pool LM (both add-one smoothed over the joint vocabulary), keep the
+    top 25 — 'select pretraining data that looks like the target
+    domain'. Per-word log-ratios are nano-quantized BIGINTs, so doc
+    scores are exact integer dot products of (term counts · llr) and
+    the ranking is engine-stable (length-normalized via the exact word
+    count; the tie order is the integer score ratio). Two shuffles on
+    word (LM counts, doc scoring) + one on doc_id; vocabularies stay
+    DataFrames — no collect, no model artifact (same posture as the
+    unigram-LM scorer)."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tgt_set = ("src0", "src1", "src2", "src3")
+    wexp = d.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    wf = wexp.groupBy(
+        F.col("source").isin(*tgt_set).cast("int").alias("tgt"), "word"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    piv = wf.groupBy("word").agg(
+        F.coalesce(F.sum(F.when(F.col("tgt") == 1, F.col("c"))), F.lit(0)).alias("ct"),
+        F.coalesce(F.sum(F.when(F.col("tgt") == 0, F.col("c"))), F.lit(0)).alias("cs"),
+    )
+    tot = piv.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("v")
+    )
+    lam = piv.join(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double"))
+                - F.log((F.col("cs") + 1) / (F.col("ns") + F.col("v")).cast("double"))
+            )
+            * 1000000000
+        )
+        .cast("long")
+        .alias("llr_e9"),
+    )
+    dw = (
+        wexp.filter(~F.col("source").isin(*tgt_set))
+        .groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docscore = (
+        dw.join(lam, "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("llr_e9")).alias("score_e9"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    return (
+        docscore.select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("score_e9") / (F.col("n_words") * 1000000000.0), 6).alias(
+                "avg_llr"
+            ),
+        )
+        .orderBy(
+            (F.col("score_e9") * 1.0 / F.col("n_words")).desc(), "doc_id"
+        )
+        .limit(25)
+    )

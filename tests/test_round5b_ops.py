@@ -956,3 +956,25 @@ def test_ann_checkable_exact_match_ranks_first(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
         cosines = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dsir_prefers_target_like_docs(spark, tmp_path):
+    """Pool docs written in the target domain's vocabulary must outscore
+    pool docs with alien vocabulary."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    tgt_text = "physics energy quantum field theory particle wave"
+    alien = "recipe butter sugar flour oven bake whisk"
+    rows = []
+    # target corpus: src0 docs with physics vocabulary
+    for i in range(10):
+        rows.append((i, tgt_text, "en", "src0", 1))
+    # pool: one physics-like doc, one cooking doc
+    rows.append((100, tgt_text + " momentum", "en", "src9", 1))
+    rows.append((101, alien, "en", "src9", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = [r.doc_id for r in QUERIES["q_sample_dsir"](spark, str(tmp_path)).collect()]
+    assert out.index(100) < out.index(101)
