@@ -637,3 +637,129 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_e9"), "doc_id")
         .limit(20)
     )
+
+
+_RAKE_STOPS = "('the','and','of','is','in','to','a','with','for','on','as','by','at','it','this','that')"
+
+
+@query(
+    "q_text_rake",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, i AS pos, word, word IN {_RAKE_STOPS} AS is_stop
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+        FROM documents
+      ), unnest(generate_series(1, len(ws))) AS t(i),
+      LATERAL (SELECT ws[i] AS word) lw
+      WHERE word <> ''
+    ), islands AS (
+      SELECT doc_id, pos, word,
+             pos - row_number() OVER (PARTITION BY doc_id, is_stop ORDER BY pos) AS isl
+      FROM w WHERE NOT is_stop
+    ), phrases AS (
+      SELECT doc_id, isl,
+             array_to_string(list(word ORDER BY pos), ' ') AS phrase,
+             count(*) AS plen
+      FROM islands GROUP BY doc_id, isl
+      HAVING count(*) BETWEEN 2 AND 4
+    ), members AS (
+      SELECT p.doc_id, p.isl, p.phrase, p.plen, i.word
+      FROM phrases p JOIN islands i
+        ON p.doc_id = i.doc_id AND p.isl = i.isl
+    ), wordstats AS (
+      SELECT word,
+             count(*)    AS freq,
+             sum(plen)   AS degree
+      FROM members GROUP BY word
+    ), scored AS (
+      SELECT m.phrase,
+             sum(CAST(round(CAST(ws.degree AS DOUBLE) / ws.freq * 1000000000)
+                      AS BIGINT)) AS score_e9
+      FROM members m JOIN wordstats ws ON m.word = ws.word
+      GROUP BY m.doc_id, m.isl, m.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT)            AS n_occurrences,
+           round(any_value(score_e9) / 1000000000.0, 4) AS rake_score
+    FROM scored
+    GROUP BY phrase, score_e9
+    ORDER BY score_e9 DESC, phrase
+    LIMIT 20
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free runs (2–4 words), each scored by the sum
+    of its members' degree/frequency ratios — co-occurrence weight
+    without any model. The phrase segmentation is the gaps-and-islands
+    construction (pos − row_number over non-stop words, partitioned per
+    doc), word stats aggregate map-side on the word key, and per-word
+    ratios are nano-quantized so phrase scores sum exactly. Top-20 by
+    score with a total-order tie-break; two shuffles (islands, word
+    stats) plus the final TakeOrdered."""
+    from pyspark.sql.window import Window as W
+
+    from etl4s_spark.operators.text import words
+
+    stops = [s.strip("'") for s in _RAKE_STOPS.strip("()").split(",")]
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", F.posexplode(words(F.col("text"))).alias("pos0", "word"))
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word",
+                F.col("word").isin(*stops).alias("is_stop"))
+    )
+    islands = w.filter(~F.col("is_stop")).select(
+        "doc_id",
+        "pos",
+        "word",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id", "is_stop").orderBy("pos"))
+        ).alias("isl"),
+    )
+    phrases = (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen").between(2, 4))
+    )
+    members = phrases.join(islands, ["doc_id", "isl"]).select(
+        "doc_id", "isl", "phrase", "plen", "word"
+    )
+    wordstats = members.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored = (
+        members.join(wordstats, "word")
+        .groupBy("doc_id", "isl", "phrase")
+        .agg(
+            F.sum(
+                F.round(F.col("degree").cast("double") / F.col("freq") * 1000000000)
+                .cast("long")
+            ).alias("score_e9")
+        )
+    )
+    return (
+        scored.groupBy("phrase", "score_e9")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score_e9") / 1000000000.0, 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("score_e9"), "phrase")
+        .limit(20)
+    )

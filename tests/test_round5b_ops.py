@@ -978,3 +978,25 @@ def test_dsir_prefers_target_like_docs(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = [r.doc_id for r in QUERIES["q_sample_dsir"](spark, str(tmp_path)).collect()]
     assert out.index(100) < out.index(101)
+
+
+def test_rake_extracts_multiword_keyphrase(spark, tmp_path):
+    """A repeated stopword-free collocation must surface as a top
+    phrase; phrases never contain stopwords."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    text = (
+        "deep learning models train on the large corpus and "
+        "deep learning models generalize with the large corpus"
+    )
+    rows = [(i, text, "en", "a", len(text)) for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["q_text_rake"](spark, str(tmp_path)).collect()
+    phrases = [r.phrase for r in out]
+    assert any("deep learning models" in p for p in phrases)
+    stops = {"the", "and", "of", "is", "in", "to", "a", "with", "for", "on"}
+    for p in phrases:
+        assert not (set(p.split()) & stops), p
