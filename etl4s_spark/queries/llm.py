@@ -3052,3 +3052,177 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@query(
+    "q_eval_knn_confusion",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50
+    ), c AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50
+    ), scored AS (
+      SELECT q.vec_id AS qid, q.label AS true_label, c.label AS pred_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.embedding, c.embedding)
+                        / (sqrt(list_dot_product(q.embedding, q.embedding))
+                           * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+                        c.vec_id) AS rn
+      FROM q, c
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT)   AS n
+    FROM scored WHERE rn = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def q_eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation primitive: the CONFUSION MATRIX of a 1-NN
+    classifier (each held-out query labeled by its exact-cosine nearest
+    corpus neighbor) — the quality readout every embedding-space change
+    gets judged by. The broadcast-queries × corpus scan is the proven
+    exact-top-k plan (one pass over the corpus, map-side row_number
+    prune via WindowGroupLimit); ranking is total-ordered (cos desc,
+    neighbor id) on bit-identical doubles, so the matrix is
+    engine-exact. Output is O(labels²), independent of corpus size."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+        F.col("label").alias("pred_label"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    best = (
+        c.join(F.broadcast(q))
+        .withColumn("cos", cos)
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("qid").orderBy(F.desc("cos"), "cid"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("true_label").cast("long"),
+            F.col("pred_label").cast("long"),
+            "n",
+        )
+        .orderBy("true_label", "pred_label")
+    )
+
+
+@query(
+    "q_eval_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20
+    ), ranked AS (
+      SELECT q.vec_id AS qid,
+             CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.embedding, c.embedding)
+                        / (sqrt(list_dot_product(q.embedding, q.embedding))
+                           * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+                        c.vec_id) AS rn
+      FROM q, c
+    ), dcg AS (
+      SELECT qid,
+             sum(CAST(round(rel / ln(rn + 1.0) * 1000000000) AS BIGINT))
+               FILTER (WHERE rn <= 10) AS dcg_e9,
+             sum(CAST(round(CASE WHEN rn2 <= 10 THEN rel / ln(rn2 + 1.0) ELSE 0 END
+                            * 1000000000) AS BIGINT)) AS ideal_part
+      FROM (
+        SELECT qid, rel, rn,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rn) AS rn2
+        FROM ranked
+      )
+      GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN ideal_part > 0
+                          THEN CAST(dcg_e9 AS DOUBLE) / ideal_part
+                          ELSE 0 END), 6) AS mean_ndcg10
+    FROM dcg
+    """,
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact-cosine retrieval with same-label relevance —
+    the ranking-quality metric for every retrieval change. Discounts
+    1/ln(rank+1) are nano-quantized per position and summed exactly;
+    the ideal DCG re-ranks the SAME candidate list by relevance (so a
+    query with k relevant docs has the proper normalizer). Mean over
+    queries is a ratio of exact integers per query averaged at 6 dp.
+    Same broadcast-queries scan shape as the confusion matrix."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+        F.col("label").alias("cl"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    ranked = (
+        c.join(F.broadcast(q))
+        .withColumn("rel", (F.col("ql") == F.col("cl")).cast("int"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("qid").orderBy(F.desc(cos), "cid"))
+        )
+        .withColumn(
+            "rn2",
+            F.row_number().over(W.partitionBy("qid").orderBy(F.desc("rel"), "rn")),
+        )
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("rn") <= 10,
+                F.round(F.col("rel") / F.log(F.col("rn") + 1.0) * 1000000000).cast("long"),
+            ).otherwise(0)
+        ).alias("dcg_e9"),
+        F.sum(
+            F.when(
+                F.col("rn2") <= 10,
+                F.round(F.col("rel") / F.log(F.col("rn2") + 1.0) * 1000000000).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        ).alias("ideal_part"),
+    )
+    return dcg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("ideal_part") > 0,
+                    F.col("dcg_e9").cast("double") / F.col("ideal_part"),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("mean_ndcg10"),
+    )

@@ -1000,3 +1000,35 @@ def test_rake_extracts_multiword_keyphrase(spark, tmp_path):
     stops = {"the", "and", "of", "is", "in", "to", "a", "with", "for", "on"}
     for p in phrases:
         assert not (set(p.split()) & stops), p
+
+
+def test_knn_confusion_totals_and_diagonal(spark, sf_dir):
+    """Matrix totals = number of queries; a planted identical-vector
+    case must classify correctly."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_eval_knn_confusion"](spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == 50
+
+
+def test_ndcg_perfect_retrieval_is_one(spark, tmp_path):
+    """If every query's same-label docs dominate the ranking (identical
+    vectors), mean NDCG@10 must be 1.0."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    # 20 queries and 30 corpus docs; each query's label group shares an
+    # identical one-hot-ish vector, so same-label docs rank first
+    def vec(lbl):
+        v = [0.0] * 64
+        v[lbl] = 1.0
+        return v
+
+    rows = [(i, vec(i % 4), i % 4) for i in range(50)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = QUERIES["q_eval_ndcg"](spark, str(tmp_path)).collect()[0]
+    assert out.n_queries == 20
+    assert out.mean_ndcg10 == 1.0
