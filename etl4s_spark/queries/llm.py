@@ -3226,3 +3226,58 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_ndcg10"),
     )
+
+
+@query(
+    "q_eval_split_srm",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc' THEN 'val'
+                  WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    ), obs AS (
+      SELECT split, count(*) AS o FROM s GROUP BY split
+    ), tot AS (SELECT sum(o) AS n FROM obs),
+    expected AS (
+      SELECT o.split, o.o,
+             CASE o.split WHEN 'train' THEN 0.9 ELSE 0.05 END * t.n AS e
+      FROM obs o, tot t
+    )
+    SELECT CAST(sum(o) AS BIGINT) AS n_rows,
+           round(sum((o - e) * (o - e) / e), 4) AS chi_sq_gof,
+           CAST(sum(CASE WHEN abs(o - e) > 3 * sqrt(e) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_beyond_3sigma
+    FROM expected
+    """,
+)
+def q_eval_split_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-squared goodness-of-fit of
+    the ACTUAL train/val/test counts against the declared 90/5/5
+    design — the first check on any experiment or split pipeline (an
+    SRM means the assignment itself is broken; no downstream metric is
+    trustworthy). Counts are exact; expected values and the GOF terms
+    are a FIXED 3-term expression over one tiny frame (no float-order
+    ambiguity: the sum has a deterministic grouping of exactly 3
+    values in both engines only if computed identically — so terms are
+    summed over the 3-row frame where ulp-order effects are below the
+    4 dp output by ~10 orders). One shuffle on the split key."""
+    from etl4s_spark.operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = train_val_test_split(d, "doc_id", val_fraction=0.05, test_fraction=0.05)
+    obs = s.groupBy("split").agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.when(F.col("split") == "train", 0.9).otherwise(0.05) * F.col("n")
+    expected = obs.join(F.broadcast(tot)).select("split", "o", e.alias("e"))
+    return expected.agg(
+        F.sum("o").cast("long").alias("n_rows"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4
+        ).alias("chi_sq_gof"),
+        F.sum(
+            F.when(F.abs(F.col("o") - F.col("e")) > 3 * F.sqrt(F.col("e")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_buckets_beyond_3sigma"),
+    )
