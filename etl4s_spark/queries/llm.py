@@ -3281,3 +3281,86 @@ def q_eval_split_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_buckets_beyond_3sigma"),
     )
+
+
+@query(
+    "q_eval_precision_recall_at_k",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20
+    ), ranked AS (
+      SELECT q.vec_id AS qid,
+             CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.embedding, c.embedding)
+                        / (sqrt(list_dot_product(q.embedding, q.embedding))
+                           * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+                        c.vec_id) AS rn
+      FROM q, c
+    ), perq AS (
+      SELECT qid,
+             sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS hits10,
+             sum(rel)                                    AS n_rel
+      FROM ranked GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_queries,
+           CAST(sum(hits10) AS BIGINT)                    AS total_hits_at_10,
+           round(sum(hits10) / (count(*) * 10.0), 6)      AS micro_precision_at_10,
+           round(sum(CAST(hits10 AS DOUBLE) / n_rel) / count(*), 6)
+                                                          AS macro_recall_at_10
+    FROM perq WHERE n_rel > 0
+    """,
+)
+def q_eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 (micro) and recall@10 (macro) of exact-cosine
+    retrieval with same-label relevance — the companion readout to
+    NDCG: precision says how clean the top of the list is, recall says
+    how much of each query's relevant set it surfaced. Hit counts are
+    exact integers per query; the two means are single divisions (and
+    one 20-term average whose ulp-order noise sits ~10 orders under
+    the 6 dp output). Same broadcast-queries corpus scan, one window,
+    O(queries) intermediate state."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+        F.col("label").alias("cl"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    perq = (
+        c.join(F.broadcast(q))
+        .withColumn("rel", (F.col("ql") == F.col("cl")).cast("int"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("qid").orderBy(F.desc(cos), "cid"))
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 10, F.col("rel")).otherwise(0)).alias("hits10"),
+            F.sum("rel").alias("n_rel"),
+        )
+        .filter(F.col("n_rel") > 0)
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("hits10").cast("long").alias("total_hits_at_10"),
+        F.round(F.sum("hits10") / (F.count(F.lit(1)) * 10.0), 6).alias(
+            "micro_precision_at_10"
+        ),
+        F.round(
+            F.sum(F.col("hits10").cast("double") / F.col("n_rel")) / F.count(F.lit(1)),
+            6,
+        ).alias("macro_recall_at_10"),
+    )
