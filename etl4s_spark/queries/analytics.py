@@ -1370,3 +1370,62 @@ def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((F.sum("t_e9") / 1000000000.0) / (F.first("total") * 3)), 4
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT g, day, c,
+             list(c) OVER (PARTITION BY g ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      FROM daily
+    ), sorted_w AS (
+      SELECT g, day, c, list_sort(win) AS sw, len(win) AS n FROM framed
+    )
+    SELECT g AS event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           round(c / 100.0, 2)       AS daily_total,
+           round((sw[(n - 1) // 2 + 1] + sw[n // 2 + 1]) / 200.0, 3)
+             AS rolling_median7
+    FROM sorted_w
+    ORDER BY event_type, day
+    LIMIT 500
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily totals per event type — the
+    robust smoother that ignores single-day spikes where the EWMA
+    (q_ts_ewma) chases them. The frame is BOUNDED (≤7 values), so
+    sorting it per row is array_sort over a 7-element array inside the
+    projection — constant work per row, one shuffle on the series key,
+    and the only place this engine sorts inside a window frame (the
+    unbounded-percentile case stays on the counts histogram). Median of
+    the sorted cents list is the standard two-middle-elements average —
+    dyadic-exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("g").orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "g", "day", "c", F.array_sort(F.collect_list("c").over(w)).alias("sw")
+    ).withColumn("n", F.size("sw"))
+    med = (
+        F.element_at("sw", F.expr("CAST((n - 1) div 2 + 1 AS INT)"))
+        + F.element_at("sw", F.expr("CAST(n div 2 + 1 AS INT)"))
+    ) / 200.0
+    return (
+        framed.select(
+            F.col("g").alias("event_type"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("c") / 100.0, 2).alias("daily_total"),
+            F.round(med, 3).alias("rolling_median7"),
+        )
+        .orderBy("event_type", "day")
+        .limit(500)
+    )
