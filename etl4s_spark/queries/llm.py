@@ -3364,3 +3364,149 @@ def q_eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("macro_recall_at_10"),
     )
+
+
+@query(
+    "q_pipeline_eval_report",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20
+    ), ranked AS (
+      SELECT q.vec_id AS qid, q.label AS ql, c.label AS cl,
+             CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.embedding, c.embedding)
+                        / (sqrt(list_dot_product(q.embedding, q.embedding))
+                           * sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+                        c.vec_id) AS rn
+      FROM q, c
+    ), knn AS (
+      SELECT round(sum(CASE WHEN ql = cl THEN 1.0 ELSE 0 END) / count(*), 6) AS v
+      FROM ranked WHERE rn = 1
+    ), pr AS (
+      SELECT round(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END)
+                   / (count(DISTINCT qid) * 10.0), 6) AS v
+      FROM ranked
+    ), ndcg AS (
+      SELECT round(avg(CASE WHEN ideal > 0 THEN CAST(dcg AS DOUBLE) / ideal ELSE 0 END), 6) AS v
+      FROM (
+        SELECT qid,
+               sum(CASE WHEN rn <= 10
+                        THEN CAST(round(rel / ln(rn + 1.0) * 1000000000) AS BIGINT)
+                        ELSE 0 END) AS dcg,
+               sum(CASE WHEN rn2 <= 10
+                        THEN CAST(round(rel / ln(rn2 + 1.0) * 1000000000) AS BIGINT)
+                        ELSE 0 END) AS ideal
+        FROM (
+          SELECT qid, rel, rn,
+                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rn) AS rn2
+          FROM ranked
+        )
+        GROUP BY qid
+      )
+    )
+    SELECT 'knn_accuracy' AS metric, v AS value FROM knn
+    UNION ALL SELECT 'precision_at_10', v FROM pr
+    UNION ALL SELECT 'mean_ndcg10', v FROM ndcg
+    ORDER BY metric
+    """,
+)
+def q_pipeline_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end evaluation REPORT as a Layer-A composition: one
+    ranked frame (the broadcast-queries exact-cosine scan, computed
+    ONCE and fanned out with `&` to three metric nodes — 1-NN accuracy,
+    micro precision@10, mean NDCG@10) unioned into a (metric, value)
+    scorecard. The pipeline shape a retrieval team ships nightly;
+    the Node algebra keeps the expensive ranking shared while each
+    metric stays an independently-testable stage."""
+    from pyspark.sql.window import Window as W
+
+    from etl4s_spark.core.node import node
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+        F.col("label").alias("cl"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+
+    def build_ranked(_: DataFrame) -> DataFrame:
+        return (
+            c.join(F.broadcast(q))
+            .withColumn("rel", (F.col("ql") == F.col("cl")).cast("int"))
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("qid").orderBy(F.desc(cos), "cid")),
+            )
+            .withColumn(
+                "rn2",
+                F.row_number().over(W.partitionBy("qid").orderBy(F.desc("rel"), "rn")),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def knn_accuracy(r: DataFrame) -> DataFrame:
+        return (
+            r.filter(F.col("rn") == 1)
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("ql") == F.col("cl"), 1.0).otherwise(0))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("value")
+            )
+            .select(F.lit("knn_accuracy").alias("metric"), "value")
+        )
+
+    def precision10(r: DataFrame) -> DataFrame:
+        return r.agg(
+            F.round(
+                F.sum(F.when(F.col("rn") <= 10, F.col("rel")).otherwise(0))
+                / (F.count_distinct("qid") * 10.0),
+                6,
+            ).alias("value")
+        ).select(F.lit("precision_at_10").alias("metric"), "value")
+
+    def ndcg10(r: DataFrame) -> DataFrame:
+        dcg = r.groupBy("qid").agg(
+            F.sum(
+                F.when(
+                    F.col("rn") <= 10,
+                    F.round(F.col("rel") / F.log(F.col("rn") + 1.0) * 1000000000).cast("long"),
+                ).otherwise(0)
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("rn2") <= 10,
+                    F.round(F.col("rel") / F.log(F.col("rn2") + 1.0) * 1000000000).cast("long"),
+                ).otherwise(0)
+            ).alias("ideal"),
+        )
+        return dcg.agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("ideal") > 0, F.col("dcg").cast("double") / F.col("ideal")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("value")
+        ).select(F.lit("mean_ndcg10").alias("metric"), "value")
+
+    pipeline = node(build_ranked) >> (
+        node(knn_accuracy) & node(precision10) & node(ndcg10)
+    )
+    parts = pipeline.unsafe_run(e)
+    return parts[0].union(parts[1]).union(parts[2]).orderBy("metric")
