@@ -3510,3 +3510,68 @@ def q_pipeline_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = pipeline.unsafe_run(e)
     return parts[0].union(parts[1]).union(parts[2]).orderBy("metric")
+
+
+@query(
+    "q_eval_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(n_chars AS BIGINT) AS s
+      FROM documents
+    ), hist AS (
+      SELECT s, count(*) AS c,
+             sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT s, c, c1,
+             sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c AS cum_start
+      FROM hist
+    ), sums AS (
+      SELECT sum(c1) AS n1, sum(c - c1) AS n0,
+             sum(c1 * (2 * cum_start + c + 1)) AS r1_x2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_positive,
+           CAST(n0 AS BIGINT) AS n_negative,
+           round((r1_x2 / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * CAST(n0 AS DOUBLE)), 6)
+             AS auc
+    FROM sums
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a scoring rule (here: document length as a predictor
+    of lang='en') via the rank-sum identity AUC = U/(n₁n₀) — the
+    threshold-free classifier metric, computed EXACTLY: average ranks
+    come from the counts histogram (ties handled by the midrank rule,
+    which is precisely what trapezoidal AUC does with tied scores),
+    doubled rank sums stay BIGINT, and the one division happens at
+    output. Same plan as q_stat_mannwhitney — one map-side-combined
+    shuffle on the score domain, no sort of raw rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").cast("long").alias("s"),
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").alias("c1"),
+    )
+    wdom = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "s", "c", "c1", (F.sum("c").over(wdom) - F.col("c")).alias("cum_start")
+    )
+    sums = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n0"),
+        F.sum(F.col("c1") * (2 * F.col("cum_start") + F.col("c") + 1)).alias("r1_x2"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    return sums.select(
+        n1.cast("long").alias("n_positive"),
+        n0.cast("long").alias("n_negative"),
+        F.round(
+            (F.col("r1_x2") / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * n0.cast("double")), 6
+        ).alias("auc"),
+    )

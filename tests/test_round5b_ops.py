@@ -1032,3 +1032,28 @@ def test_ndcg_perfect_retrieval_is_one(spark, tmp_path):
     out = QUERIES["q_eval_ndcg"](spark, str(tmp_path)).collect()[0]
     assert out.n_queries == 20
     assert out.mean_ndcg10 == 1.0
+
+
+def test_auc_matches_pairwise_definition(spark, tmp_path):
+    """Rank-sum AUC equals the pairwise P(score_pos > score_neg) +
+    0.5 P(tie) definition on a crafted table with ties."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    pos = [10, 20, 20, 30]
+    neg = [5, 20, 15]
+    rows = []
+    did = 0
+    for s in pos:
+        rows.append((did, "x", "en", "a", s)); did += 1
+    for s in neg:
+        rows.append((did, "x", "de", "a", s)); did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["q_eval_auc"](spark, str(tmp_path)).collect()[0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert out.n_positive == 4 and out.n_negative == 3
+    assert abs(out.auc - round(want, 6)) < 1e-9
