@@ -3575,3 +3575,72 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r1_x2") / 2.0 - n1 * (n1 + 1) / 2.0) / (n1 * n0.cast("double")), 6
         ).alias("auc"),
     )
+
+
+@query(
+    "q_eval_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+               / (CAST(count(*) OVER () AS DOUBLE) - 1) AS pr
+      FROM documents
+    ), binned AS (
+      SELECT least(9, CAST(floor(pr * 10) AS INT)) AS bin, y, pr,
+             CAST(round((pr - y) * (pr - y) * 1000000000) AS BIGINT) AS brier_e9
+      FROM scored
+    )
+    SELECT CAST(bin AS INT)                           AS bin,
+           CAST(count(*) AS BIGINT)                   AS n,
+           round(avg(pr), 6)                          AS mean_pred,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_positive,
+           round(sum(brier_e9) / (count(*) * 1000000000.0), 6) AS brier
+    FROM binned
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table with per-bin Brier score: the
+    'predicted probability' is the score's percent-rank (a rank-based
+    calibration of document length against the lang='en' outcome), cut
+    into 10 bins — mean prediction vs observed positive rate per bin
+    is the reliability diagram every probabilistic classifier ships
+    with. percent_rank over a TOTAL order (score, doc_id) is an exact
+    rational; per-row Brier terms are nano-quantized and summed
+    exactly; avg(pr) is the only plain float mean (ulp noise ~10
+    orders under 6 dp). One global rank window over the (bounded)
+    corpus — at scale the percent-rank would come from the counts
+    histogram like every quantile here."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n = Window.partitionBy()
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            (F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1)
+            / (F.count(F.lit(1)).over(n).cast("double") - 1)
+        ).alias("pr"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("pr") * 10).cast("int")).alias("bin"),
+        "y",
+        "pr",
+        F.round((F.col("pr") - F.col("y")) * (F.col("pr") - F.col("y")) * 1000000000)
+        .cast("long")
+        .alias("brier_e9"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("pr"), 6).alias("mean_pred"),
+            F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "frac_positive"
+            ),
+            F.round(F.sum("brier_e9") / (F.count(F.lit(1)) * 1000000000.0), 6).alias(
+                "brier"
+            ),
+        )
+        .orderBy("bin")
+    )
