@@ -561,3 +561,49 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("matched_ts", fmt).alias("matched_ts"),
         F.col("matched_value").alias("matched_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, nullif(user_id % 10, 0) AS k, value
+      FROM events WHERE event_id % 2 = 0
+    ), b AS (
+      SELECT event_id, nullif(user_id % 10, 0) AS k
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT a.k AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_left
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantic needed
+    when the join key is a nullable dimension attribute ("unknown"
+    buckets must pair with "unknown", not silently drop). Spark plans
+    `eqNullSafe` as a plain hash join (the null bucket hashes like any
+    value); the standard equi-join on the same data would lose every
+    NULL row, which is exactly the bug this query exists to document.
+    Output keeps the NULL group first so the match is visible."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 10, F.lit(0))
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"), k.alias("k")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"), k.alias("kb")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("a_id").cast("long").alias("n_left"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
