@@ -610,3 +610,49 @@ def q_scalar_busdays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ship, "yyyy-MM-dd").alias("ship_by"),
         busdays.cast("int").alias("busdays_next30"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q_scalar_explode_outer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         w -> len(w) >= 12) AS longwords
+      FROM documents WHERE doc_id < 100
+    ), exploded AS (
+      SELECT t.doc_id, u.w
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, unnest(longwords) AS w FROM toks
+      ) u ON t.doc_id = u.doc_id
+    )
+    SELECT doc_id,
+           CAST(count(w) AS BIGINT)  AS n_long_words,
+           (count(w) = 0)            AS kept_as_null_row
+    FROM exploded
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: rows whose array is EMPTY survive with
+    a NULL element instead of vanishing — the difference between "docs
+    with their long words" and "docs that happen to have long words".
+    A plain explode here silently drops every doc below the length
+    threshold, deflating downstream per-doc stats; the OUTER variant is
+    the correct building block whenever per-row fan-out can be zero
+    (the oracle mirrors it with a LEFT JOIN against the unnest). Same
+    generator plan, null-row pass-through."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    longwords = F.filter(words(F.col("text")), lambda w: F.length(w) >= 12)
+    return (
+        d.select("doc_id", F.explode_outer(longwords).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").cast("long").alias("n_long_words"),
+            (F.count("w") == 0).alias("kept_as_null_row"),
+        )
+        .orderBy("doc_id")
+    )
