@@ -202,3 +202,56 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.nth_value("o_totalprice", 2).over(wf), 4).alias("second_price"),
     ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@query(
+    "q_window_range_interval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling7_cents,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+    FROM daily
+    ORDER BY event_type, day
+    LIMIT 500
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: the rolling 7-day window defined by
+    the CALENDAR (RANGE BETWEEN INTERVAL 6 DAYS PRECEDING), not by row
+    count — on a gappy series the two differ exactly where it matters
+    (days_in_window < 7 exposes the gaps a ROWS frame would silently
+    paper over). Spark evaluates interval range frames natively in the
+    window exec; sums are exact cents. The SQL form is used because
+    the DataFrame rangeBetween API takes only numeric offsets —
+    the one surface where SQL expresses more than the fluent API."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).createOrReplaceTempView("daily_cents_v")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_type,
+               date_format(day, 'yyyy-MM-dd') AS day,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS rolling7_cents,
+               CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS days_in_window
+        FROM daily_cents_v
+        ORDER BY event_type, day
+        LIMIT 500
+        """
+    )
