@@ -3644,3 +3644,118 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_audit_lsh_recall",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(len(w) - 2),
+                                     i -> array_to_string(w[i+1:i+3], ' ')))
+                  ELSE [] END AS shingles
+      FROM docs
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM shl
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 2 >= (
+        (SELECT n_sh FROM sizes WHERE doc_id = a.doc_id)
+        + (SELECT n_sh FROM sizes WHERE doc_id = b.doc_id) - count(*))
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647,
+                     CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) % 2147483647])
+               AS hs
+      FROM shl WHERE len(shingles) > 0
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               p -> list_min(list_transform(hs,
+                      h -> (h[1] + p * h[2] + p * p) % 2147483647)))
+               AS sig
+      FROM hashed
+    ), bands AS (
+      SELECT doc_id, b AS band_idx,
+             array_to_string(sig[4 * b + 1 : 4 * b + 4], ',') AS band_key
+      FROM sigs, unnest(generate_series(0, 15)) AS t(b)
+    ), proposed AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)     AS n_truth,
+           CAST((SELECT count(*) FROM proposed) AS BIGINT)  AS n_proposed,
+           CAST((SELECT count(*) FROM truth t JOIN proposed p
+                 ON t.id_a = p.id_a AND t.id_b = p.id_b) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM truth t JOIN proposed p
+                  ON t.id_a = p.id_a AND t.id_b = p.id_b)
+                 / greatest(1.0, (SELECT count(*) FROM truth)), 6) AS recall
+    """,
+)
+def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED LSH recall audit — possible only because the
+    checkable MinHash twin is deterministic in both engines: the truth
+    set is exact Jaccard ≥ 0.5 pairs (shingle equi-join, never
+    all-pairs), the proposed set is the banding's candidates
+    (q_dedup_minhash_checkable), and recall = |hits|/|truth| in exact
+    integers. The production xxhash64 path audits the same property in
+    pytest only; here the ENTIRE audit — including the sketch — is
+    value-hash-checked by the driver. At 64 perms / 16 bands the S-curve
+    puts P(propose | J=0.5) ≈ 1−(1−0.5⁴)^16 ≈ 0.65 per theory; real
+    near-dup corpora sit far above J=0.5 where recall → 1."""
+    from etl4s_spark.operators.parallelism import widen
+    from etl4s_spark.operators.text import normalize_text
+    from etl4s_spark.queries import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(normalize_text(F.col("text")), " ")
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = widen(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.join(sh.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("doc_id") < F.col("id_b"))
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    proposed = (
+        QUERIES["q_dedup_minhash_checkable"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hits = truth.join(proposed, ["id_a", "id_b"]).count()
+    n_truth = truth.count()
+    n_proposed = proposed.count()
+    return spark.createDataFrame(
+        [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
+        "n_truth long, n_proposed long, n_hits long, recall double",
+    )
