@@ -3759,3 +3759,104 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
         "n_truth long, n_proposed long, n_hits long, recall double",
     )
+
+
+@query(
+    "q_audit_ann_recall",
+    oracle="""
+    WITH truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+    ), planes AS (
+      SELECT p, d,
+             CAST(('0x' || substr(md5('pl:' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+               - 2147483648 AS coeff
+      FROM unnest(generate_series(0, 31)) AS tp(p),
+           unnest(generate_series(0, 63)) AS td(d)
+    ), el AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.q * pl.coeff) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN planes pl ON e.d = pl.d
+      GROUP BY e.vec_id, pl.p
+    ), bands AS (
+      SELECT vec_id, p // 8 AS band_idx,
+             sum(bit * (1 << (p % 8))) AS band_key
+      FROM bits GROUP BY vec_id, p // 8
+    ), proposed AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+    ), hits AS (
+      SELECT count(*) AS h FROM truth t JOIN proposed p
+        ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT)    AS n_truth,
+           CAST((SELECT count(*) FROM proposed) AS BIGINT) AS n_proposed,
+           CAST((SELECT h FROM hits) AS BIGINT)            AS n_hits,
+           round((SELECT h FROM hits)
+                 / greatest(1.0, (SELECT count(*) FROM truth)), 6) AS recall
+    """,
+)
+def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall audit, fully oracle-backed via the
+    integer-exact checkable index: truth = exact cosine ≥ 0.4 pairs,
+    proposed = the 4×8-bit band candidates (the same bucketing
+    q_dedup_embedding_lsh_checkable verifies) — recall in exact
+    integers. Together with q_audit_lsh_recall this closes the loop:
+    both sketch families carry driver-checked recall numbers, not just
+    pytest floors. Truth is bounded by the corpus slice the dedup
+    family already uses; the propose side is the broadcast integer
+    dot-product plan."""
+    from pyspark.sql.window import Window as W  # noqa: F401
+
+    from etl4s_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    truth = (
+        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    planes = spark.range(32 * 64).selectExpr(
+        "CAST(id div 64 AS INT) AS p",
+        "CAST(id % 64 AS INT) AS d",
+        "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
+        "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
+    )
+    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
+    )
+    bands = (
+        el.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.when(F.sum(F.col("q") * F.col("coeff")) >= 0, 1).otherwise(0).alias("bit"))
+        .groupBy("vec_id", F.expr("p div 8").alias("band_idx"))
+        .agg(F.sum(F.expr("bit * shiftleft(1, p % 8)")).alias("band_key"))
+        .localCheckpoint(eager=True)
+    )
+    proposed = (
+        bands.join(
+            bands.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hits = truth.join(proposed, ["id_a", "id_b"]).count()
+    n_truth = truth.count()
+    n_proposed = proposed.count()
+    return spark.createDataFrame(
+        [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
+        "n_truth long, n_proposed long, n_hits long, recall double",
+    )
