@@ -796,3 +796,44 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("l_returnflag"), "weighted_median", "total_weight")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
+           coalesce(l_linestatus, '<all>')  AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS grouping_level,
+           CAST(count(*) AS BIGINT)         AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY grouping_level, returnflag, linestatus
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation: in a rollup/grouping-sets result a
+    NULL cell is ambiguous — was the source value NULL, or is this a
+    subtotal row? GROUPING(col) answers it (1 = aggregated away), and
+    the combined bitmask labels each stratum level explicitly — the
+    detail every BI layer on top of a cube needs to render subtotals
+    correctly. Exact-cent sums; one expand + one shuffle exactly like
+    the plain grouping-sets query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gid_v")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
+               coalesce(l_linestatus, '<all>')  AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+                 AS grouping_level,
+               CAST(count(*) AS BIGINT)         AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM lineitem_gid_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY grouping_level, returnflag, linestatus
+        """
+    )
