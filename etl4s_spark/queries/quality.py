@@ -364,3 +364,74 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "key_a", "key_b")
         .limit(30)
     )
+
+
+@query(
+    "q_er_fuzzy_clusters",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part
+    ), prs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM prs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+    SELECT CAST(component AS BIGINT)      AS cluster_id,
+           CAST(count(*) AS BIGINT)       AS n_members,
+           CAST(min(id) AS BIGINT)        AS canonical_key
+    FROM comp
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY cluster_id
+    """,
+)
+def q_er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: blocked fuzzy match (edit distance
+    ≤ 2 within first-token blocks — q_fuzzy_pairs' candidate
+    discipline) feeds CONNECTED COMPONENTS (operators/dedup.py — the
+    same iterative min-label machinery the dedup clusters use), and
+    each cluster elects its minimum key as the canonical entity — the
+    full match→cluster→survivorship flow of an MDM pipeline in one
+    declared query, with the oracle replaying it as a recursive CTE."""
+    from etl4s_spark.operators.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = p.repartition(32).alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0)
+        .select(
+            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
+        )
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("id").cast("long").alias("canonical_key"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(F.col("cluster_id").cast("long"), "n_members", "canonical_key")
+        .orderBy("cluster_id")
+    )
