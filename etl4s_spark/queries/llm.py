@@ -3860,3 +3860,44 @@ def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
         "n_truth long, n_proposed long, n_hits long, recall double",
     )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang
+      FROM documents
+      WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE lang WHEN 'en' THEN '19999999'
+                        WHEN 'zh' THEN 'g'
+                        ELSE '4ccccccc' END
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STRATUM deterministic sampling with heterogeneous rates
+    (downsample dominant 'en' to 10%, keep 100% of scarce 'zh', 30%
+    default) — the language-rebalancing move every multilingual corpus
+    makes. ZERO shuffles before the audit count: membership is a pure
+    hash-threshold filter evaluated in the scan (operators/sampling.py
+    stratified_sample), so at 100 TB this costs one pass and nothing
+    else; the oracle re-derives the identical kept set per stratum."""
+    from etl4s_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.1, "zh": 1.0}, default_fraction=0.3
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
