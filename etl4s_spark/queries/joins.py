@@ -568,10 +568,10 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT event_id, nullif(user_id % 10, 0) AS k, value
-      FROM events WHERE event_id % 2 = 0
+      FROM events WHERE event_id % 2 = 0 AND event_id < 5000
     ), b AS (
       SELECT event_id, nullif(user_id % 10, 0) AS k
-      FROM events WHERE event_id % 2 = 1
+      FROM events WHERE event_id % 2 = 1 AND event_id < 5000
     )
     SELECT a.k AS k,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -589,8 +589,11 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     `eqNullSafe` as a plain hash join (the null bucket hashes like any
     value); the standard equi-join on the same data would lose every
     NULL row, which is exactly the bug this query exists to document.
-    Output keeps the NULL group first so the match is visible."""
-    ev = load_table(spark, sf_dir, "events")
+    Output keeps the NULL group first so the match is visible;
+    the slice is bounded (the semantic needs matching behavior, not
+    corpus volume — an uncapped half-vs-half self-join is ~60M pairs
+    at sf0.1)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     k = F.nullif(F.col("user_id") % 10, F.lit(0))
     a = ev.filter(F.col("event_id") % 2 == 0).select(
         F.col("event_id").alias("a_id"), k.alias("k")

@@ -3767,7 +3767,8 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH truth AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_dot_product(a.embedding, b.embedding)
+      WHERE a.vec_id < 500 AND b.vec_id < 500
+        AND list_dot_product(a.embedding, b.embedding)
             / (sqrt(list_dot_product(a.embedding, a.embedding))
                * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
     ), planes AS (
@@ -3781,6 +3782,7 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i AS d,
              CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
       FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+      WHERE vec_id < 500
     ), bits AS (
       SELECT e.vec_id, pl.p,
              CASE WHEN sum(e.q * pl.coeff) >= 0 THEN 1 ELSE 0 END AS bit
@@ -3813,14 +3815,15 @@ def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_embedding_lsh_checkable verifies) — recall in exact
     integers. Together with q_audit_lsh_recall this closes the loop:
     both sketch families carry driver-checked recall numbers, not just
-    pytest floors. Truth is bounded by the corpus slice the dedup
-    family already uses; the propose side is the broadcast integer
-    dot-product plan."""
+    pytest floors. Truth AND propose are bounded to the same
+    500-vector slice the dedup family uses (the uncapped truth side is
+    the quadratic exact-pair op — 23 s at sf0.1 before the cap); the
+    propose side is the broadcast integer dot-product plan."""
     from pyspark.sql.window import Window as W  # noqa: F401
 
     from etl4s_spark.operators.similarity import embedding_neardup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     truth = (
         embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
         .select("id_a", "id_b")
