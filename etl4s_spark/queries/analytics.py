@@ -1429,3 +1429,67 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "day")
         .limit(500)
     )
+
+
+@query(
+    "q_ts_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ), dowed AS (
+      SELECT g, isodow(day) - 1 AS dow, c FROM daily
+    ), per_dow AS (
+      SELECT g, dow, count(*) AS n_days, sum(c) AS tot
+      FROM dowed GROUP BY g, dow
+    ), overall AS (
+      SELECT g, sum(tot) AS gt, sum(n_days) AS gn FROM per_dow GROUP BY g
+    )
+    SELECT p.g AS event_type,
+           CAST(p.dow AS INT)           AS dow,
+           CAST(p.n_days AS BIGINT)     AS n_days,
+           round(p.tot / (p.n_days * 100.0), 4) AS mean_daily,
+           round((p.tot * o.gn) / (CAST(p.n_days AS DOUBLE) * o.gt), 4)
+             AS seasonal_index
+    FROM per_dow p JOIN overall o ON p.g = o.g
+    ORDER BY event_type, dow
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per event type, each weekday's
+    mean daily total and its SEASONAL INDEX (weekday mean ÷ overall
+    daily mean — the multiplicative factor a seasonal-adjustment or
+    staffing model consumes; index > 1 = busy day). The index is a
+    ratio of exact integer products ((tot·gn)/(n·gt) — one double
+    division), weekday comes from the Monday=0 normalization rule
+    (FIXTURES §C.3). Two map-side-combined shuffles (daily, per-dow),
+    35-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    dowed = daily.select(
+        "g", ((F.dayofweek("day") + 5) % 7).alias("dow"), "c"
+    )
+    per_dow = dowed.groupBy("g", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("tot")
+    )
+    overall = per_dow.groupBy("g").agg(
+        F.sum("tot").alias("gt"), F.sum("n_days").alias("gn")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.col("tot") / (F.col("n_days") * 100.0), 4).alias("mean_daily"),
+            F.round(
+                (F.col("tot") * F.col("gn"))
+                / (F.col("n_days").cast("double") * F.col("gt")),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
