@@ -837,3 +837,68 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grouping_level, returnflag, linestatus
         """
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    )
+    SELECT g AS l_returnflag,
+           round(quantile_disc(p, 0.25) / 100.0, 2) AS p25,
+           round(quantile_disc(p, 0.5)  / 100.0, 2) AS median,
+           round(quantile_disc(p, 0.75) / 100.0, 2) AS p75,
+           round(quantile_disc(p, 0.99) / 100.0, 2) AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cents GROUP BY g ORDER BY g
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc semantics: the smallest
+    ACTUAL value whose cumulative share reaches q — no interpolation,
+    so the answer is always a real observed price): computed from the
+    same counts histogram as the exact interpolated quartiles, but the
+    selection rule is pure integer comparison cum_end ≥ ceil(q·n) —
+    no arithmetic on values at all, which is why DISC is the right
+    spec when the quantile must be join-able back to real rows (p99
+    latency of an actual request, not a synthetic average). One
+    map-side-combined shuffle; per-group state bounded by the cents
+    domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    hist = cents.groupBy("g", "p").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "g",
+        "p",
+        F.sum("c").over(w).alias("cum_end"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    def disc(q_num: int, q_den: int, name: str):
+        # smallest p with cum_end*q_den >= q_num*n  (ceil via integer cross-mult)
+        return F.round(
+            F.min(
+                F.when(F.col("cum_end") * q_den >= F.lit(q_num) * F.col("n"), F.col("p"))
+            )
+            / 100.0,
+            2,
+        ).alias(name)
+
+    return (
+        cum.groupBy("g")
+        .agg(
+            disc(1, 4, "p25"),
+            disc(1, 2, "median"),
+            disc(3, 4, "p75"),
+            disc(99, 100, "p99"),
+            F.first("n").cast("long").alias("n"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "p25", "median", "p75", "p99", "n")
+        .orderBy("l_returnflag")
+    )
