@@ -3904,3 +3904,53 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_eval_langid_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang AS actual_lang,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('the','and','of','is')))  AS s_en,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('der','die','das','und'))) AS s_de,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('el','la','los','que')))   AS s_es,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('le','les','des','est')))  AS s_fr
+      FROM documents
+    ), pred AS (
+      SELECT actual_lang,
+             CASE
+               WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM s
+    )
+    SELECT actual_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY actual_lang, pred_lang
+    ORDER BY actual_lang, pred_lang
+    """,
+)
+def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's OWN language-ID heuristic
+    against the corpus' gold labels — eating our own dog food: the
+    langid signal every curation filter consumes (q_text_langid) gets
+    a driver-checked quality readout (where it confuses es/fr, what
+    lands in 'und', how zh — which the stopword heuristic cannot see —
+    distributes). Pure expression scoring + one shuffle on the
+    (actual, predicted) pair; O(langs²) output."""
+    from etl4s_spark.operators.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual_lang", "pred_lang")
+    )
