@@ -3954,3 +3954,113 @@ def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+@query(
+    "q_dedup_funnel_checkable",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(len(w) - 2),
+                                     i -> array_to_string(w[i+1:i+3], ' ')))
+                  ELSE [] END AS shingles
+      FROM docs
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647,
+                     CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) % 2147483647])
+               AS hs
+      FROM shl WHERE len(shingles) > 0
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               p -> list_min(list_transform(hs,
+                      h -> (h[1] + p * h[2] + p * p) % 2147483647)))
+               AS sig
+      FROM hashed
+    ), bands AS (
+      SELECT doc_id, b AS band_idx,
+             array_to_string(sig[4 * b + 1 : 4 * b + 4], ',') AS band_key
+      FROM sigs, unnest(generate_series(0, 15)) AS t(b)
+    ), proposed AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS s FROM shl
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), verified AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter,
+             any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+      FROM proposed p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
+    FROM verified
+    WHERE 5 * n_inter >= 4 * (na + nb - n_inter)
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup funnel, oracle-proven end to end: checkable
+    MinHash banding proposes, exact 3-gram Jaccard ≥ 0.8 verifies
+    (threshold as the integer cross-multiplication 5·|∩| ≥ 4·|∪| — no
+    float compare decides membership), output is the final near-dup
+    pair list a production run would feed to connected components.
+    Twins q_dedup_funnel (xxhash64, rows-only) the way the sketch twins
+    do their stages; the verify join touches only PROPOSED pairs'
+    shingles, never all pairs."""
+    from etl4s_spark.operators.parallelism import widen
+    from etl4s_spark.operators.text import normalize_text
+    from etl4s_spark.queries import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    proposed = (
+        QUERIES["q_dedup_minhash_checkable"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    w = F.split(normalize_text(F.col("text")), " ")
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = widen(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        proposed.join(sh.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(5 * F.col("n_inter") >= 4 * F.col("union_n"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("n_inter") / F.col("union_n").cast("double"), 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
