@@ -2716,7 +2716,7 @@ def q_dedup_simhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT count(*) AS n FROM documents),
     pos AS (
       SELECT d.doc_id, e.epoch,
-             (22695477 * (d.doc_id + 1000003 * e.epoch)) % n.n AS pos
+             (15485863 * (d.doc_id + 1000003 * e.epoch)) % n.n AS pos
       FROM documents d, unnest(generate_series(0, 1)) AS e(epoch), n
     )
     SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
@@ -2745,7 +2745,7 @@ def q_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n))
         .select(
             "epoch",
-            ((F.lit(22695477) * (F.col("doc_id") + 1000003 * F.col("epoch"))) % F.col("n"))
+            ((F.lit(15485863) * (F.col("doc_id") + 1000003 * F.col("epoch"))) % F.col("n"))
             .cast("long")
             .alias("pos"),
             "doc_id",

@@ -909,7 +909,7 @@ def test_epoch_shuffle_is_bijection(spark, sf_dir):
     n = con.execute(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
     ids = [r[0] for r in con.execute(f"SELECT doc_id FROM '{sf_dir}/documents.parquet'").fetchall()]
     for epoch in (0, 1):
-        pos = {(22695477 * (i + 1000003 * epoch)) % n for i in ids}
+        pos = {(15485863 * (i + 1000003 * epoch)) % n for i in ids}
         assert len(pos) == len(ids)  # bijection (a coprime to n)
     out = QUERIES["q_shuffle_epoch"](spark, sf_dir).collect()
     e0 = [r.doc_id for r in out if r.epoch == 0]
