@@ -1493,3 +1493,80 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "q_ts_locf_staleness",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 20
+    ), spans AS (
+      SELECT user_id,
+             date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, round(avg(value), 4) AS v
+      FROM ev GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.user_id, g.day, d.v
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ), carried AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER w AS lv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w AS ld
+      FROM joined
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN date_diff('day', ld, day) <= 3 THEN lv END AS value_locf,
+           (v IS NULL AND date_diff('day', ld, day) > 3) AS expired
+    FROM carried
+    ORDER BY user_id, day
+    """,
+)
+def q_ts_locf_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill with a STALENESS BOUND: carry the last observation
+    forward at most 3 days, then surface NULL and flag the gap — the
+    production guard on LOCF (an unguarded carry turns a dead sensor
+    into a permanently 'healthy' one). Same one-window-per-direction
+    machinery as q_ts_interpolate (last_value ignorenulls carries value
+    AND its observation day together), plus one date_diff condition;
+    integer day arithmetic decides expiry identically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    grid, daily = _daily_grid(ev)
+    joined = grid.join(
+        daily.select("user_id", "day", F.col("avg_value").alias("v")),
+        ["user_id", "day"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("lv"),
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(w).alias("ld"),
+    )
+    fresh = F.datediff("day", "ld") <= 3
+    return (
+        carried.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.when(fresh, F.col("lv")).alias("value_locf"),
+            (F.col("v").isNull() & ~fresh).alias("expired"),
+        )
+        .orderBy("user_id", "day")
+    )
