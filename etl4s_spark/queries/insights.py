@@ -1141,3 +1141,60 @@ def q_session_duration_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p75") / min_us, 3).alias("p75_min"),
         )
     )
+
+
+@query(
+    "q_window_change_capture",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 50
+    ), changes AS (
+      SELECT user_id, event_type,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)        AS n_events,
+           CAST(sum(is_change) AS BIGINT)  AS n_runs,
+           round(sum(is_change) / CAST(count(*) AS DOUBLE), 4) AS compression
+    FROM changes
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_window_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture / run-length compression of a state stream: keep
+    an event only when its state DIFFERS from the previous one — the
+    snapshot-stream-to-change-log conversion (SCD-light, status-history
+    compaction). The per-user compression ratio (runs ÷ events) is the
+    payoff metric: how much smaller the change log is than the raw
+    feed. One lag window on the (user, time) order — the same single
+    shuffle every sessionization here uses; complements
+    q_event_transitions (which counts from→to PAIRS, not runs)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    return (
+        changes.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_change").cast("long").alias("n_runs"),
+            F.round(
+                F.sum("is_change") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("compression"),
+        )
+        .orderBy("user_id")
+    )
