@@ -1198,3 +1198,78 @@ def q_window_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_window_rank_movers",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2
+    ), bounds AS (
+      SELECT max(mon) AS m1 FROM monthly
+    ), two AS (
+      SELECT m.o_custkey, m.mon, m.rev,
+             rank() OVER (PARTITION BY m.mon ORDER BY m.rev DESC, m.o_custkey) AS rnk
+      FROM monthly m, bounds b
+      WHERE m.mon = b.m1 OR m.mon = b.m1 - INTERVAL 1 MONTH
+    ), piv AS (
+      SELECT o_custkey,
+             max(CASE WHEN mon = (SELECT m1 FROM bounds) THEN rnk END) AS rank_now,
+             max(CASE WHEN mon <> (SELECT m1 FROM bounds) THEN rnk END) AS rank_prev
+      FROM two GROUP BY o_custkey
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(rank_prev AS BIGINT) AS rank_prev,
+           CAST(rank_now AS BIGINT)  AS rank_now,
+           CAST(rank_prev - rank_now AS BIGINT) AS places_gained
+    FROM piv
+    WHERE rank_now IS NOT NULL AND rank_prev IS NOT NULL
+    ORDER BY places_gained DESC, custkey
+    LIMIT 20
+    """,
+)
+def q_window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: customers whose REVENUE RANK climbed most
+    between the last two months — the leaderboard-delta readout that
+    absolute-value deltas (q_period_over_period) miss (a small account
+    tripling matters more in rank space than a whale wobbling 2%).
+    Ranks are total-ordered (rev desc, key); the two-month slice comes
+    from a broadcast one-row max-month bound; one shuffle for the
+    monthly rollup, one rank window per month partition,
+    TakeOrdered(20)."""
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    bounds = monthly.agg(F.max("mon").alias("m1"))
+    two = (
+        monthly.join(F.broadcast(bounds))
+        .filter(
+            (F.col("mon") == F.col("m1"))
+            | (F.col("mon") == F.add_months(F.col("m1"), -1))
+        )
+        .withColumn(
+            "rnk",
+            F.rank().over(
+                Window.partitionBy("mon").orderBy(F.desc("rev"), "o_custkey")
+            ),
+        )
+    )
+    piv = two.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("mon") == F.col("m1"), F.col("rnk"))).alias("rank_now"),
+        F.max(F.when(F.col("mon") != F.col("m1"), F.col("rnk"))).alias("rank_prev"),
+    )
+    return (
+        piv.filter(F.col("rank_now").isNotNull() & F.col("rank_prev").isNotNull())
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("rank_prev").cast("long"),
+            F.col("rank_now").cast("long"),
+            (F.col("rank_prev") - F.col("rank_now")).cast("long").alias("places_gained"),
+        )
+        .orderBy(F.desc("places_gained"), "custkey")
+        .limit(20)
+    )
