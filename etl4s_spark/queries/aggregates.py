@@ -902,3 +902,68 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("l_returnflag"), "p25", "median", "p75", "p99", "n")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_weighted_percentiles",
+    oracle="""
+    WITH cw AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             sum(CAST(round(l_quantity) AS BIGINT))       AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, p, w,
+             sum(w) OVER (PARTITION BY g ORDER BY p
+                          ROWS UNBOUNDED PRECEDING)  AS cw,
+             sum(w) OVER (PARTITION BY g)            AS tw
+      FROM cw
+    )
+    SELECT g AS l_returnflag,
+           round(min(p) FILTER (WHERE 4 * cw >= tw) / 100, 2)     AS w_p25,
+           round(min(p) FILTER (WHERE 2 * cw >= tw) / 100, 2)     AS w_median,
+           round(min(p) FILTER (WHERE 4 * cw >= 3 * tw) / 100, 2) AS w_p75,
+           CAST(any_value(tw) AS BIGINT)                          AS total_weight
+    FROM cum
+    GROUP BY g
+    ORDER BY g
+    """,
+)
+def q_agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted QUARTILES (lower weighted percentile at each
+    cut: smallest value whose cumulative weight reaches q of the
+    total) — the full unit-economics distribution, not just its
+    median: the inter-quartile spread of the price a UNIT actually
+    trades at. Same counts-histogram plan as q_agg_weighted_median;
+    each cut is one integer cross-multiplication (4·cumw ≥ q·total) —
+    three FILTERed mins share the same cumulative pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cw = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy("g")
+    cum = cw.select(
+        "g", "p", F.sum("w").over(wo).alias("cw"), F.sum("w").over(wg).alias("tw")
+    )
+    def cut(mult_c: int, mult_t: int, name: str):
+        return F.round(
+            F.min(
+                F.when(mult_c * F.col("cw") >= mult_t * F.col("tw"), F.col("p"))
+            )
+            / 100,
+            2,
+        ).alias(name)
+
+    return (
+        cum.groupBy("g")
+        .agg(
+            cut(4, 1, "w_p25"),
+            cut(2, 1, "w_median"),
+            cut(4, 3, "w_p75"),
+            F.first("tw").cast("long").alias("total_weight"),
+        )
+        .select(F.col("g").alias("l_returnflag"), "w_p25", "w_median", "w_p75", "total_weight")
+        .orderBy("l_returnflag")
+    )
