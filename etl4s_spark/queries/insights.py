@@ -1273,3 +1273,73 @@ def q_window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("places_gained"), "custkey")
         .limit(20)
     )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p_partkey
+    ), ranked AS (
+      SELECT p_partkey, r,
+             sum(r) OVER (ORDER BY r DESC, p_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_r,
+             sum(r) OVER ()                          AS tot
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN 10 * cum_r <= 8 * tot  THEN 'A'
+                  WHEN 20 * cum_r <= 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT)  AS n_parts,
+           CAST(sum(r) AS BIGINT)    AS revenue_cents
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the textbook Pareto partition of
+    the catalog: class A = the head covering the first 80% of revenue,
+    B = the next 15%, C = the tail. Class edges are integer
+    cross-multiplications on exact cent cumulative sums (10·cum ≤
+    8·total), so membership cannot straddle engines; the cumulative
+    window runs over the PART domain (one row per part), not fact rows.
+    Complements q_revenue_pareto's decile Lorenz curve with the named
+    business partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("r"))
+    )
+    wcum = Window.orderBy(F.desc("r"), "p_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(wcum).alias("cum_r"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(10 * F.col("cum_r") <= 8 * F.col("tot"), "A")
+        .when(20 * F.col("cum_r") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("r").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )
