@@ -684,3 +684,54 @@ def q_audit_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("long").alias("n_violating_classes"),
         F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).cast("long").alias("n_rows_at_risk"),
     )
+
+
+@query(
+    "q_catalog_profile",
+    oracle="""
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys FROM customer
+    UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+    UNION ALL SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem
+    UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey) FROM nation
+    UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+    UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+    UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey) FROM region
+    UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+    UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+    UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+    ORDER BY table_name
+    """,
+)
+def q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-level catalog profile: row count and key-column
+    cardinality for EVERY table in one result — the ANALYZE-style
+    statistics snapshot a planner (and an on-call engineer) reads
+    first, and the fastest way to spot a broken load (n_rows ≠
+    n_distinct_keys on a primary key = duplicated ingest). Ten
+    independent map-side-combined aggregates unioned; each table is
+    scanned once over just its key column (column pruning makes this
+    metadata-cheap on parquet)."""
+    keys = {
+        "customer": "c_custkey",
+        "events": "event_id",
+        "lineitem": "l_orderkey",
+        "nation": "n_nationkey",
+        "orders": "o_orderkey",
+        "part": "p_partkey",
+        "region": "r_regionkey",
+        "supplier": "s_suppkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    parts = []
+    for t, k in keys.items():
+        df = load_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(k)).cast("long").alias("n_distinct_keys"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "n_distinct_keys")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("table_name")
