@@ -4064,3 +4064,97 @@ def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round(F.col("n_inter") / F.col("union_n").cast("double"), 6).alias("jaccard"),
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_pipeline_corpus_report",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, md5(text) AS fp,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('the','and','of','is')))  AS s_en,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('der','die','das','und'))) AS s_de,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('el','la','los','que')))   AS s_es,
+             len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), w -> w IN ('le','les','des','est')))  AS s_fr
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               ELSE 'fr'
+             END AS pl
+      FROM base
+    )
+    SELECT 'dup_rate' AS metric,
+           round(1.0 - (SELECT count(DISTINCT fp) FROM base)
+                       / CAST((SELECT count(*) FROM base) AS DOUBLE), 6) AS value
+    UNION ALL
+    SELECT 'en_share',
+           round((SELECT count(*) FROM base WHERE lang = 'en')
+                 / CAST((SELECT count(*) FROM base) AS DOUBLE), 6)
+    UNION ALL
+    SELECT 'langid_accuracy',
+           round((SELECT count(*) FROM pred WHERE lang = pl)
+                 / CAST((SELECT count(*) FROM pred) AS DOUBLE), 6)
+    UNION ALL
+    SELECT 'n_docs', CAST((SELECT count(*) FROM base) AS DOUBLE)
+    ORDER BY metric
+    """,
+)
+def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health SCORECARD, composed through the Layer-A Node
+    algebra: one shared scan fans out with `&` to four metric nodes —
+    document count, exact-duplicate rate (1 − distinct fingerprints ÷
+    docs), dominant-language share, and the langid heuristic's accuracy
+    against gold labels — unioned into a (metric, value) report. The
+    one-page answer to 'is this dump safe to mix in', every number an
+    exact-integer ratio."""
+    from etl4s_spark.core.node import node
+    from etl4s_spark.operators.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", F.md5("text").alias("fp"),
+        lang_id(F.col("text")).alias("pl"),
+    ).localCheckpoint(eager=True)
+
+    def n_docs(b):
+        return b.agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        ).select(F.lit("n_docs").alias("metric"), "value")
+
+    def dup_rate(b):
+        return b.agg(
+            F.round(
+                1.0 - F.count_distinct("fp") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("value")
+        ).select(F.lit("dup_rate").alias("metric"), "value")
+
+    def en_share(b):
+        return b.agg(
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("value")
+        ).select(F.lit("en_share").alias("metric"), "value")
+
+    def langid_acc(b):
+        return b.agg(
+            F.round(
+                F.sum(F.when(F.col("lang") == F.col("pl"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("value")
+        ).select(F.lit("langid_accuracy").alias("metric"), "value")
+
+    pipeline = node(lambda b: b) >> (
+        node(dup_rate) & node(en_share) & node(langid_acc) & node(n_docs)
+    )
+    parts = pipeline.unsafe_run(base)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("metric")

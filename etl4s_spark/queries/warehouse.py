@@ -735,3 +735,61 @@ def q_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.orderBy("table_name")
+
+
+@query(
+    "q_audit_ri_matrix",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation', count(*)
+    FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation->region', count(*)
+    FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    ORDER BY fk
+    """,
+)
+def q_audit_ri_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-WIDE referential-integrity matrix: orphan counts for
+    every foreign-key relationship in the schema, in one result — the
+    post-load gate that catches a partial dimension load before any
+    join silently drops fact rows. Each relation is a LEFT ANTI join
+    (dimension side broadcast where bounded); all six counts union
+    into the O(relations) scorecard."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "customer", "nation", "region", "supplier")}
+
+    def orphans(label, fact, fk, dim, pk, bcast=True):
+        d = t[dim].select(pk)
+        if bcast:
+            d = F.broadcast(d)
+        return (
+            t[fact].join(d, t[fact][fk] == d[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    parts = [
+        orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", bcast=False),
+        orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        orphans("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        orphans("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("fk")

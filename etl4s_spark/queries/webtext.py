@@ -763,3 +763,56 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e9"), "phrase")
         .limit(20)
     )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), firsts AS (
+      SELECT word, min(doc_id) AS first_doc
+      FROM w WHERE word <> '' GROUP BY word
+    ), n AS (SELECT count(*) AS nd FROM documents),
+    bucketed AS (
+      SELECT least(9, (first_doc * 10) // n.nd) AS decile, count(*) AS new_words
+      FROM firsts, n GROUP BY 1
+    )
+    SELECT CAST(decile AS INT) AS corpus_decile,
+           CAST(new_words AS BIGINT) AS new_words,
+           CAST(sum(new_words) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM bucketed
+    ORDER BY corpus_decile
+    """,
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law profile): how many NEW words
+    each additional tenth of the corpus contributes, and the cumulative
+    vocabulary size — the curve that says whether more crawl keeps
+    buying vocabulary or has saturated (tokenizer sizing, dedup
+    health). Computed in ONE pass: each word's FIRST document (min
+    doc_id per word — map-side combined), bucketed by corpus decile;
+    no prefix re-scans, no distinct-over-growing-windows. The
+    cumulative sum runs over 10 rows."""
+    from etl4s_spark.operators.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.count()  # scalar bound for the decile rule (count-only scan)
+    firsts = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = firsts.groupBy(
+        F.least(F.lit(9), F.expr(f"(first_doc * 10) div {nd}")).alias("decile")
+    ).agg(F.count(F.lit(1)).alias("new_words"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        F.col("decile").cast("int").alias("corpus_decile"),
+        F.col("new_words").cast("long").alias("new_words"),
+        F.sum("new_words").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("corpus_decile")
