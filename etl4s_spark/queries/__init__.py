@@ -98,6 +98,7 @@ def load_all() -> None:
         insights,
         joins,
         llm,
+        metrics,
         quality,
         scalars,
         scale_ops,

@@ -1,0 +1,469 @@
+"""Distribution-shape & dependence metrics (round 5, continuation).
+
+Five profiling statistics a 100 TB corpus/warehouse health report needs
+beyond means and percentiles: rank dependence (Spearman), temporal
+dependence (ACF), distribution shape (skewness/kurtosis), inequality
+(Gini), and graph mixing (degree assortativity). Every one follows the
+exact-moment-sum determinism recipe (FIXTURES.md §C, q_corr_matrix):
+fixed-point inputs → exact integer/decimal sums → ONE final float
+formula written with identical shape on both engines → round 6 dp.
+No built-in corr()/skewness()/kurtosis() anywhere — those accumulate
+doubles in partition order and diverge in the last ulp across engines
+(and DuckDB's skewness/kurtosis apply sample-bias corrections Spark's
+don't, so even the definitions differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl4s_spark.queries import query
+from etl4s_spark.queries.analytics import _PAIRS_SQL, _neardup_pairs
+from etl4s_spark.sources.tables import load_table
+
+
+def _dsum(col, prec: int):
+    """Exact decimal sum, re-capped so downstream products stay in 38
+    digits (same helper shape as q_corr_matrix)."""
+    return F.sum(col.cast(f"decimal({prec},0)")).cast(f"decimal({prec},0)")
+
+
+@query(
+    "q_stat_spearman",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)       AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT)      AS t
+      FROM lineitem
+    ), hq AS (SELECT q, count(*) AS c FROM f GROUP BY q),
+       hd AS (SELECT d, count(*) AS c FROM f GROUP BY d),
+       ht AS (SELECT t, count(*) AS c FROM f GROUP BY t),
+    rq AS (SELECT q, 2 * sum(c) OVER (ORDER BY q) - c + 1 AS r2 FROM hq),
+    rd AS (SELECT d, 2 * sum(c) OVER (ORDER BY d) - c + 1 AS r2 FROM hd),
+    rt AS (SELECT t, 2 * sum(c) OVER (ORDER BY t) - c + 1 AS r2 FROM ht),
+    j AS (
+      SELECT rq.r2 AS rx, rd.r2 AS ry, rt.r2 AS rz
+      FROM f JOIN rq USING (q) JOIN rd USING (d) JOIN rt USING (t)
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy, sum(rz) AS sz,
+             sum(rx * ry) AS sxy, sum(rx * rz) AS sxz, sum(ry * rz) AS syz,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rz * rz) AS szz
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho_qty_disc,
+           round((n * sxz - sx * sz) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS rho_qty_tax,
+           round((n * syz - sy * sz) /
+                 (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS rho_disc_tax
+    FROM s
+    """,
+)
+def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, qty/discount/tax) — the
+    nonparametric dependence check a profiler runs when Pearson is
+    distorted by outliers. Ranks are NOT computed with a row-level
+    window (an unpartitioned 600k-row sort per variable): each variable
+    is integral with a tiny domain (50/11/9 values), so the average
+    rank comes from the value HISTOGRAM — cumulative count over ≤50
+    rows gives the doubled average rank r2 = 2·cumsum(c) − c + 1
+    (doubling keeps half-integer tie ranks exact in bigint; scaling
+    both variables by ½ leaves the correlation unchanged). The rank
+    maps broadcast back onto the fact rows, then one aggregate of exact
+    decimal moment sums feeds the Pearson-on-ranks formula, rounded to
+    6 dp. At 100 TB: the histograms are the only tiny state, the fact
+    table is scanned once, and the rank attach is a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        h = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col)
+        return h.select(
+            col, (2 * F.sum("c").over(w) - F.col("c") + 1).alias(f"r_{col}")
+        )
+
+    j = (
+        f.join(F.broadcast(rank_map("q")), "q")
+        .join(F.broadcast(rank_map("d")), "d")
+        .join(F.broadcast(rank_map("t")), "t")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        _dsum(F.col("r_q"), 16).alias("sx"),
+        _dsum(F.col("r_d"), 16).alias("sy"),
+        _dsum(F.col("r_t"), 16).alias("sz"),
+        _dsum(F.col("r_q") * F.col("r_d"), 24).alias("sxy"),
+        _dsum(F.col("r_q") * F.col("r_t"), 24).alias("sxz"),
+        _dsum(F.col("r_d") * F.col("r_t"), 24).alias("syz"),
+        _dsum(F.col("r_q") * F.col("r_q"), 24).alias("sxx"),
+        _dsum(F.col("r_d") * F.col("r_d"), 24).alias("syy"),
+        _dsum(F.col("r_t") * F.col("r_t"), 24).alias("szz"),
+    )
+
+    def rho(sab, sa, sb, saa, sbb):
+        return F.round(
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+                )
+            ),
+            6,
+        )
+
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        rho("sxy", "sx", "sy", "sxx", "syy").alias("rho_qty_disc"),
+        rho("sxz", "sx", "sz", "sxx", "szz").alias("rho_qty_tax"),
+        rho("syz", "sy", "sz", "syy", "szz").alias("rho_disc_tax"),
+    )
+
+
+@query(
+    "q_ts_acf",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+    ), hourly AS (
+      SELECT g.h,
+             coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0) AS x
+      FROM grid g LEFT JOIN events e ON date_trunc('hour', e.ts) = g.h
+      GROUP BY g.h
+    ), g AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM hourly
+    ), lagged AS (
+      SELECT l.lag, a.x AS xh, b.x AS xt
+      FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+      JOIN hourly a ON true
+      JOIN hourly b ON b.h = a.h + to_hours(CAST(l.lag AS INT))
+    ), m AS (
+      SELECT lag, count(*) AS nk, sum(xh * xt) AS sxy,
+             sum(xh) AS sh, sum(xt) AS st
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag_hours,
+           CAST(nk AS BIGINT) AS n_pairs,
+           round(CAST(n * n * sxy - n * sx * (sh + st) + nk * sx * sx AS DOUBLE)
+                 / CAST(n * n * sxx - n * sx * sx AS DOUBLE), 6) AS acf
+    FROM m, g ORDER BY lag_hours
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (lags 1–7 h) of the hourly click
+    series — the correlogram that decides seasonality windows and
+    anomaly baselines. Textbook ACF (global mean and variance, not
+    per-lag Pearson — that is q_ts_cross_corr's variant): ρ(k) =
+    Σ_{t}(x_t−μ)(x_{t+k}−μ) / Σ_t(x_t−μ)². Both sides expand the
+    products so every accumulation is an exact bigint sum over integer
+    counts; multiplying through by n² clears the rational mean:
+    num·n² = n²Σxy − n·Sx·(Sh+St) + n_k·Sx², den·n² = n²Σxx − n·Sx².
+    One float division at the end, rounded to 6 dp. At 100 TB the
+    hourly aggregation is the only fact-table shuffle; the lag joins
+    run on O(hours) rows with the 7-row lag table broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("h0"),
+        F.date_trunc("HOUR", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    counts = ev.groupBy(F.date_trunc("HOUR", "ts").alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1)).alias("cx")
+    )
+    hourly = grid.join(counts, "h", "left").select(
+        "h", F.coalesce("cx", F.lit(0)).alias("x")
+    )
+    g = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    lagged = (
+        F.broadcast(lags)
+        .join(a)
+        .join(
+            b,
+            F.col("b.h")
+            == F.col("a.h") + F.make_dt_interval(F.lit(0), F.col("lag")),
+        )
+        .select("lag", F.col("a.x").alias("xh"), F.col("b.x").alias("xt"))
+    )
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum(F.col("xh") * F.col("xt")).alias("sxy"),
+        F.sum("xh").alias("sh"),
+        F.sum("xt").alias("st"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("sx") * (F.col("sh") + F.col("st"))
+        + F.col("nk") * F.col("sx") * F.col("sx")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("sxx")
+        - F.col("n") * F.col("sx") * F.col("sx")
+    ).cast("double")
+    return (
+        m.join(F.broadcast(g))
+        .select(
+            F.col("lag").cast("int").alias("lag_hours"),
+            F.col("nk").cast("long").alias("n_pairs"),
+            F.round(num / den, 6).alias("acf"),
+        )
+        .orderBy("lag_hours")
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS x
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+      FROM f GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag,
+             CAST(n AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+      FROM s
+    ), mo AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM d
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(mu / 100, 4) AS mean_price,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+    FROM mo ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis of the price distribution
+    from EXACT raw power sums: cents are integral, so Σx…Σx⁴ are exact
+    (Spark: decimal(38,0); DuckDB: HUGEINT — x⁴ ≈ 1e28 overflows bigint,
+    hence the explicit widening on both sides), and both engines cast
+    the SAME exact integers to double before one shared central-moment
+    formula (m3/m2^1.5 written as m3/(m2·√m2) — FIXTURES §C bans pow()).
+    Built-in skewness()/kurtosis() are unusable for a cross-engine
+    contract: they accumulate doubles in partition order AND disagree on
+    bias correction (DuckDB applies the sample G1/G2 corrections, Spark
+    reports population g1/g2). One scan, one 3-row aggregate — the
+    shape profile of a 100 TB column costs exactly one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("decimal(10,0)")
+    f = li.select("l_returnflag", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).alias("x2")  # decimal(21,0)
+    s = f.select("l_returnflag", F.col("x"), x2).select(
+        "l_returnflag",
+        "x",
+        "x2",
+        (F.col("x2") * F.col("x")).alias("x3"),  # decimal(32,0)
+        (F.col("x2") * F.col("x2")).alias("x4"),  # capped decimal(38,0)
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum("x4").alias("s4"),
+    )
+    d = s.select(
+        "l_returnflag",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+        F.col("s3").cast("double").alias("s3"),
+        F.col("s4").cast("double").alias("s4"),
+        F.col("n").cast("long").alias("n"),
+    )
+    mu = F.col("s1") / F.col("nd")
+    m2 = F.col("s2") / F.col("nd") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("nd")
+        - 3 * mu * (F.col("s2") / F.col("nd"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("nd")
+        - 4 * mu * (F.col("s3") / F.col("nd"))
+        + 6 * mu * mu * (F.col("s2") / F.col("nd"))
+        - 3 * mu * mu * mu * mu
+    )
+    return d.select(
+        "l_returnflag",
+        "n",
+        F.round(mu / 100, 4).alias("mean_price"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ), ranked AS (
+      SELECT segment, x,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY x, c_custkey) AS i
+      FROM rev
+    ), s AS (
+      SELECT segment, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_rev_cents,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini
+    FROM s ORDER BY segment
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of customer revenue — the
+    inequality scalar behind 'whale-risk' dashboards (q_revenue_pareto
+    shows the curve; this is its summary statistic). Revenue is exact
+    cents; customers rank ascending within segment with a custkey
+    tie-break (total order → both engines assign identical i), and the
+    closed form G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) needs only two exact
+    bigint sums — one float division at the end, 6 dp. The rank window
+    partitions by segment (5 groups); at 100 TB the same closed form
+    runs off a distributed sort + prefix-sum (i is a zipWithIndex-style
+    global offset per partition), never a single-node sort."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    w = Window.partitionBy("segment").orderBy("x", "c_custkey")
+    ranked = rev.select("segment", "x", F.row_number().over(w).alias("i"))
+    s = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = F.round(
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double"),
+        6,
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_rev_cents"),
+        gini.alias("gini"),
+    ).orderBy("segment")
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nbr FROM pairs
+    ), deg AS (
+      SELECT id, count(*) AS degree FROM sym GROUP BY id
+    ), e AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM pairs p
+      JOIN deg da ON da.id = p.id_a
+      JOIN deg db ON db.id = p.id_b
+    ), s AS (
+      SELECT count(*) AS ne,
+             sum(x + y) AS sx,
+             sum(2 * x * y) AS sxy2,
+             sum(x * x + y * y) AS sxx
+      FROM e
+    )
+    SELECT CAST(ne AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           round(CAST(2 * ne * sxy2 - sx * sx AS DOUBLE)
+                 / CAST(2 * ne * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup pair graph —
+    SAME graph as q_graph_degrees/triangles, so the three stats profile
+    one object. Assortativity = Pearson correlation of endpoint degrees
+    over both orientations of every edge; with both orientations the x
+    and y marginals coincide, so the whole statistic reduces to three
+    exact bigint sums over the edge list (m = 2·|E|): r = (m·Σ2xy −
+    S²)/(m·Σ(x²+y²) − S²), S = Σ(dₐ+d_b). Strongly negative r on a dup
+    graph means hub-leaf mixing — an LSH band is chaining unrelated
+    docs through hubs; near 0/positive means clean clique-like dup
+    groups. Degrees attach via broadcast join (the degree table is one
+    row per node in the PAIR graph, tiny relative to the corpus)."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    e = (
+        pairs.join(F.broadcast(deg.withColumnRenamed("id", "id_a")), "id_a")
+        .withColumnRenamed("degree", "x")
+        .join(F.broadcast(deg.withColumnRenamed("id", "id_b")), "id_b")
+        .withColumnRenamed("degree", "y")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum(F.col("x") + F.col("y")).alias("sx"),
+        F.sum(2 * F.col("x") * F.col("y")).alias("sxy2"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    assort = F.round(
+        (2 * F.col("ne") * F.col("sxy2") - F.col("sx") * F.col("sx")).cast("double")
+        / (2 * F.col("ne") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    return s.join(F.broadcast(n_nodes)).select(
+        F.col("ne").cast("long").alias("n_edges"),
+        "n_nodes",
+        assort.alias("assortativity"),
+    )

@@ -1,0 +1,245 @@
+"""Semantic tests for the distribution-shape & dependence metrics
+(queries/metrics.py) on PLANTED data — each statistic is checked
+against a tiny pure-Python reference implementation or a closed-form
+value, not against the DuckDB oracle (tools/verify_local.py covers
+that)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from etl4s_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/{table}.parquet"
+    )
+
+
+# ---------------------------------------------------------------- spearman
+
+
+def _lineitem_rows(triples):
+    """(qty, disc_pct, tax_pct) -> minimal lineitem rows."""
+    return [
+        (float(q), float(d) / 100.0, float(t) / 100.0, 1000.0, "N")
+        for q, d, t in triples
+    ]
+
+
+_LI_SCHEMA = (
+    "l_quantity double, l_discount double, l_tax double, "
+    "l_extendedprice double, l_returnflag string"
+)
+
+
+def _spearman_ref(xs, ys):
+    """Tie-aware Spearman: Pearson on average ranks."""
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    return num / den
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    """Strictly increasing / decreasing pairs give rho = +1 / -1."""
+    triples = [(i, i, 21 - i) for i in range(1, 21)]
+    _write(spark, tmp_path, "lineitem", _lineitem_rows(triples), _LI_SCHEMA)
+    out = QUERIES["q_stat_spearman"](spark, str(tmp_path)).collect()[0]
+    assert out.n == 20
+    assert out.rho_qty_disc == 1.0
+    assert out.rho_qty_tax == -1.0
+    assert out.rho_disc_tax == -1.0
+
+
+def test_spearman_ties_match_reference(spark, tmp_path):
+    """Heavy ties: the doubled-average-rank histogram formula must equal
+    the classic tie-aware Spearman computed row-wise."""
+    triples = [
+        (1, 5, 2), (1, 3, 2), (2, 5, 1), (2, 3, 4), (2, 1, 4),
+        (3, 1, 1), (3, 5, 2), (4, 3, 4), (4, 1, 1), (4, 1, 2),
+    ]
+    _write(spark, tmp_path, "lineitem", _lineitem_rows(triples), _LI_SCHEMA)
+    out = QUERIES["q_stat_spearman"](spark, str(tmp_path)).collect()[0]
+    qs = [t[0] for t in triples]
+    ds = [t[1] for t in triples]
+    ts = [t[2] for t in triples]
+    assert abs(out.rho_qty_disc - round(_spearman_ref(qs, ds), 6)) < 1e-9
+    assert abs(out.rho_qty_tax - round(_spearman_ref(qs, ts), 6)) < 1e-9
+    assert abs(out.rho_disc_tax - round(_spearman_ref(ds, ts), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- acf
+
+
+def _acf_ref(xs, k):
+    n = len(xs)
+    mu = sum(xs) / n
+    num = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k))
+    den = sum((x - mu) ** 2 for x in xs)
+    return num / den
+
+
+def test_acf_matches_reference_on_planted_series(spark, tmp_path):
+    """Plant an exact hourly click-count series (including empty hours
+    that must zero-fill) and compare all 7 lags to the textbook ACF."""
+    xs = [3, 0, 4, 1, 5, 0, 2, 6, 1, 3, 0, 7, 2, 2, 4, 0, 1, 5, 3, 0, 2, 4, 1, 6]
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for h, cnt in enumerate(xs):
+        for j in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=j), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+        # a non-click event per hour so even 0-click hours are inside the
+        # span (the grid zero-fills them)
+        rows.append(
+            (eid, base + dt.timedelta(hours=h, minutes=59), 1, "view", 1.0, "{}")
+        )
+        eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.lag_hours: r for r in QUERIES["q_ts_acf"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7]
+    for k in range(1, 8):
+        assert out[k].n_pairs == len(xs) - k
+        assert abs(out[k].acf - round(_acf_ref(xs, k), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- moments
+
+
+def _moments_ref(vals):
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    return m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3
+
+
+def test_moments_symmetric_distribution_has_zero_skew(spark, tmp_path):
+    prices = [10.0, 20.0, 20.0, 30.0]
+    rows = [(1.0, 0.0, 0.0, p, "A") for p in prices]
+    _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    out = QUERIES["q_agg_moments"](spark, str(tmp_path)).collect()[0]
+    assert out.n == 4
+    assert out.mean_price == 20.0
+    assert out.skewness == 0.0
+    skew, kurt = _moments_ref([p * 100 for p in prices])
+    assert abs(out.kurtosis_excess - round(kurt, 6)) < 1e-9
+
+
+def test_moments_per_group_match_reference(spark, tmp_path):
+    groups = {"A": [1.0, 2.0, 3.0, 10.0], "R": [5.0, 5.0, 6.0, 9.0, 25.0]}
+    rows = [
+        (1.0, 0.0, 0.0, p, flag) for flag, ps in groups.items() for p in ps
+    ]
+    _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    out = {r.l_returnflag: r for r in QUERIES["q_agg_moments"](spark, str(tmp_path)).collect()}
+    for flag, ps in groups.items():
+        skew, kurt = _moments_ref([p * 100 for p in ps])
+        assert out[flag].n == len(ps)
+        assert abs(out[flag].skewness - round(skew, 6)) < 1e-9
+        assert abs(out[flag].kurtosis_excess - round(kurt, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- gini
+
+
+_CUST_SCHEMA = "c_custkey long, c_mktsegment string"
+_ORD_SCHEMA = "o_orderkey long, o_custkey long, o_totalprice double"
+
+
+def test_gini_equal_revenues_is_zero(spark, tmp_path):
+    custs = [(i, "SEG") for i in range(1, 6)]
+    orders = [(i, i, 100.0) for i in range(1, 6)]
+    _write(spark, tmp_path, "customer", custs, _CUST_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = QUERIES["q_gini_concentration"](spark, str(tmp_path)).collect()[0]
+    assert out.n_customers == 5
+    assert out.total_rev_cents == 50000
+    assert out.gini == 0.0
+
+
+def test_gini_single_whale_is_n_minus_one_over_n(spark, tmp_path):
+    """One customer holds (almost) all revenue -> G -> (n-1)/n. Exact
+    when the others hold zero; we give them epsilon-free zero by
+    excluding non-ordering customers, so plant tiny-vs-huge instead and
+    check against the closed form on the planted values."""
+    custs = [(i, "SEG") for i in range(1, 5)]
+    orders = [(1, 1, 1.0), (2, 2, 1.0), (3, 3, 1.0), (4, 4, 9997.0)]
+    _write(spark, tmp_path, "customer", custs, _CUST_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = QUERIES["q_gini_concentration"](spark, str(tmp_path)).collect()[0]
+    xs = sorted([100, 100, 100, 999700])
+    n = len(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (2 * six - (n + 1) * sum(xs)) / (n * sum(xs))
+    assert abs(out.gini - round(want, 6)) < 1e-9
+    assert out.gini > 0.74  # whale-dominated: close to (n-1)/n = 0.75
+
+
+def test_gini_partitions_by_segment(spark, tmp_path):
+    custs = [(1, "A"), (2, "A"), (3, "B"), (4, "B")]
+    orders = [(1, 1, 10.0), (2, 2, 10.0), (3, 3, 10.0), (4, 4, 30.0)]
+    _write(spark, tmp_path, "customer", custs, _CUST_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = {r.segment: r for r in QUERIES["q_gini_concentration"](spark, str(tmp_path)).collect()}
+    assert out["A"].gini == 0.0
+    assert out["B"].gini == 0.25  # {1000,3000}: (2*(1*1000+2*3000)-3*4000)/(2*4000)
+
+
+# ------------------------------------------------------- assortativity
+
+
+def test_assortativity_star_graph_is_minus_one(spark, tmp_path):
+    """A star (hub + 6 leaves) is the canonical disassortative graph:
+    every edge pairs degree 6 with degree 1 -> r = -1. Planted vectors:
+    hub = e0; leaf_i = 0.5*e0 + sqrt(0.75)*e_i, so cos(hub, leaf) = 0.5
+    >= 0.4 and cos(leaf_i, leaf_j) = 0.25 < 0.4."""
+    d = 64
+    rows = []
+
+    def vec(vals):
+        v = [0.0] * d
+        for idx, x in vals:
+            v[idx] = x
+        return v
+
+    rows.append((0, vec([(0, 1.0)])))
+    for i in range(1, 7):
+        rows.append((i, vec([(0, 0.5), (i, math.sqrt(0.75))])))
+    _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<double>")
+    out = QUERIES["q_graph_assortativity"](spark, str(tmp_path)).collect()[0]
+    assert out.n_edges == 6
+    assert out.n_nodes == 7
+    assert out.assortativity == -1.0
