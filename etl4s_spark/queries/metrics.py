@@ -467,3 +467,119 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         assort.alias("assortativity"),
     )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day,
+             coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0) AS y
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t, y FROM daily
+    ), slopes AS (
+      SELECT CAST(round((b.y - a.y) * 1000000.0 / (b.t - a.t)) AS BIGINT) AS s_e6
+      FROM idx a JOIN idx b ON b.t > a.t
+    ), cum AS (
+      SELECT s_e6,
+             sum(cnt) OVER (ORDER BY s_e6 ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(cnt) OVER () AS tw
+      FROM (SELECT s_e6, count(*) AS cnt FROM slopes GROUP BY s_e6)
+    ), ols AS (
+      SELECT count(*) AS n, sum(t) AS sx, sum(y) AS sy,
+             sum(t * y) AS sxy, sum(t * t) AS sxx
+      FROM idx
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx)    AS n_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+           round(min(s_e6) FILTER (WHERE 2 * cw >= tw) / 1000000.0, 6)
+             AS theil_sen_slope,
+           (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) FROM ols)
+             AS ols_slope
+    FROM cum
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily click series (median of all
+    pairwise slopes), with the OLS slope alongside — the outlier-robust
+    trend estimator a metrics pipeline prefers when one traffic-spike
+    day would drag least squares. The O(n²) pair join runs on the DAILY
+    aggregate (one fact-table shuffle produces ~30 rows; the quadratic
+    stage is bounded by days², never corpus size). Each slope is scaled
+    to exact integer micro-units per-pair BEFORE aggregation (Δy·1e6/Δt
+    on identical doubles, then round — Δt ≤ 29 has 2-adic valuation
+    < 7, so no exact-half ties exist), and the median is the
+    lower-median histogram selection (min s with 2·cum ≥ total — the
+    q_agg_weighted_median recipe, integer arithmetic end-to-end). OLS
+    comes from exact bigint moment sums over the integer day index."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1)).alias("cy")
+    )
+    daily = grid.join(counts, "day", "left").select(
+        "day", F.coalesce("cy", F.lit(0)).alias("y")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.round(
+            (F.col("b.y") - F.col("a.y"))
+            * 1000000.0
+            / (F.col("b.t") - F.col("a.t"))
+        )
+        .cast("long")
+        .alias("s_e6")
+    )
+    hist = slopes.groupBy("s_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.orderBy("s_e6").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = hist.select(
+        "s_e6",
+        F.sum("cnt").over(wo).alias("cw"),
+        F.sum("cnt").over(wt).alias("tw"),
+    )
+    med = cum.agg(
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("s_e6"))) / 1000000.0,
+            6,
+        ).alias("theil_sen_slope")
+    )
+    ols = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    ).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("ols_slope"),
+    )
+    n_pairs = slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        ols.join(F.broadcast(n_pairs))
+        .join(F.broadcast(med))
+        .select("n_days", "n_pairs", "theil_sen_slope", "ols_slope")
+    )

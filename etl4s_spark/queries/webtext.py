@@ -816,3 +816,186 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_words").cast("long").alias("new_words"),
         F.sum("new_words").over(w).cast("long").alias("vocab_size"),
     ).orderBy("corpus_decile")
+
+
+@query(
+    "q_text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT unnest(ws) AS word FROM toks
+    ), uc AS (
+      SELECT word, count(*) AS c FROM uni GROUP BY word
+    ), nt AS (
+      SELECT sum(c) AS n FROM uc
+    ), grams AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+    ), bc AS (
+      SELECT a, b, count(*) AS cab FROM grams GROUP BY a, b
+    ), mt AS (
+      SELECT sum(cab) AS m FROM bc
+    ), scored AS (
+      SELECT a || ' ' || b AS bigram,
+             CAST(cab AS BIGINT) AS n_pair,
+             round(ln(CAST(cab * n * n AS DOUBLE)
+                      / CAST(m * ca.c * cb.c AS DOUBLE)), 6) AS pmi
+      FROM bc
+      JOIN uc ca ON ca.word = bc.a
+      JOIN uc cb ON cb.word = bc.b
+      CROSS JOIN nt CROSS JOIN mt
+      WHERE cab >= 5
+    )
+    SELECT bigram, n_pair, pmi
+    FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (min support 5) — the statistic behind
+    multi-word-expression mining and boilerplate phrase detection:
+    PMI = ln(P(ab)/(P(a)P(b))) rewritten as ln(c_ab·N² / (M·c_a·c_b))
+    so the log argument is a ratio of two exact bigint products (raw
+    frequency ordering — q_text_ngram_topk — surfaces stopword pairs;
+    PMI surfaces pairs that co-occur far above chance). Empty tokens
+    are filtered from the token ARRAY before pairing, so adjacency is
+    over real words on both engines. One ln per surviving bigram on
+    identical doubles (the q_text_tfidf precedent), rounded to 6 dp,
+    ordered with a bigram tie-break. At 100 TB: two shuffles (unigram
+    and bigram counts, both map-side combined), unigram counts join the
+    bigram table twice on the word key, scalars N and M broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = d.select(ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    nt = uc.agg(F.sum("c").alias("n"))
+    tail_len = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, tail_len),
+                F.slice("ws", 2, tail_len),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    mt = bc.agg(F.sum("cab").alias("m"))
+    ca = uc.select(F.col("word").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("word").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        bc.filter(F.col("cab") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(mt))
+        .select(
+            F.concat("a", F.lit(" "), "b").alias("bigram"),
+            F.col("cab").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cab") * F.col("n") * F.col("n")).cast("double")
+                    / (F.col("m") * F.col("c_a") * F.col("c_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), wc AS (
+      SELECT word, count(*) AS c FROM toks GROUP BY word
+    ), classes AS (
+      SELECT c, count(*) AS nw, c * count(*) AS tok FROM wc GROUP BY c
+    ), cum AS (
+      SELECT c, nw, tok,
+             sum(nw)  OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(tok) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS ct
+      FROM classes
+    ), tot AS (
+      SELECT sum(nw) AS v, sum(tok) AS t FROM classes
+    ), ks AS (
+      SELECT unnest([10, 100, 1000, 10000]) AS k
+    ), hit AS (
+      SELECT k, c, cw, ct,
+             row_number() OVER (PARTITION BY k ORDER BY cw) AS rn
+      FROM ks JOIN cum ON cum.cw >= ks.k
+    )
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(least(ks.k, tot.v) AS BIGINT) AS vocab_used,
+           CAST(coalesce(hit.ct - (hit.cw - ks.k) * hit.c, tot.t) AS BIGINT)
+             AS covered_tokens,
+           CAST(tot.t AS BIGINT) AS total_tokens,
+           round(CAST(coalesce(hit.ct - (hit.cw - ks.k) * hit.c, tot.t) AS DOUBLE)
+                 / CAST(tot.t AS DOUBLE), 6) AS coverage
+    FROM ks
+    LEFT JOIN hit ON hit.k = ks.k AND hit.rn = 1
+    CROSS JOIN tot
+    ORDER BY k
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of a top-k frequency vocabulary (k ∈ {10, 100,
+    1000, 10000}) — the tokenizer-design curve: what fraction of corpus
+    tokens a k-word vocab explains. Computed from the FREQUENCY-CLASS
+    histogram, not a rank window over the vocabulary: words collapse to
+    (freq → n_words, tokens) classes, the cumulative window runs over
+    distinct frequencies (hundreds of rows under Zipf, regardless of
+    corpus size — the rank-over-V formulation would put the whole
+    vocabulary through one partition), and rank k lands inside a class
+    by exact interpolation covered = ct − (cw − k)·c, all bigint. One
+    float division per output row, 6 dp; k beyond the vocabulary
+    clamps to full coverage via the left join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    wc = (
+        d.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    classes = wc.groupBy("c").agg(F.count(F.lit(1)).alias("nw")).select(
+        "c", "nw", (F.col("c") * F.col("nw")).alias("tok")
+    )
+    wo = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = classes.select(
+        "c",
+        F.sum("nw").over(wo).alias("cw"),
+        F.sum("tok").over(wo).alias("ct"),
+    )
+    tot = classes.agg(F.sum("nw").alias("v"), F.sum("tok").alias("t"))
+    ks = spark.createDataFrame([(10,), (100,), (1000,), (10000,)], "k int")
+    hit = (
+        F.broadcast(ks)
+        .join(cum, cum["cw"] >= ks["k"])
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("cw")))
+        .filter(F.col("rn") == 1)
+        .select("k", "c", "cw", "ct")
+    )
+    covered = F.coalesce(
+        F.col("ct") - (F.col("cw") - F.col("k")) * F.col("c"), F.col("t")
+    )
+    return (
+        ks.join(hit, "k", "left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int"),
+            F.least(F.col("k").cast("long"), F.col("v")).cast("long").alias(
+                "vocab_used"
+            ),
+            covered.cast("long").alias("covered_tokens"),
+            F.col("t").cast("long").alias("total_tokens"),
+            F.round(covered.cast("double") / F.col("t").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )

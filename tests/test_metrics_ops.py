@@ -243,3 +243,118 @@ def test_assortativity_star_graph_is_minus_one(spark, tmp_path):
     assert out.n_edges == 6
     assert out.n_nodes == 7
     assert out.assortativity == -1.0
+
+
+# ------------------------------------------------------- theil-sen
+
+
+def test_theil_sen_ignores_single_outlier(spark, tmp_path):
+    """A clean +2/day trend with one spiked day: Theil-Sen stays 2.0,
+    OLS is dragged away from it."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 5, 1)
+    clicks = [2 + 2 * t for t in range(10)]
+    clicks[4] = 200  # outlier day
+    for day, cnt in enumerate(clicks):
+        for j in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, minutes=j), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = QUERIES["q_ts_theil_sen"](spark, str(tmp_path)).collect()[0]
+    assert out.n_days == 10
+    assert out.n_pairs == 45
+    assert out.theil_sen_slope == 2.0
+    assert abs(out.ols_slope - 2.0) > 1.0  # OLS dragged by the spike
+
+
+def test_theil_sen_median_matches_reference(spark, tmp_path):
+    """Exact lower-median of pairwise slopes on an irregular series."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 5, 1)
+    ys = [5, 1, 9, 4, 12, 3]
+    for day, cnt in enumerate(ys):
+        for j in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, minutes=j), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = QUERIES["q_ts_theil_sen"](spark, str(tmp_path)).collect()[0]
+    slopes = sorted(
+        round((ys[b] - ys[a]) * 1e6 / (b - a)) / 1e6
+        for a in range(len(ys))
+        for b in range(a + 1, len(ys))
+    )
+    m = len(slopes)
+    # lower median: smallest slope with 2*rank >= m
+    want = slopes[(m - 1) // 2] if m % 2 else slopes[m // 2 - 1]
+    assert out.n_pairs == m
+    assert abs(out.theil_sen_slope - round(want, 6)) < 1e-9
+
+
+# ------------------------------------------------------- pmi / coverage
+
+
+def test_pmi_separates_glued_pair_from_stopword_pair(spark, tmp_path):
+    """'foo bar' always co-occur (PMI = ln(N^2 * c_ab / (M c_a c_b)) high);
+    'the the' co-occurs at chance (PMI ~ 0); check exact values."""
+    import math as _m
+
+    docs = []
+    for i in range(10):
+        docs.append((i, "foo bar", "en", "s", 7))
+    for i in range(10, 30):
+        docs.append((i, "the xx the yy the zz", "en", "s", 20))
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r.bigram: r for r in QUERIES["q_text_pmi_bigrams"](spark, str(tmp_path)).collect()}
+    # corpus: 10x "foo bar" (2 tokens), 20x 6-token docs
+    n_uni = 10 * 2 + 20 * 6          # 140
+    n_bi = 10 * 1 + 20 * 5           # 110
+    c_foo = 10; c_bar = 10; c_foobar = 10
+    want = _m.log(c_foobar * n_uni * n_uni / (n_bi * c_foo * c_bar))
+    assert "foo bar" in rows
+    assert abs(rows["foo bar"].pmi - round(want, 6)) < 1e-9
+    assert rows["foo bar"].n_pair == 10
+    # a chance-level pair like 'the yy' must score far below 'foo bar'
+    for name, r in rows.items():
+        if name != "foo bar":
+            assert r.pmi < rows["foo bar"].pmi
+
+
+def test_vocab_coverage_exact_interpolation(spark, tmp_path):
+    """Freq classes {a:5, b:3, c:3, d:1}: top-10 covers everything;
+    k beyond vocab clamps; interpolation inside a class is exact."""
+    text = " ".join(["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"])
+    _write(spark, tmp_path, "documents", [(1, text, "en", "s", len(text))],
+           "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r.k: r for r in QUERIES["q_text_vocab_coverage"](spark, str(tmp_path)).collect()}
+    assert rows[10].vocab_used == 4
+    assert rows[10].covered_tokens == 12 and rows[10].coverage == 1.0
+    assert rows[100].covered_tokens == 12
+    assert rows[10000].total_tokens == 12
+
+
+def test_vocab_coverage_partial_class(spark, tmp_path):
+    """12 words of freq 2 + 20 words of freq 1: k=10 lands inside the
+    freq-2 class -> covered = 10*2."""
+    words_ = [f"w{i} w{i}" for i in range(12)] + [f"u{i}" for i in range(20)]
+    text = " ".join(words_)
+    _write(spark, tmp_path, "documents", [(1, text, "en", "s", len(text))],
+           "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r.k: r for r in QUERIES["q_text_vocab_coverage"](spark, str(tmp_path)).collect()}
+    assert rows[10].covered_tokens == 20
+    assert rows[10].coverage == round(20 / 44, 6)
+    assert rows[100].covered_tokens == 44
