@@ -1343,3 +1343,87 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "q_order_aging",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+    open_orders AS (
+      SELECT datediff('day', o_orderdate, refd) AS age,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, ref
+      WHERE o_orderstatus = 'O'
+    ), b AS (
+      SELECT CASE WHEN age <= 30 THEN 0 WHEN age <= 90 THEN 1
+                  WHEN age <= 180 THEN 2 WHEN age <= 365 THEN 3
+                  ELSE 4 END AS bucket,
+             cents
+      FROM open_orders
+    ), agg AS (
+      SELECT bucket, count(*) AS n, sum(cents) AS cents FROM b GROUP BY bucket
+    ), tot AS (SELECT sum(cents) AS t FROM agg)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 0 THEN '0-30' WHEN 1 THEN '31-90'
+                       WHEN 2 THEN '91-180' WHEN 3 THEN '181-365'
+                       ELSE '365+' END AS age_band,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(cents AS BIGINT) AS open_value_cents,
+           round(CAST(cents AS DOUBLE) / CAST(t AS DOUBLE), 6) AS value_share
+    FROM agg, tot ORDER BY bucket
+    """,
+)
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report (AR-aging shape): outstanding 'O'-status
+    orders bucketed by age against the warehouse watermark
+    (max(o_orderdate) — a data-derived reference, so the query is
+    reproducible on a frozen snapshot), with count, open value, and
+    value share per band. One scan with the status filter pushed to
+    parquet, the one-row watermark broadcast, a 5-bucket map-side
+    aggregate, and exact cent arithmetic until the final share
+    division. The classic finance-ops rollup — at 100 TB it is a
+    metadata-cheap scan-and-count, and the bands are stable output
+    whatever the scale."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("refd"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(ref))
+        .select(
+            F.datediff("refd", "o_orderdate").alias("age"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, 0)
+        .when(F.col("age") <= 90, 1)
+        .when(F.col("age") <= 180, 2)
+        .when(F.col("age") <= 365, 3)
+        .otherwise(4)
+    )
+    agg = (
+        open_orders.select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    tot = agg.agg(F.sum("cents").alias("t"))
+    band = (
+        F.when(F.col("bucket") == 0, "0-30")
+        .when(F.col("bucket") == 1, "31-90")
+        .when(F.col("bucket") == 2, "91-180")
+        .when(F.col("bucket") == 3, "181-365")
+        .otherwise("365+")
+    )
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int"),
+            band.alias("age_band"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("cents").cast("long").alias("open_value_cents"),
+            F.round(
+                F.col("cents").cast("double") / F.col("t").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("bucket")
+    )

@@ -583,3 +583,214 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(med))
         .select("n_days", "n_pairs", "theil_sen_slope", "ols_slope")
     )
+
+
+@query(
+    "q_stat_kendall",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)       AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ), cells AS (
+      SELECT q, d, count(*) AS c FROM f GROUP BY q, d
+    ), pairs AS (
+      SELECT sum(CASE WHEN b.d > a.d THEN a.c * b.c ELSE 0 END) AS conc,
+             sum(CASE WHEN b.d < a.d THEN a.c * b.c ELSE 0 END) AS disc
+      FROM cells a JOIN cells b ON b.q > a.q
+    ), tq AS (
+      SELECT sum(tc * (tc - 1) / 2) AS n1
+      FROM (SELECT sum(c) AS tc FROM cells GROUP BY q)
+    ), td AS (
+      SELECT sum(tc * (tc - 1) / 2) AS n2
+      FROM (SELECT sum(c) AS tc FROM cells GROUP BY d)
+    ), tot AS (
+      SELECT sum(c) AS n, count(*) AS n_cells FROM cells
+    )
+    SELECT CAST(tot.n AS BIGINT)       AS n,
+           CAST(tot.n_cells AS BIGINT) AS n_cells,
+           CAST(pairs.conc AS BIGINT)  AS concordant,
+           CAST(pairs.disc AS BIGINT)  AS discordant,
+           round((pairs.conc - pairs.disc) /
+                 (sqrt(CAST(tot.n * (tot.n - 1) / 2 - tq.n1 AS DOUBLE))
+                  * sqrt(CAST(tot.n * (tot.n - 1) / 2 - td.n2 AS DOUBLE))), 6)
+             AS tau_b
+    FROM pairs, tq, td, tot
+    """,
+)
+def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b (tie-corrected, quantity × discount) computed from
+    the JOINT HISTOGRAM, not row pairs: the textbook estimator is
+    O(n²) over rows, but with integral variables the concordant/
+    discordant counts collapse to one self-join over the ≤50×11
+    contingency cells — Σ c_ij·c_kl over cell pairs with both
+    coordinates strictly ordered. That turns a 3.6·10¹¹-pair problem
+    into a 550-row broadcast join whose cost is DOMAIN-squared,
+    independent of corpus size — the only way a rank statistic survives
+    100 TB. Tie corrections n1/n2 come from the marginal totals; all
+    counts exact bigint, one final float formula (products of
+    pair-counts near n²/2 overflow bigint, so each factor casts to
+    double BEFORE multiplying — identical shape both engines), 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    cells = f.groupBy("q", "d").agg(F.count(F.lit(1)).alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("b.q") > F.col("a.q"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.d") > F.col("a.d"), F.col("a.c") * F.col("b.c")
+                ).otherwise(0)
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("b.d") < F.col("a.d"), F.col("a.c") * F.col("b.c")
+                ).otherwise(0)
+            ).alias("disc"),
+        )
+    )
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("n1"))
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("c").alias("tc"))
+        .agg(F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("n2"))
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    tau = F.round(
+        (F.col("conc") - F.col("disc"))
+        / (
+            F.sqrt((n0 - F.col("n1")).cast("double"))
+            * F.sqrt((n0 - F.col("n2")).cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(tq))
+        .join(F.broadcast(td))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "q_stat_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source
+    ), ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+       ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+       tot AS (SELECT sum(c) AS n FROM cells),
+    mi AS (
+      SELECT sum(CAST(round((CAST(cells.c AS DOUBLE) / n)
+                            * ln(CAST(cells.c * n AS DOUBLE)
+                                 / CAST(ml.cl * ms.cs AS DOUBLE))
+                            * 1000000000) AS BIGINT)) AS mi_e9
+      FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+    ), hl AS (
+      SELECT sum(CAST(round(-(CAST(cl AS DOUBLE) / n)
+                            * ln(CAST(cl AS DOUBLE) / n)
+                            * 1000000000) AS BIGINT)) AS h_e9
+      FROM ml CROSS JOIN tot
+    ), hs AS (
+      SELECT sum(CAST(round(-(CAST(cs AS DOUBLE) / n)
+                            * ln(CAST(cs AS DOUBLE) / n)
+                            * 1000000000) AS BIGINT)) AS h_e9
+      FROM ms CROSS JOIN tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ml) AS n_langs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ms) AS n_sources,
+           round(mi.mi_e9 / 1000000000.0, 6) AS mi_nats,
+           round(hl.h_e9 / 1000000000.0, 6) AS h_lang,
+           round(hs.h_e9 / 1000000000.0, 6) AS h_source,
+           round(mi.mi_e9 / sqrt(CAST(hl.h_e9 AS DOUBLE)
+                                 * CAST(hs.h_e9 AS DOUBLE)), 6) AS nmi
+    FROM mi, hl, hs, tot
+    """,
+)
+def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source (plus both
+    marginal entropies and sqrt-normalized MI) — the corpus-composition
+    dependence scalar: high NMI means sources are language silos, near
+    0 means language mix is uniform across sources. Float-sum ordering
+    is the cross-engine hazard here (Σ p·ln terms), so every per-cell
+    term is computed on identical doubles (exact count ratios) and
+    quantized to integer NANO-nats BEFORE summation — the sums are then
+    exact bigints in any order (the q_stat_chisq quantization recipe).
+    The contingency frame is one map-side-combined shuffle; margins
+    attach by broadcast; everything after runs on O(langs·sources)
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    joined = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .join(F.broadcast(tot))
+    )
+    mi_term = (
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c") * F.col("n")).cast("double")
+            / (F.col("cl") * F.col("cs")).cast("double")
+        )
+        * 1000000000
+    )
+    mi = joined.agg(F.sum(F.round(mi_term).cast("long")).alias("mi_e9"))
+
+    def ent(margin: DataFrame, cnt: str) -> DataFrame:
+        term = (
+            -(F.col(cnt).cast("double") / F.col("n"))
+            * F.log(F.col(cnt).cast("double") / F.col("n"))
+            * 1000000000
+        )
+        return margin.join(F.broadcast(tot)).agg(
+            F.sum(F.round(term).cast("long")).alias("h_e9")
+        )
+
+    hl = ent(ml, "cl").withColumnRenamed("h_e9", "hl_e9")
+    hs = ent(ms, "cs").withColumnRenamed("h_e9", "hs_e9")
+    nl = ml.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    ns = ms.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    return (
+        mi.join(F.broadcast(hl))
+        .join(F.broadcast(hs))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(nl))
+        .join(F.broadcast(ns))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            "n_langs",
+            "n_sources",
+            F.round(F.col("mi_e9") / 1000000000.0, 6).alias("mi_nats"),
+            F.round(F.col("hl_e9") / 1000000000.0, 6).alias("h_lang"),
+            F.round(F.col("hs_e9") / 1000000000.0, 6).alias("h_source"),
+            F.round(
+                F.col("mi_e9")
+                / F.sqrt(
+                    F.col("hl_e9").cast("double") * F.col("hs_e9").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -999,3 +999,73 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "q_text_lexical_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), wc AS (
+      SELECT source, word, count(*) AS c FROM toks GROUP BY source, word
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT)                          AS n_tokens,
+           CAST(count(*) AS BIGINT)                        AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS type_token_ratio,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6)            AS hapax_share,
+           round(CAST(sum(len(word) * c) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE), 6)              AS avg_word_len
+    FROM wc GROUP BY source ORDER BY source
+    """,
+)
+def q_text_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness profile: type-token ratio, hapax-
+    legomenon share, and mean word length — the trio that separates
+    natural prose (TTR ~0.4–0.7, hapax-heavy) from boilerplate or
+    generated spam (tiny TTR, hapax-poor) when triaging sources before
+    training. Two map-side-combined shuffles: (source, word) counts,
+    then a per-source rollup whose state is bounded by vocabulary, not
+    corpus; every ratio is a division of two exact bigints rounded to
+    6 dp (char mass Σ len(w)·c is integer arithmetic on the count
+    table, so the fact rows are never re-scanned)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    wc = (
+        d.select("source", F.explode(ws).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.sum(F.length("word") * F.col("c")).alias("char_mass"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(
+                F.col("vocab").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"), 6
+            ).alias("hapax_share"),
+            F.round(
+                F.col("char_mass").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_word_len"),
+        )
+        .orderBy("source")
+    )

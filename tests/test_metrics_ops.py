@@ -358,3 +358,132 @@ def test_vocab_coverage_partial_class(spark, tmp_path):
     assert rows[10].covered_tokens == 20
     assert rows[10].coverage == round(20 / 44, 6)
     assert rows[100].covered_tokens == 44
+
+
+# ------------------------------------------------------- kendall
+
+
+def _kendall_ref(xs, ys):
+    """Naive O(n^2) tau-b."""
+    n = len(xs)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    n1 = sum(c * (c - 1) // 2 for c in Counter(xs).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(ys).values())
+    return conc, disc, (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def test_kendall_histogram_equals_naive_pairs(spark, tmp_path):
+    """The contingency-cell formulation must reproduce the O(n^2)
+    row-pair tau-b exactly, ties included."""
+    qd = [(1, 5), (1, 3), (2, 5), (2, 3), (2, 1), (3, 1), (3, 5),
+          (4, 3), (4, 1), (4, 1), (1, 1), (2, 2)]
+    rows = [(float(q), float(d) / 100.0, 0.0, 1000.0, "N") for q, d in qd]
+    _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    out = QUERIES["q_stat_kendall"](spark, str(tmp_path)).collect()[0]
+    conc, disc, tau = _kendall_ref([q for q, _ in qd], [d for _, d in qd])
+    assert out.n == 12
+    assert out.concordant == conc
+    assert out.discordant == disc
+    assert abs(out.tau_b - round(tau, 6)) < 1e-9
+
+
+def test_kendall_perfect_order(spark, tmp_path):
+    rows = [(float(i), float(i) / 100.0, 0.0, 1000.0, "N") for i in range(1, 11)]
+    _write(spark, tmp_path, "lineitem", rows, _LI_SCHEMA)
+    out = QUERIES["q_stat_kendall"](spark, str(tmp_path)).collect()[0]
+    assert out.tau_b == 1.0 and out.discordant == 0
+
+
+# ------------------------------------------------------- mutual info
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_mutual_info_independent_is_zero(spark, tmp_path):
+    """lang ⫫ source (product distribution) -> MI = 0, NMI = 0."""
+    docs = []
+    did = 0
+    for lang in ("en", "de"):
+        for src in ("a", "b", "c"):
+            for _ in range(4):
+                docs.append((did, "x", lang, src, 1))
+                did += 1
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = QUERIES["q_stat_mutual_info"](spark, str(tmp_path)).collect()[0]
+    assert out.n_docs == 24 and out.n_langs == 2 and out.n_sources == 3
+    assert out.mi_nats == 0.0 and out.nmi == 0.0
+    assert abs(out.h_lang - round(math.log(2), 6)) < 1e-9
+    assert abs(out.h_source - round(math.log(3), 6)) < 1e-9
+
+
+def test_mutual_info_perfect_silos(spark, tmp_path):
+    """Each source carries exactly one language -> MI = H(lang) and
+    NMI = sqrt(H(lang)/H(source)) for uniform margins."""
+    docs = []
+    did = 0
+    for lang, src in (("en", "a"), ("de", "b"), ("fr", "c")):
+        for _ in range(5):
+            docs.append((did, "x", lang, src, 1))
+            did += 1
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = QUERIES["q_stat_mutual_info"](spark, str(tmp_path)).collect()[0]
+    h = math.log(3)
+    assert abs(out.mi_nats - round(h, 6)) < 2e-6  # nano-nat quantization
+    assert abs(out.nmi - 1.0) < 2e-6
+
+
+# ------------------------------------------------------- lexical profile
+
+
+def test_lexical_profile_exact_ratios(spark, tmp_path):
+    docs = [
+        (1, "aa bb aa cc", "en", "s1", 11),   # tokens 4, vocab 3, hapax 2
+        (2, "aa aa aa aa", "en", "s2", 11),   # tokens 4, vocab 1, hapax 0
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = {r.source: r for r in QUERIES["q_text_lexical_profile"](spark, str(tmp_path)).collect()}
+    s1 = out["s1"]
+    assert (s1.n_tokens, s1.vocab, s1.hapax) == (4, 3, 2)
+    assert s1.type_token_ratio == 0.75
+    assert s1.hapax_share == round(2 / 3, 6)
+    assert s1.avg_word_len == 2.0
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.vocab, s2.hapax) == (4, 1, 0)
+    assert s2.type_token_ratio == 0.25 and s2.hapax_share == 0.0
+
+
+# ------------------------------------------------------- order aging
+
+
+def test_order_aging_buckets_and_shares(spark, tmp_path):
+    base = dt.date(2024, 6, 30)
+    orders = [
+        (1, 1, 100.0, "O", base),                        # age 0   -> 0-30
+        (2, 1, 200.0, "O", base - dt.timedelta(days=31)),  # 31-90
+        (3, 1, 300.0, "O", base - dt.timedelta(days=180)), # 91-180
+        (4, 1, 400.0, "O", base - dt.timedelta(days=400)), # 365+
+        (5, 1, 999.0, "F", base),                        # closed: excluded
+    ]
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string, o_orderdate date",
+    )
+    rows = {r.bucket: r for r in QUERIES["q_order_aging"](spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [0, 1, 2, 4]  # no 181-365 orders
+    assert rows[0].age_band == "0-30" and rows[0].open_value_cents == 10000
+    assert rows[2].n_orders == 1 and rows[2].open_value_cents == 30000
+    assert rows[4].value_share == round(40000 / 100000, 6)
+    assert sum(r.open_value_cents for r in rows.values()) == 100000
