@@ -1427,3 +1427,197 @@ def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_user_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), span AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM ud
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM ud GROUP BY day
+    ), contrib AS (
+      SELECT user_id, day + to_days(CAST(o.off AS INT)) AS tday
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS off) o
+    ), wau AS (
+      SELECT tday AS day, count(DISTINCT user_id) AS wau7
+      FROM contrib GROUP BY tday
+    )
+    SELECT CAST(dau.day AS DATE) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau7 AS BIGINT) AS wau7,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau7 AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day, span
+    WHERE dau.day >= span.d0 + to_days(6)
+    ORDER BY day
+    """,
+)
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DAU / trailing-7-day-WAU stickiness — the engagement ratio
+    product analytics tracks (the DAU/MAU idea, at the window this
+    30-day corpus supports). Rolling COUNT DISTINCT has no window-frame
+    form in either engine, so the trailing-7-day actives come from the
+    contribution-explode: each (user, day) active pair contributes to
+    the 7 target days it stays inside the window (a bounded ×7 fan-out
+    of the user-DAY table — which one distinct-shuffle of the fact
+    table produced first; the raw events are never multiplied). Days
+    before the first full window are dropped. At 100 TB this is the
+    standard formulation: fan-out scales with active-pairs × window,
+    and both the dedup and the per-day distinct are map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
+    span = ud.agg(F.min("day").alias("d0"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    offsets = spark.range(0, 7).select(F.col("id").cast("int").alias("off"))
+    contrib = ud.join(F.broadcast(offsets)).select(
+        "user_id",
+        (F.col("day") + F.make_dt_interval(F.col("off"))).alias("tday"),
+    )
+    wau = contrib.groupBy(F.col("tday").alias("day")).agg(
+        F.count_distinct("user_id").alias("wau7")
+    )
+    return (
+        dau.join(wau, "day")
+        .join(F.broadcast(span))
+        .filter(F.col("day") >= F.col("d0") + F.make_dt_interval(F.lit(6)))
+        .select(
+            F.col("day").cast("date").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau7").cast("long").alias("wau7"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau7").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_returns_wilson",
+    oracle="""
+    WITH br AS (
+      SELECT p.p_brand AS brand,
+             count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), s AS (
+      SELECT brand, n, k,
+             CAST(k AS DOUBLE) / n AS ph
+      FROM br
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(k AS BIGINT) AS n_returned,
+           round(ph, 6) AS return_rate,
+           round((ph + 3.8416 / (2 * n)
+                  - 1.96 * sqrt(ph * (1 - ph) / n + 3.8416 / (4.0 * n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lower
+    FROM s
+    ORDER BY wilson_lower DESC, brand
+    LIMIT 15
+    """,
+)
+def q_returns_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand return-rate ranking by the Wilson-score LOWER bound (95%)
+    — the ranking statistic that stops a 40-line brand with a lucky
+    streak from outranking a 40k-line brand (plain rate ranking is the
+    classic small-sample trap). Counts are exact bigints off one
+    broadcast join (25-brand dim) + map-side-combined aggregate; the
+    Wilson formula runs once per brand on identical doubles (z = 1.96,
+    z² = 3.8416 as exact decimal literals on both engines), 6 dp, with
+    a brand tie-break. The fact table is scanned once; output is
+    dim-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    br = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+        )
+    )
+    ph = F.col("k").cast("double") / F.col("n")
+    wilson = (
+        ph
+        + 3.8416 / (2 * F.col("n"))
+        - 1.96
+        * F.sqrt(ph * (1 - ph) / F.col("n") + 3.8416 / (4.0 * F.col("n") * F.col("n")))
+    ) / (1 + 3.8416 / F.col("n"))
+    return (
+        br.select(
+            "brand",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("k").cast("long").alias("n_returned"),
+            F.round(ph, 6).alias("return_rate"),
+            F.round(wilson, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.col("wilson_lower").desc(), "brand")
+        .limit(15)
+    )
+
+
+@query(
+    "q_users_new_returning",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), first_w AS (
+      SELECT user_id, min(week) AS fw FROM uw GROUP BY user_id
+    )
+    SELECT CAST(uw.week AS DATE) AS week,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN uw.week = f.fw THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN uw.week > f.fw THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           round(CAST(sum(CASE WHEN uw.week = f.fw THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS new_share
+    FROM uw JOIN first_w f USING (user_id)
+    GROUP BY uw.week
+    ORDER BY week
+    """,
+)
+def q_users_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning active users — the acquisition/retention
+    split every growth dashboard opens with (q_cohort_retention tracks
+    cohorts forward; this is the per-period composition view). One
+    distinct shuffle to (user, week), a per-user min to find the first
+    week, a self-join on user_id (both sides already collapsed to
+    user-weeks, so the join is active-pairs-sized, not event-sized),
+    then exact count arithmetic with one share division. Weeks sort as
+    dates; ISO week truncation agrees between the engines under the
+    UTC session timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select("user_id", F.date_trunc("WEEK", "ts").alias("week")).distinct()
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("fw"))
+    return (
+        uw.join(first_w, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("week") == F.col("fw"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("week") > F.col("fw"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+        .select(
+            F.col("week").cast("date").alias("week"),
+            F.col("active_users").cast("long"),
+            F.col("new_users").cast("long"),
+            F.col("returning_users").cast("long"),
+            F.round(
+                F.col("new_users").cast("double")
+                / F.col("active_users").cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("week")
+    )

@@ -487,3 +487,96 @@ def test_order_aging_buckets_and_shares(spark, tmp_path):
     assert rows[2].n_orders == 1 and rows[2].open_value_cents == 30000
     assert rows[4].value_share == round(40000 / 100000, 6)
     assert sum(r.open_value_cents for r in rows.values()) == 100000
+
+
+# ------------------------------------------------------- stickiness
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stickiness_rolling_window_exact(spark, tmp_path):
+    """10 days; user 1 active daily, user 2 every 3rd day, user 3 only
+    day 0. Check DAU/WAU7 on the last day and that pre-window days are
+    dropped."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for day in range(10):
+        active = [1]
+        if day % 3 == 0:
+            active.append(2)
+        if day == 0:
+            active.append(3)
+        for u in active:
+            rows.append((eid, base + dt.timedelta(days=day, hours=1), u, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.day.isoformat(): r for r in QUERIES["q_user_stickiness"](spark, str(tmp_path)).collect()}
+    assert len(out) == 4  # days 6..9 only (first full 7d window)
+    d9 = out["2024-04-10"]
+    # window days 3..9: user1 all, user2 on days 3,6,9 -> wau7 = 2; dau day9 = {1,2}
+    assert (d9.dau, d9.wau7) == (2, 2)
+    assert d9.stickiness == 1.0
+    d6 = out["2024-04-07"]
+    # window days 0..6: users {1,2,3}; dau day6 = {1,2}
+    assert (d6.dau, d6.wau7) == (2, 3)
+    assert d6.stickiness == round(2 / 3, 6)
+
+
+# ------------------------------------------------------- wilson
+
+
+def test_wilson_lower_bound_formula_and_small_sample_penalty(spark, tmp_path):
+    """Brand A: 1/2 returned (tiny sample); brand B: 40/100 returned.
+    Plain rate ranks A first; the Wilson lower bound must rank B first.
+    Values checked against the closed form."""
+    parts = [(i, f"p{i}", "Brand#A" if i == 1 else "Brand#B", "t", 1, 1.0)
+             for i in (1, 2)]
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    li = []
+    li += [(1, "R" if j == 0 else "N") for j in range(2)]          # A: 1/2
+    li += [(2, "R" if j < 40 else "N") for j in range(100)]        # B: 40/100
+    _write(spark, tmp_path, "lineitem",
+           [(pk, 1.0, 0.0, 0.0, 100.0, rf) for pk, rf in li],
+           "l_partkey long, l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string")
+    rows = QUERIES["q_returns_wilson"](spark, str(tmp_path)).collect()
+
+    def wilson(k, n):
+        ph = k / n
+        return (ph + 3.8416 / (2 * n)
+                - 1.96 * math.sqrt(ph * (1 - ph) / n + 3.8416 / (4.0 * n * n))
+                ) / (1 + 3.8416 / n)
+
+    assert rows[0].brand == "Brand#B"  # despite lower raw rate
+    assert rows[0].return_rate < rows[1].return_rate
+    assert abs(rows[0].wilson_lower - round(wilson(40, 100), 6)) < 1e-9
+    assert abs(rows[1].wilson_lower - round(wilson(1, 2), 6)) < 1e-9
+
+
+# ------------------------------------------------------- new/returning
+
+
+def test_new_returning_weekly_split(spark, tmp_path):
+    """Week 1: users {1,2} (both new). Week 2: users {1,3}: 1 returning,
+    3 new."""
+    rows = []
+    eid = 0
+    w1 = dt.datetime(2024, 4, 1)   # a Monday
+    w2 = w1 + dt.timedelta(days=7)
+    for u in (1, 2):
+        rows.append((eid, w1 + dt.timedelta(hours=u), u, "view", 1.0, "{}")); eid += 1
+    for u in (1, 3):
+        rows.append((eid, w2 + dt.timedelta(hours=u), u, "view", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(QUERIES["q_users_new_returning"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r.week)
+    assert (out[0].active_users, out[0].new_users, out[0].returning_users) == (2, 2, 0)
+    assert (out[1].active_users, out[1].new_users, out[1].returning_users) == (2, 1, 1)
+    assert out[1].new_share == 0.5
