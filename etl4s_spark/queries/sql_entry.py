@@ -329,3 +329,139 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q_sql_recursive_bfs",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 500 AND b.vec_id < 500
+        AND list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+    ), sym AS (
+      SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nbr FROM pairs
+    ), seed AS (SELECT min(id_a) AS s FROM pairs),
+    walk(id, hop) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT sym.nbr, walk.hop + 1
+      FROM walk JOIN sym ON sym.id = walk.id
+      WHERE walk.hop < 6
+    )
+    SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
+    GROUP BY hop ORDER BY hop
+    """,
+)
+def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop histogram from the lowest-id node of the
+    near-dup pair graph via a RECURSIVE CTE (Spark 4's WITH RECURSIVE —
+    each recursion step is one distributed join of the frontier against
+    the symmetrized edge list). Same graph object as the
+    q_graph_* family; q_graph_shortest_hops does this with an iterative
+    DataFrame loop — this is the declarative twin, with the hop bound
+    (<6) capping path re-expansion since UNION ALL recursion does not
+    dedup revisits (min(hop) per node collapses them afterwards). At
+    100 TB frontier expansion is the textbook BFS join-per-level; the
+    bound keeps worst-case clique re-walks polynomial."""
+    from etl4s_spark.queries.analytics import _neardup_pairs
+
+    # Materialize the edge list once: every recursion level re-evaluates
+    # the CTE's inputs, and without the cache the O(n²·d) cosine pair
+    # generation would run once PER HOP instead of once per query.
+    edges = _neardup_pairs(spark, sf_dir).cache()
+    edges.count()
+    edges.createOrReplaceTempView("__ndp_edges")
+    return spark.sql("""
+        WITH RECURSIVE sym AS (
+          SELECT id_a AS id, id_b AS nbr FROM __ndp_edges
+          UNION ALL
+          SELECT id_b AS id, id_a AS nbr FROM __ndp_edges
+        ), seed AS (SELECT min(id_a) AS s FROM __ndp_edges),
+        walk(id, hop) AS (
+          SELECT s, 0 FROM seed
+          UNION ALL
+          SELECT sym.nbr, walk.hop + 1
+          FROM walk JOIN sym ON sym.id = walk.id
+          WHERE walk.hop < 6
+        )
+        SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
+        GROUP BY hop ORDER BY hop
+    """)
+
+
+@query(
+    "q_sql_recursive_drawdown",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      WHEN event_type = 'error'
+                      THEN -CAST(round(value * 1000) AS BIGINT)
+                      ELSE 0 END) AS delta
+      FROM events WHERE user_id < 50 AND event_type IN ('purchase', 'error')
+      GROUP BY user_id, date_trunc('day', ts)
+    ), idx AS (
+      SELECT user_id, delta,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
+      FROM daily
+    ), r(user_id, t, bal) AS (
+      SELECT user_id, t, greatest(CAST(0 AS BIGINT), delta) FROM idx WHERE t = 1
+      UNION ALL
+      SELECT d.user_id, d.t, greatest(CAST(0 AS BIGINT), r.bal + d.delta)
+      FROM r JOIN idx d ON d.user_id = r.user_id AND d.t = r.t + 1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN t = mt THEN bal END) AS BIGINT) AS final_bal_milli,
+           CAST(max(bal) AS BIGINT) AS peak_bal_milli
+    FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_sql_recursive_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored running wallet balance per user (purchases credit,
+    errors debit, balance clamps at 0) — the canonical NON-LINEAR
+    recurrence that window functions cannot express (max(0, ·) between
+    steps breaks prefix-sum associativity), solved with a recursive CTE
+    stepping all users in lockstep over their day index: depth = max
+    active days (≤30 here, bounded by the calendar at any scale), and
+    each step is one join of the live state (one row per user) against
+    that day's deltas. Deltas are exact milli-units aggregated BEFORE
+    the recursion, so the fact table is touched once and the recursion
+    runs on user-day state only."""
+    ev = _view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, date_trunc('DAY', ts) AS day,
+                 sum(CASE WHEN event_type = 'purchase'
+                          THEN CAST(round(value * 1000) AS BIGINT)
+                          WHEN event_type = 'error'
+                          THEN -CAST(round(value * 1000) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END) AS delta
+          FROM {ev} WHERE user_id < 50 AND event_type IN ('purchase', 'error')
+          GROUP BY user_id, date_trunc('DAY', ts)
+        ), idx AS (
+          SELECT user_id, delta,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
+          FROM daily
+        ), r(user_id, t, bal) AS (
+          SELECT user_id, t, greatest(CAST(0 AS BIGINT), delta) FROM idx WHERE t = 1
+          UNION ALL
+          SELECT d.user_id, d.t, greatest(CAST(0 AS BIGINT), r.bal + d.delta)
+          FROM r JOIN idx d ON d.user_id = r.user_id AND d.t = r.t + 1
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(CASE WHEN t = mt THEN bal END) AS BIGINT) AS final_bal_milli,
+               CAST(max(bal) AS BIGINT) AS peak_bal_milli
+        FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)
+        GROUP BY user_id ORDER BY user_id
+    """)

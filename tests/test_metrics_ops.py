@@ -580,3 +580,55 @@ def test_new_returning_weekly_split(spark, tmp_path):
     assert (out[0].active_users, out[0].new_users, out[0].returning_users) == (2, 2, 0)
     assert (out[1].active_users, out[1].new_users, out[1].returning_users) == (2, 1, 1)
     assert out[1].new_share == 0.5
+
+
+# ------------------------------------------------------- recursive CTEs
+
+
+def test_recursive_drawdown_clamps_at_zero(spark, tmp_path):
+    """User 1: +5, -10, +3 (daily) -> clamped path 5000,0,3000 (final 3000,
+    peak 5000); an unclamped prefix sum would end at -2000. User 2 stays
+    positive so clamped == plain cumsum."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for day, (etype, val) in enumerate(
+        [("purchase", 5.0), ("error", 10.0), ("purchase", 3.0)]
+    ):
+        rows.append((eid, base + dt.timedelta(days=day), 1, etype, val, "{}")); eid += 1
+    for day, (etype, val) in enumerate(
+        [("purchase", 4.0), ("error", 1.0), ("purchase", 2.0)]
+    ):
+        rows.append((eid, base + dt.timedelta(days=day), 2, etype, val, "{}")); eid += 1
+    # noise rows that must be ignored (other types, other users)
+    rows.append((eid, base, 1, "view", 99.0, "{}")); eid += 1
+    rows.append((eid, base, 99, "purchase", 99.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.user_id: r for r in QUERIES["q_sql_recursive_drawdown"](spark, str(tmp_path)).collect()}
+    assert out[1].n_days == 3
+    assert out[1].final_bal_milli == 3000   # clamped: NOT -2000
+    assert out[1].peak_bal_milli == 5000
+    assert out[2].final_bal_milli == 5000   # 4000 -> 3000 -> 5000
+    assert out[2].peak_bal_milli == 5000
+
+
+def test_recursive_bfs_hop_histogram_on_planted_path(spark, tmp_path):
+    """Plant a 4-node path 0-1-2-3 (cos >= 0.4 only between neighbors):
+    BFS from node 0 gives one node per hop 0..3."""
+    # chain construction: v_i = a*e_i + b*e_{i+1} with a=0.5, b=sqrt(0.75)
+    # -> cos(v_i, v_{i+1}) = a*b ~ 0.433 >= 0.4, cos(v_i, v_{i+2}) = 0
+    a, b = 0.5, math.sqrt(0.75)
+    d = 64
+    rows = []
+    for i in range(4):
+        v = [0.0] * d
+        v[2 * i] = a
+        v[2 * i + 1] = b
+        if i > 0:
+            v[2 * i] = 0.0
+            v[2 * i - 1] = a  # overlap with previous node's b-dim
+            v[2 * i + 1] = b
+        rows.append((i, v))
+    _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<double>")
+    out = {r.hop: r.n_nodes for r in QUERIES["q_sql_recursive_bfs"](spark, str(tmp_path)).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1}
