@@ -1621,3 +1621,171 @@ def q_users_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "q_fifo_allocation",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 200
+    ), budget AS (
+      SELECT o_custkey,
+             sum(cents) * 4 // 5 AS budget_cents
+      FROM o GROUP BY o_custkey
+    ), cum AS (
+      SELECT o.o_custkey, o.o_orderkey, o.cents, b.budget_cents,
+             sum(o.cents) OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM o JOIN budget b USING (o_custkey)
+    ), alloc AS (
+      SELECT o_custkey, o_orderkey, cents,
+             least(cents,
+                   greatest(CAST(0 AS BIGINT),
+                            budget_cents - (cum_cents - cents))) AS paid_cents
+      FROM cum
+    )
+    SELECT CASE WHEN paid_cents = cents THEN 'full'
+                WHEN paid_cents = 0 THEN 'unpaid'
+                ELSE 'partial' END AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS billed_cents,
+           CAST(sum(paid_cents) AS BIGINT) AS paid_cents
+    FROM alloc
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO payment allocation: each customer's budget (80% of their
+    billed total, exact integer 4/5) is applied to their orders
+    oldest-first; every order comes out full / partial / unpaid. The
+    waterfall LOOKS like a sequential recurrence, but FIFO allocation
+    has a closed form over the running total — paid_i = min(billed_i,
+    max(0, budget − cum_{i−1})) — so it runs as ONE window pass
+    (partitioned by customer, totally ordered by date+key), exact cents
+    end to end: the receivables-reconciliation pattern that at 100 TB
+    is a single shuffle on the customer key, with no recursion and no
+    per-customer loop. Exactly one order per customer can be partial —
+    the defining FIFO invariant, pinned in pytest."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    budget = o.groupBy("o_custkey").agg(
+        F.expr("(sum(cents) * 4) div 5").alias("budget_cents")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = o.join(budget, "o_custkey").withColumn(
+        "cum_cents", F.sum("cents").over(w)
+    )
+    paid = F.least(
+        F.col("cents"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("budget_cents") - (F.col("cum_cents") - F.col("cents")),
+        ),
+    )
+    alloc = cum.select("cents", paid.alias("paid_cents"))
+    status = (
+        F.when(F.col("paid_cents") == F.col("cents"), "full")
+        .when(F.col("paid_cents") == 0, "unpaid")
+        .otherwise("partial")
+    )
+    return (
+        alloc.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("billed_cents"),
+            F.sum("paid_cents").cast("long").alias("paid_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT)
+                      ELSE -CAST(round(value * 1000) AS BIGINT) END) AS delta
+      FROM events
+      WHERE user_id < 100 AND event_type IN ('purchase', 'error')
+      GROUP BY user_id, date_trunc('day', ts)
+    ), eq AS (
+      SELECT user_id, day,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS equity
+      FROM daily
+    ), dd AS (
+      SELECT user_id,
+             max(equity) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) - equity AS drawdown
+      FROM eq
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_milli
+    FROM dd
+    GROUP BY user_id
+    HAVING max(drawdown) > 0
+    ORDER BY max_drawdown_milli DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's running net-value equity curve
+    (purchases credit, errors debit) — the risk statistic that, unlike
+    the clamped-balance recurrence (q_sql_recursive_drawdown), IS
+    window-expressible: drawdown_t = running_max(equity) − equity_t,
+    then one max per user. Two stacked prefix windows share a single
+    shuffle+sort on (user, day); deltas are exact milli-units
+    aggregated before the windows, and the top-20 worst curves come
+    out via TakeOrdered with a user tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 1000).cast("long"),
+    ).otherwise(-F.round(F.col("value") * 1000).cast("long"))
+    daily = (
+        ev.filter(
+            (F.col("user_id") < 100)
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.sum(delta).alias("delta"))
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = daily.select(
+        "user_id", "day", F.sum("delta").over(wcum).alias("equity")
+    )
+    dd = eq.select(
+        "user_id", (F.max("equity").over(wcum) - F.col("equity")).alias("drawdown")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("drawdown").cast("long").alias("max_drawdown_milli"),
+        )
+        .filter(F.col("max_drawdown_milli") > 0)
+        .orderBy(F.col("max_drawdown_milli").desc(), "user_id")
+        .limit(20)
+    )

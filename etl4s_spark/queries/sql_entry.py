@@ -465,3 +465,94 @@ def q_sql_recursive_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)
         GROUP BY user_id ORDER BY user_id
     """)
+
+
+@query(
+    "q_ts_holt",
+    oracle="""
+    WITH RECURSIVE span AS (
+      SELECT date_trunc('week', min(ts)) AS w0, date_trunc('week', max(ts)) AS w1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(w0, w1, INTERVAL 7 DAY)) AS week FROM span
+    ), weekly AS (
+      SELECT g.week,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+                  AS DOUBLE) AS x
+      FROM grid g LEFT JOIN events e ON date_trunc('week', e.ts) = g.week
+      GROUP BY g.week
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY week) AS t, week, x FROM weekly
+    ), h(t, week, x, l, b) AS (
+      SELECT a.t, a.week, a.x, a.x, b2.x - a.x
+      FROM idx a JOIN idx b2 ON b2.t = 2 WHERE a.t = 1
+      UNION ALL
+      SELECT d.t, d.week, d.x,
+             0.2 * d.x + 0.8 * (h.l + h.b),
+             0.1 * ((0.2 * d.x + 0.8 * (h.l + h.b)) - h.l) + 0.9 * h.b
+      FROM h JOIN idx d ON d.t = h.t + 1
+    )
+    SELECT CAST(week AS DATE) AS week,
+           CAST(x AS BIGINT) AS clicks,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM h ORDER BY week
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.2, β=0.1) of the weekly
+    click series — level + trend state with a one-step-ahead forecast
+    per period. The recurrence l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}) is
+    not window-expressible (q_ts_ewma ships the truncated-window
+    approximation; this is the EXACT recurrence), so it rides the
+    recursive CTE: depth = periods (calendar-bounded at any corpus
+    scale — weekly keeps recursion depth, and with it Spark's
+    per-level stage scheduling cost, single-digit), each step joining
+    one state row per series against that period's value off the
+    CACHED pre-aggregated series (recursion re-evaluates CTE inputs
+    per level, so the fact-table aggregate materializes first).
+    Cross-engine float determinism holds because every step evaluates
+    the SAME literal expression on identical doubles — no
+    accumulation-order freedom exists in a sequential recurrence; both
+    engines round the identical result to 6 dp. Init: l₁ = x₁,
+    b₁ = x₂ − x₁ (the standard two-point start)."""
+    ev = _view(spark, sf_dir, "events")
+    # Materialize the ~30-row day-indexed series BEFORE the recursion:
+    # every recursion level re-evaluates the CTE inputs, so an uncached
+    # `daily` would re-aggregate the fact table once PER DAY of depth.
+    idx = spark.sql(f"""
+        WITH span AS (
+          SELECT date_trunc('WEEK', min(ts)) AS w0, date_trunc('WEEK', max(ts)) AS w1
+          FROM {ev}
+        ), grid AS (
+          SELECT explode(sequence(w0, w1, interval 7 day)) AS week FROM span
+        ), weekly AS (
+          SELECT g.week,
+                 CAST(coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+                      AS DOUBLE) AS x
+          FROM grid g LEFT JOIN {ev} e ON date_trunc('WEEK', e.ts) = g.week
+          GROUP BY g.week
+        )
+        SELECT row_number() OVER (ORDER BY week) AS t, week, x FROM weekly
+    """).cache()
+    idx.count()
+    idx.createOrReplaceTempView("__holt_idx")
+    return spark.sql("""
+        WITH RECURSIVE idx AS (SELECT * FROM __holt_idx),
+        h(t, week, x, l, b) AS (
+          SELECT a.t, a.week, a.x, a.x, b2.x - a.x
+          FROM idx a JOIN idx b2 ON b2.t = 2 WHERE a.t = 1
+          UNION ALL
+          SELECT d.t, d.week, d.x,
+                 0.2 * d.x + 0.8 * (h.l + h.b),
+                 0.1 * ((0.2 * d.x + 0.8 * (h.l + h.b)) - h.l) + 0.9 * h.b
+          FROM h JOIN idx d ON d.t = h.t + 1
+        )
+        SELECT CAST(week AS DATE) AS week,
+               CAST(x AS BIGINT) AS clicks,
+               round(l, 6) AS level,
+               round(b, 6) AS trend,
+               round(l + b, 6) AS forecast_next
+        FROM h ORDER BY week
+    """)

@@ -632,3 +632,81 @@ def test_recursive_bfs_hop_histogram_on_planted_path(spark, tmp_path):
     _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<double>")
     out = {r.hop: r.n_nodes for r in QUERIES["q_sql_recursive_bfs"](spark, str(tmp_path)).collect()}
     assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------- holt
+
+
+def test_holt_recurrence_matches_reference(spark, tmp_path):
+    """Weekly series 10,20,30,40 with clean +10 trend: Holt locks on
+    (level=x, trend=10, forecast=x+10); check every step against the
+    pure-Python recurrence."""
+    weekly = [10, 20, 30, 40]
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)  # Monday
+    for wk, cnt in enumerate(weekly):
+        for j in range(cnt):
+            rows.append((eid, base + dt.timedelta(weeks=wk, minutes=j), 1, "click", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(QUERIES["q_ts_holt"](spark, str(tmp_path)).collect(), key=lambda r: r.week)
+    l, b = float(weekly[0]), float(weekly[1] - weekly[0])
+    ref = [(l, b)]
+    for x in weekly[1:]:
+        nl = 0.2 * x + 0.8 * (l + b)
+        b = 0.1 * (nl - l) + 0.9 * b
+        l = nl
+        ref.append((l, b))
+    assert len(out) == 4
+    for row, (rl, rb) in zip(out, ref):
+        assert abs(row.level - round(rl, 6)) < 1e-9
+        assert abs(row.trend - round(rb, 6)) < 1e-9
+        assert abs(row.forecast_next - round(rl + rb, 6)) < 1e-9
+    # a perfectly linear series is tracked exactly by the init state
+    assert out[0].trend == 10.0 and out[-1].forecast_next == 50.0
+
+
+# ------------------------------------------------------- fifo allocation
+
+
+def test_fifo_allocation_one_partial_per_customer(spark, tmp_path):
+    """Customer 1: orders 100, 200, 300 (by date); budget = 480 (80% of
+    600): order1 full, order2 full, order3 partial 180. Conservation:
+    paid total == budget."""
+    base = dt.date(2024, 1, 1)
+    orders = [
+        (10, 1, 100.0, "O", base),
+        (11, 1, 200.0, "O", base + dt.timedelta(days=1)),
+        (12, 1, 300.0, "O", base + dt.timedelta(days=2)),
+    ]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string, o_orderdate date")
+    rows = {r.status: r for r in QUERIES["q_fifo_allocation"](spark, str(tmp_path)).collect()}
+    assert rows["full"].n_orders == 2
+    assert rows["full"].paid_cents == 30000
+    assert rows["partial"].n_orders == 1
+    assert rows["partial"].paid_cents == 18000  # 48000 budget - 30000
+    assert "unpaid" not in rows
+    assert sum(r.paid_cents for r in rows.values()) == 48000
+
+
+# ------------------------------------------------------- max drawdown
+
+
+def test_max_drawdown_peak_to_trough(spark, tmp_path):
+    """Equity path +10, -4, -3, +20 -> peak 10, trough 3 => dd 7000
+    milli; a monotonic user has zero drawdown and is filtered out."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    path = [("purchase", 10.0), ("error", 4.0), ("error", 3.0), ("purchase", 20.0)]
+    for day, (etype, v) in enumerate(path):
+        rows.append((eid, base + dt.timedelta(days=day), 1, etype, v, "{}")); eid += 1
+    for day in range(3):
+        rows.append((eid, base + dt.timedelta(days=day), 2, "purchase", 5.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.user_id: r for r in QUERIES["q_max_drawdown"](spark, str(tmp_path)).collect()}
+    assert out[1].max_drawdown_milli == 7000
+    assert 2 not in out  # monotonic equity: no drawdown
