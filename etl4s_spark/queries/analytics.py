@@ -1570,3 +1570,211 @@ def q_ts_locf_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b AS id, id_a AS nbr FROM pairs
+    ), deg AS (
+      SELECT id, count(*) AS degree FROM sym GROUP BY id
+    ), wedges AS (
+      SELECT s1.id AS a, s2.id AS b, count(*) AS common
+      FROM sym s1 JOIN sym s2 ON s1.nbr = s2.nbr AND s1.id < s2.id
+      GROUP BY s1.id, s2.id
+    ), scored AS (
+      SELECT w.a, w.b, w.common,
+             da.degree AS deg_a, db.degree AS deg_b,
+             CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_edge,
+             round(CAST(w.common AS DOUBLE)
+                   / CAST(da.degree + db.degree - w.common AS DOUBLE), 6)
+               AS jaccard
+      FROM wedges w
+      JOIN deg da ON da.id = w.a
+      JOIN deg db ON db.id = w.b
+      LEFT JOIN pairs e ON e.id_a = w.a AND e.id_b = w.b
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           CAST(is_edge AS INT) AS is_edge, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, a, b LIMIT 20
+    """,
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (neighbor-set Jaccard) node similarity on the
+    near-dup pair graph — link-prediction 101: two docs whose dup
+    NEIGHBORHOODS overlap heavily belong to one cluster even if their
+    own edge was missed by the sketch. Candidate pairs are generated by
+    the WEDGE join (pairs sharing ≥1 neighbor — the same Σdeg²-bounded
+    move as the triangle census, never all-pairs); |N(a)∩N(b)| falls
+    out as the wedge count, the union comes from degrees by inclusion-
+    exclusion, and is_edge marks whether the pair is already linked
+    (jaccard-high non-edges are the sketch's missed candidates). One
+    division per surviving pair, 6 dp, total-ordered top-20."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionAll(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = (
+        s1.join(
+            s2,
+            (F.col("s1.nbr") == F.col("s2.nbr")) & (F.col("s1.id") < F.col("s2.id")),
+        )
+        .groupBy(F.col("s1.id").alias("a"), F.col("s2.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
+    e = pairs.select("id_a", "id_b", F.lit(1).alias("edge_flag"))
+    scored = (
+        wedges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .join(
+            F.broadcast(e),
+            (F.col("a") == F.col("id_a")) & (F.col("b") == F.col("id_b")),
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.coalesce("edge_flag", F.lit(0)).cast("int").alias("is_edge"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
+
+
+@query(
+    "q_attribution_position",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS i,
+             count(*)    OVER (PARTITION BY e.user_id) AS k
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.conv_ts
+    ), credited AS (
+      SELECT event_type,
+             CASE WHEN k = 1 THEN 10000
+                  WHEN k = 2 THEN 5000
+                  WHEN i = 1 OR i = k THEN 4000
+                  ELSE 2000 // (k - 2)
+                       + CASE WHEN i - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END
+             END AS credit_bp
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+    FROM credited
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) attribution: every touch
+    before a user's first purchase gets basis-point credit — 40% to
+    first, 40% to last, the middle 20% split across interior touches.
+    Credit is EXACT INTEGER basis points: the interior split uses
+    div/mod with the remainder assigned to the EARLIEST interior
+    touches (a stated deterministic rule — fractional credit would
+    reopen the float-sum trap), so every user's credits sum to exactly
+    10000 (pinned in pytest) and channel totals are exact bigints.
+    Shapes: one aggregate for first purchases, one shuffle on user for
+    the two ranking windows (shared sort), then a channel rollup —
+    the same plan at any scale. First/last-touch is q_attribution_touch;
+    this is the multi-touch model a marketing warehouse actually runs."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when((F.col("i") == 1) | (F.col("i") == F.col("k")), 4000)
+        .otherwise(
+            F.expr("2000 div (k - 2)")
+            + F.when(F.col("i") - 1 <= F.expr("2000 % (k - 2)"), 1).otherwise(0)
+        )
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_activity_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS t FROM cells)
+    SELECT CAST(dow AS INT) AS dow,
+           hour,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+    FROM cells, tot
+    ORDER BY dow, hour
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the BI calendar grid behind
+    load forecasting and maintenance-window picking). The cross-engine
+    trap is WEEKDAY NUMBERING — Spark's dayofweek() is 1=Sunday,
+    DuckDB's isodow() is 1=Monday; the query standardizes on ISO
+    (weekday()+1 on the Spark side), under the UTC session timezone.
+    One map-side-combined aggregate to ≤168 cells, one broadcast total,
+    exact counts with a single share division."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -710,3 +710,76 @@ def test_max_drawdown_peak_to_trough(spark, tmp_path):
     out = {r.user_id: r for r in QUERIES["q_max_drawdown"](spark, str(tmp_path)).collect()}
     assert out[1].max_drawdown_milli == 7000
     assert 2 not in out  # monotonic equity: no drawdown
+
+
+# ------------------------------------------------------- batch 7
+
+
+def test_attribution_position_credits_sum_to_10000_per_user(spark, tmp_path):
+    """k=5 touches: first/last 4000 each, three middles get 666/667/667
+    by the earliest-remainder rule -> per-user total exactly 10000."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    # user 1: five pre-purchase touches of distinct types, then purchase
+    for i, etype in enumerate(["view", "click", "view", "signup", "error"]):
+        rows.append((eid, base + dt.timedelta(minutes=i), 1, etype, 1.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=9), 1, "purchase", 1.0, "{}")); eid += 1
+    # user 2: single touch -> full 10000
+    rows.append((eid, base, 2, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=1), 2, "purchase", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.event_type: r for r in QUERIES["q_attribution_position"](spark, str(tmp_path)).collect()}
+    total = sum(r.credit_bp for r in out.values())
+    assert total == 20000  # two converting users x 10000
+    # user1 middles i=2,3,4 get 2000 div 3 = 666, remainder 2000%3=2
+    # goes to the EARLIEST middles i=2 (click) and i=3 (view)
+    assert out["view"].credit_bp == 4000 + 667
+    assert out["click"].credit_bp == 667 + 10000  # user1 middle + user2 single
+    assert out["signup"].credit_bp == 666
+    assert out["error"].credit_bp == 4000  # last touch
+    assert "purchase" not in out  # conversions are not touches
+
+
+def test_jaccard_neighbors_planted_twins(spark, tmp_path):
+    """Nodes 1 and 2 are both linked to hub 0 only (no 1-2 edge):
+    neighbor sets identical -> jaccard 1.0 and is_edge 0."""
+    d = 64
+    a, b = 0.5, math.sqrt(0.75)
+
+    def vec(pairs_):
+        v = [0.0] * d
+        for i, x in pairs_:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec([(0, 1.0)])),
+        (1, vec([(0, a), (1, b)])),
+        (2, vec([(0, a), (2, b)])),
+    ]
+    # cos(1,2) = 0.25 < 0.4 (no edge); cos(0,1) = cos(0,2) = 0.5
+    _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<double>")
+    out = QUERIES["q_graph_jaccard_neighbors"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a, r.b) == (1, 2)
+    assert r.jaccard == 1.0 and r.is_edge == 0 and r.common == 1
+
+
+def test_activity_heatmap_iso_dow_and_shares(spark, tmp_path):
+    """2024-04-01 is a Monday -> dow 1; shares sum to 1."""
+    rows = []
+    eid = 0
+    mon = dt.datetime(2024, 4, 1, 10)   # Monday 10:00
+    sun = dt.datetime(2024, 4, 7, 23)   # Sunday 23:00
+    for _ in range(3):
+        rows.append((eid, mon, 1, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, sun, 1, "view", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_activity_heatmap"](spark, str(tmp_path)).collect()
+    cells = {(r.dow, r.hour): r for r in out}
+    assert cells[(1, 10)].n_events == 3
+    assert cells[(7, 23)].n_events == 1
+    assert cells[(1, 10)].share == 0.75
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
