@@ -1778,3 +1778,150 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "q_ts_decompose",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day, coalesce(count(e.event_id), 0) AS x
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), tr AS (
+      SELECT day, x,
+             sum(x)   OVER w AS s7,
+             count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT isodow(day) AS dow,
+             CAST(round((x - CAST(s7 AS DOUBLE) / c7) * 1000000) AS BIGINT)
+               AS det_e6
+      FROM tr WHERE c7 = 7
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(det_e6) AS DOUBLE) / count(*) / 1000000, 6)
+             AS seasonal,
+           CAST(max(abs(det_e6)) AS BIGINT) AS max_abs_det_e6
+    FROM det GROUP BY dow ORDER BY dow
+    """,
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume (STL-lite):
+    trend = centered 7-day moving average, detrended residuals averaged
+    by ISO weekday give the seasonal index (q_ts_seasonality's ratio-
+    to-overall-mean is the multiplicative cousin; this is the additive
+    textbook step). Determinism chain: the CMA is an exact integer sum
+    divided once per row (identical doubles), each residual is
+    quantized to integer micro-units BEFORE the per-dow averaging —
+    so the only cross-row accumulation is an exact bigint sum — and
+    edge days without a full 7-day frame are EXCLUDED (c7 = 7), not
+    averaged over a short frame. One shuffle for the daily aggregate;
+    the window and rollup run on O(days) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("event_id").alias("cx")
+    )
+    daily = grid.join(counts, "day", "left").select(
+        "day", F.coalesce("cx", F.lit(0)).alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        F.round(
+            (F.col("x") - F.col("s7").cast("double") / F.col("c7")) * 1000000
+        )
+        .cast("long")
+        .alias("det_e6"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum("det_e6").cast("double") / F.count(F.lit(1)) / 1000000, 6
+            ).alias("seasonal"),
+            F.max(F.abs(F.col("det_e6"))).cast("long").alias("max_abs_det_e6"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "q_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(cents AS BIGINT) AS rev_cents,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(sum(cents) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(sum(cents) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM rev
+    ORDER BY region, nation
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup (nation → region → grand total) — the
+    drill-down share column every BI hierarchy view carries. Revenue
+    aggregates once to the 25-nation leaf level in exact cents; both
+    parent totals come from windows OVER THE LEAF TABLE (25 rows), so
+    the fact table is scanned and shuffled exactly once and the two
+    denominators cost nothing — the percent-of-parent at 100 TB is a
+    window over the dimension-sized aggregate, never a second pass.
+    Dims chain by broadcast; shares are single divisions of exact
+    bigints, 6 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("cents").cast("long").alias("rev_cents"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wt).cast("double"), 6
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")

@@ -783,3 +783,45 @@ def test_activity_heatmap_iso_dow_and_shares(spark, tmp_path):
     assert cells[(7, 23)].n_events == 1
     assert cells[(1, 10)].share == 0.75
     assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- batch 8
+
+
+def test_ts_decompose_planted_weekly_pattern(spark, tmp_path):
+    """21 days: x = 10 except Mondays x = 17. CMA-7 trend is constant 11,
+    so the seasonal index must be +6 on Monday and -1 elsewhere."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)  # a Monday
+    for day in range(21):
+        cnt = 17 if day % 7 == 0 else 10
+        for j in range(cnt):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.dow: r for r in QUERIES["q_ts_decompose"](spark, str(tmp_path)).collect()}
+    assert out[1].seasonal == 6.0
+    for dow in range(2, 8):
+        assert out[dow].seasonal == -1.0
+    # edge days (first/last 3) excluded -> interior count per dow
+    assert sum(r.n_days for r in out.values()) == 15
+
+
+def test_share_of_parent_two_level(spark, tmp_path):
+    regions = [(1, "EU"), (2, "US")]
+    nations = [(1, "DE", 1), (2, "FR", 1), (3, "NY", 2)]
+    custs = [(1, 1), (2, 2), (3, 3)]
+    orders = [(1, 1, 100.0), (2, 2, 300.0), (3, 3, 600.0)]
+    _write(spark, tmp_path, "region", regions, "r_regionkey long, r_name string")
+    _write(spark, tmp_path, "nation", nations,
+           "n_nationkey long, n_name string, n_regionkey long")
+    _write(spark, tmp_path, "customer", custs, "c_custkey long, c_nationkey long")
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double")
+    out = {(r.region, r.nation): r for r in QUERIES["q_share_of_parent"](spark, str(tmp_path)).collect()}
+    assert out[("EU", "DE")].share_of_region == 0.25
+    assert out[("EU", "FR")].share_of_region == 0.75
+    assert out[("US", "NY")].share_of_region == 1.0
+    assert out[("US", "NY")].share_of_total == 0.6
+    assert out[("EU", "DE")].share_of_total == 0.1
