@@ -4158,3 +4158,136 @@ def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.orderBy("metric")
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS nt,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT)  AS n_words,
+           CAST(sum(nt) AS BIGINT)  AS n_tokens,
+           round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+             AS fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word under the
+    engine's BPE-ish token regex vs whitespace words, THE budgeting
+    number when a multilingual mix must be priced in tokens (fertility
+    ≫ 1 languages eat budget; the q_sample_token_budget input). Both
+    counts are per-row integer regexp/array lengths inside the scan
+    projection; per-lang totals are exact bigint sums with ONE division
+    at the end (corpus-level ratio, not a float mean of per-doc
+    ratios — order-free by construction). One map-side-combined
+    shuffle on lang."""
+    from etl4s_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nw = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    g = d.select(
+        "lang", token_count(F.col("text")).alias("nt"), nw.alias("nw")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+    ).orderBy("lang")
+
+
+@query(
+    "q_embedding_centroid_dist",
+    oracle="""
+    WITH el AS (
+      SELECT d.source, i AS dim,
+             CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_e6
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      CROSS JOIN unnest(generate_series(0, 63)) AS t(i)
+    ), cent AS (
+      SELECT source, dim, sum(v_e6) AS s, count(*) AS n
+      FROM el GROUP BY source, dim
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.dim,
+             CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n AS diff
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+    )
+    SELECT src_a, src_b,
+           round(sqrt(sum(CAST(round(diff * diff) AS BIGINT)) / 1e12), 6)
+             AS centroid_l2
+    FROM pairs
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distance between per-source embedding CENTROIDS —
+    the embedding-space drift check across crawl sources (two sources
+    whose centroids sit far apart need separate mixture treatment;
+    near-zero distance suggests redundant dumps). Raw float embeddings
+    are quantized per-element to integer micro-units BEFORE summation,
+    so each centroid is an exact rational (Σe6 / n) and cross-engine
+    float-sum ordering cannot move it; the per-dim squared diffs are
+    re-quantized before the final 64-term sum for the same reason. The
+    corpus collapses to |sources|×64 centroid cells in one shuffle;
+    the pairwise stage runs on that tiny table (the 100 TB cost is the
+    one posexplode scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    el = (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .select(
+            "source", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .toDF("source", "dim", "val")
+        .select(
+            "source",
+            "dim",
+            F.round(F.col("val") * 1000000).cast("long").alias("v_e6"),
+        )
+    )
+    cent = el.groupBy("source", "dim").agg(
+        F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        (
+            F.col("a.s").cast("double") / F.col("a.n")
+            - F.col("b.s").cast("double") / F.col("b.n")
+        ).alias("diff"),
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.round(F.col("diff") * F.col("diff")).cast("long"))
+                    / F.lit(1e12)
+                ),
+                6,
+            ).alias("centroid_l2")
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -825,3 +825,44 @@ def test_share_of_parent_two_level(spark, tmp_path):
     assert out[("US", "NY")].share_of_region == 1.0
     assert out[("US", "NY")].share_of_total == 0.6
     assert out[("EU", "DE")].share_of_total == 0.1
+
+
+# ------------------------------------------------------- batch 9
+
+
+def test_tokenizer_fertility_counts_punct_as_tokens(spark, tmp_path):
+    """'hi, there!' = 2 whitespace words but 4 regex tokens (hi , there !)
+    -> fertility 2.0; a punct-free doc has fertility 1.0."""
+    docs = [
+        (1, "hi, there!", "en", "s", 10),
+        (2, "one two three", "de", "s", 13),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = {r.lang: r for r in QUERIES["q_tokenizer_fertility"](spark, str(tmp_path)).collect()}
+    assert (out["en"].n_words, out["en"].n_tokens) == (2, 4)
+    assert out["en"].fertility == 2.0
+    assert out["de"].fertility == 1.0
+
+
+def test_embedding_centroid_dist_planted_offset(spark, tmp_path):
+    """Source A vectors average to the origin, source B to (3,4,0,...):
+    centroid L2 must be exactly 5."""
+    d = 64
+
+    def vec(x, y):
+        v = [0.0] * d
+        v[0], v[1] = x, y
+        return v
+
+    embs = [
+        (1, vec(1.0, 0.0)), (2, vec(-1.0, 0.0)),      # A centroid (0,0)
+        (3, vec(3.0, 4.0)), (4, vec(3.0, 4.0)),       # B centroid (3,4)
+    ]
+    docs = [(1, "x", "en", "A", 1), (2, "x", "en", "A", 1),
+            (3, "x", "en", "B", 1), (4, "x", "en", "B", 1)]
+    _write(spark, tmp_path, "embeddings", embs, "vec_id long, embedding array<double>")
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = QUERIES["q_embedding_centroid_dist"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].src_a, out[0].src_b) == ("A", "B")
+    assert out[0].centroid_l2 == 5.0
