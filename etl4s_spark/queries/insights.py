@@ -1789,3 +1789,216 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_drawdown_milli").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q_ab_cuped",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0 FROM events
+    ), u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND ts < d0 + to_days(15)
+                      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS pre,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND ts >= d0 + to_days(15)
+                      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS post
+      FROM events, span
+      GROUP BY user_id
+    ), g AS (
+      SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy,
+             sum(pre * post) AS sxy, sum(pre * pre) AS sxx
+      FROM u
+    ), th AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / n AS mean_pre_all
+      FROM g
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(u.pre) AS DOUBLE) / count(*) / 1000, 6) AS mean_pre,
+           round(CAST(sum(u.post) AS DOUBLE) / count(*) / 1000, 6) AS mean_post,
+           round((CAST(sum(u.post) AS DOUBLE) / count(*)
+                  - th.theta * (CAST(sum(u.pre) AS DOUBLE) / count(*)
+                                - th.mean_pre_all)) / 1000, 6) AS mean_post_cuped
+    FROM u, th
+    GROUP BY arm, th.theta, th.mean_pre_all
+    ORDER BY arm
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng et al.,
+    WSDM'13): users hash-split 50/50 (the content-addressed md5 recipe
+    — assignment is reproducible on both engines), pre-period purchase
+    value is the covariate, and each arm's post-period mean is adjusted
+    by θ·(pre_arm − pre_all) with θ = cov(pre,post)/var(pre) from EXACT
+    integer moment sums over milli-units. The whole experiment readout
+    is two shuffles (per-user rollup, per-arm rollup) plus a broadcast
+    1-row θ — the shape that reads a 100 TB event log once. Float math
+    happens only in the final per-arm expressions, identical on both
+    engines, 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.date_trunc("DAY", F.min("ts")).alias("d0"))
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    milli = F.round(F.col("value") * 1000).cast("long")
+    cutoff = F.col("d0") + F.make_dt_interval(F.lit(15))
+    u = (
+        ev.join(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.first(arm).alias("arm"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") < cutoff),
+                    milli,
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= cutoff),
+                    milli,
+                ).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre_all"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre").alias("spre"),
+        F.sum("post").alias("spost"),
+    )
+    mean_pre = F.col("spre").cast("double") / F.col("n_users")
+    mean_post = F.col("spost").cast("double") / F.col("n_users")
+    return (
+        arms.join(F.broadcast(g))
+        .select(
+            "arm",
+            F.col("n_users").cast("long"),
+            F.round(mean_pre / 1000, 6).alias("mean_pre"),
+            F.round(mean_post / 1000, 6).alias("mean_post"),
+            F.round(
+                (mean_post - F.col("theta") * (mean_pre - F.col("mean_pre_all")))
+                / 1000,
+                6,
+            ).alias("mean_post_cuped"),
+        )
+        .orderBy("arm")
+    )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day, coalesce(count(e.event_id), 0) AS x
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), lagged AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY day) AS naive,
+             lag(x, 7) OVER (ORDER BY day) AS snaive
+      FROM daily
+    ), errs AS (
+      SELECT model, x, f
+      FROM (
+        SELECT 'naive' AS model, x, naive AS f FROM lagged
+        UNION ALL
+        SELECT 'seasonal_naive', x, snaive FROM lagged
+      ) WHERE f IS NOT NULL
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           round(CAST(sum(abs(x - f)) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(CAST(round(2000000000.0 * abs(x - f) / (x + f))
+                               AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000000, 6) AS smape
+    FROM errs GROUP BY model ORDER BY model
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest on daily event volume: the
+    naive (yesterday) and seasonal-naive (same weekday last week)
+    baselines every forecasting effort must beat, scored by MAE and
+    sMAPE. Absolute errors are exact integers (counts), so MAE is one
+    division; each sMAPE term 2|x−f|/(x+f) is quantized to integer
+    nano-units BEFORE averaging (the float-sum order rule). Both
+    forecasts come from lag windows over the O(days) zero-filled grid
+    — the fact table is aggregated once; at 100 TB backtesting longer
+    horizons just adds lag columns to the same window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("event_id").alias("cx")
+    )
+    daily = grid.join(counts, "day", "left").select(
+        "day", F.coalesce("cx", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("naive"),
+        F.lag("x", 7).over(w).alias("snaive"),
+    )
+    errs = (
+        lagged.select("x", F.lit("naive").alias("model"), F.col("naive").alias("f"))
+        .unionAll(
+            lagged.select(
+                "x", F.lit("seasonal_naive").alias("model"), F.col("snaive").alias("f")
+            )
+        )
+        .filter(F.col("f").isNotNull())
+    )
+    smape_term = F.round(
+        2000000000.0 * F.abs(F.col("x") - F.col("f")) / (F.col("x") + F.col("f"))
+    ).cast("long")
+    return (
+        errs.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_evals"),
+            F.round(
+                F.sum(F.abs(F.col("x") - F.col("f"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(smape_term).cast("double") / F.count(F.lit(1)) / 1000000000,
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("model")
+    )

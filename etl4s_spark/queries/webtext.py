@@ -1069,3 +1069,93 @@ def q_text_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_powerlaw_fit",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT word, count(*) AS freq FROM words GROUP BY word
+    ), top AS (
+      SELECT row_number() OVER (ORDER BY freq DESC, word) AS rank, freq
+      FROM counts ORDER BY freq DESC, word LIMIT 100
+    ), q AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x6,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y6
+      FROM top
+    ), s AS (
+      SELECT count(*) AS n, sum(x6) AS sx, sum(y6) AS sy,
+             sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_alpha,
+           round((CAST(sy AS DOUBLE) / n
+                  + (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / n * -1) * -1) / 1000000, 6)
+             AS ln_c
+    FROM s
+    """,
+)
+def q_text_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent estimate: OLS of ln(freq) on ln(rank) over the
+    top-100 words — the one-number summary of q_text_zipf's table
+    (natural corpora sit near α≈1; α drifting low flags boilerplate
+    flooding the head). Each (ln rank, ln freq) point is computed on
+    exact-integer inputs and quantized to integer MICRO-units before
+    the moment sums (e6, not e9 — e9 products would overflow bigint at
+    ln²≈25·10¹⁸), so the regression consumes exact bigint sums and
+    does float math once. The top-100 selection is TakeOrdered with a
+    word tie-break; everything downstream runs on 100 rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    counts = (
+        d.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        counts.orderBy(F.col("freq").desc(), "word")
+        .limit(100)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "word"))
+            .alias("rank"),
+            "freq",
+        )
+    )
+    q = top.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x6"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y6"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                + slope * (F.col("sx").cast("double") / F.col("n") * -1) * -1
+            )
+            / 1000000,
+            6,
+        ).alias("ln_c"),
+    )
