@@ -556,3 +556,49 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(l + b, 6) AS forecast_next
         FROM h ORDER BY week
     """)
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem WHERE l_quantity >= 10
+    ), agg AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n, sum(rev_cents) AS revenue_cents
+      FROM f GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents
+    FROM agg WHERE n >= 10
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (`|>`) — the linear query dialect
+    (filter |> project |> aggregate |> having |> order) that reads like
+    the reference's `~>` pipeline combinator in SQL form, which is
+    exactly the analogy a reference user migrating to this engine
+    needs. Same Catalyst plan as the nested-CTE formulation (the oracle
+    states it classically): the pipeline is syntax, not a different
+    executor — one scan with the quantity filter pushed down, one
+    map-side-combined aggregate, exact cent arithmetic."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        FROM {li}
+        |> WHERE l_quantity >= 10
+        |> SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    AS rev_cents
+        |> AGGREGATE count(*) AS n, sum(rev_cents) AS revenue_cents
+             GROUP BY l_returnflag, l_linestatus
+        |> WHERE n >= 10
+        |> SELECT l_returnflag, l_linestatus,
+                  CAST(n AS BIGINT) AS n,
+                  CAST(revenue_cents AS BIGINT) AS revenue_cents
+        |> ORDER BY l_returnflag, l_linestatus
+    """)

@@ -934,3 +934,24 @@ def test_powerlaw_alpha_exact_on_planted_zipf(spark, tmp_path):
     assert out.n_points == 5
     assert abs(out.zipf_alpha - round(-slope, 6)) < 1e-9
     assert 0.9 < out.zipf_alpha < 1.1  # planted 1/rank law
+
+
+def test_pipe_syntax_equals_classic_formulation(spark, tmp_path):
+    """The |> pipeline must produce byte-identical results to the
+    classic GROUP BY + HAVING statement of the same query."""
+    rows = [(float(q), 0.1, 0.0, 100.0 * q, "N" if q % 2 else "R")
+            for q in range(1, 41)]
+    _write(spark, tmp_path, "lineitem",
+           [(q, d, t, p, rf, "O") for q, d, t, p, rf in rows],
+           "l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string, l_linestatus string")
+    got = QUERIES["q_sql_pipe_syntax"](spark, str(tmp_path)).collect()
+    ref = spark.sql("""
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM __lineitem WHERE l_quantity >= 10
+        GROUP BY l_returnflag, l_linestatus HAVING count(*) >= 10
+        ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    assert got == ref and len(got) >= 1
