@@ -2002,3 +2002,247 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CASE WHEN year(l_shipdate) = 1995 THEN 0 ELSE 1 END AS period,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS q
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1995, 2000)
+      GROUP BY 1, 2
+    ), basket AS (
+      SELECT p0.l_partkey, p0.c AS c0, p0.q AS q0, p1.c AS c1, p1.q AS q1
+      FROM per p0 JOIN per p1 ON p1.l_partkey = p0.l_partkey
+      WHERE p0.period = 0 AND p1.period = 1
+    ), terms AS (
+      SELECT c0, c1,
+             CAST(round(c1 * q0 * 1000.0 / q1) AS BIGINT) AS l_num_e3,
+             CAST(round(c0 * q1 * 1000.0 / q0) AS BIGINT) AS p_den_e3
+      FROM basket
+    ), s AS (
+      SELECT count(*) AS n, sum(c0) AS sc0, sum(c1) AS sc1,
+             sum(l_num_e3) AS sl, sum(p_den_e3) AS sp
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_basket_parts,
+           round(CAST(sl AS DOUBLE) / (CAST(sc0 AS DOUBLE) * 1000), 6)
+             AS laspeyres,
+           round(CAST(sc1 AS DOUBLE) * 1000 / CAST(sp AS DOUBLE), 6)
+             AS paasche,
+           round(sqrt((CAST(sl AS DOUBLE) / (CAST(sc0 AS DOUBLE) * 1000))
+                      * (CAST(sc1 AS DOUBLE) * 1000 / CAST(sp AS DOUBLE))), 6)
+             AS fisher
+    FROM s
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between two shipment
+    years (1995 base → 2000 current) over the common part basket — the
+    inflation-tracking rollup a commerce warehouse publishes monthly.
+    Unit values are rationals (Σcents/Σqty per part-period), so each
+    index term c₁·q₀/q₁ is quantized per part to integer milli-cents
+    (identical per-row doubles → identical integers) and the index is a
+    ratio of exact bigint sums — no float accumulation anywhere.
+    Laspeyres denominator and Paasche numerator need no quantization at
+    all (they are plain cent sums). One scan with the year filter
+    pushed down, one shuffle on (part, period), and the basket join
+    runs on the part-level aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.year("l_shipdate").isin(1995, 2000))
+        .groupBy(
+            "l_partkey",
+            F.when(F.year("l_shipdate") == 1995, 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    p0 = per.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("c").alias("c0"), F.col("q").alias("q0")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("c").alias("c1"), F.col("q").alias("q1")
+    )
+    basket = p0.join(p1, "l_partkey")
+    terms = basket.select(
+        "c0",
+        "c1",
+        F.round(F.col("c1") * F.col("q0") * 1000.0 / F.col("q1"))
+        .cast("long")
+        .alias("l_num_e3"),
+        F.round(F.col("c0") * F.col("q1") * 1000.0 / F.col("q0"))
+        .cast("long")
+        .alias("p_den_e3"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c0").alias("sc0"),
+        F.sum("c1").alias("sc1"),
+        F.sum("l_num_e3").alias("sl"),
+        F.sum("p_den_e3").alias("sp"),
+    )
+    lasp = F.col("sl").cast("double") / (F.col("sc0").cast("double") * 1000)
+    paas = F.col("sc1").cast("double") * 1000 / F.col("sp").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_basket_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@query(
+    "q_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT segment, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      FROM rev GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           round(CAST(sxx AS DOUBLE)
+                 / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hhi,
+           round((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(sxx AS DOUBLE), 4) AS n_effective
+    FROM s ORDER BY segment
+    """,
+)
+def q_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of customer revenue per
+    segment, with the effective-customer count 1/HHI — the antitrust-
+    style counterpart of q_gini_concentration (HHI weights the whales
+    quadratically; n_effective reads as 'this segment behaves like N
+    equal customers'). HHI = Σx²/(Σx)² needs NO share computation:
+    both sums are exact (x² ≈ 10¹⁶ per customer would overflow a
+    bigint accumulator at scale, so the Spark side sums in
+    decimal(38,0) — DuckDB's sum is already 128-bit), and the single
+    division happens on identical doubles. One shuffle to the customer
+    level, one to the 5-segment rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    s = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(24,0)").alias("sx"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        ).alias("sxx"),
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.col("sxx").cast("double")
+            / (F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.round(
+            (F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / F.col("sxx").cast("double"),
+            4,
+        ).alias("n_effective"),
+    ).orderBy("segment")
+
+
+@query(
+    "q_psi_stability",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS period
+      FROM orders
+    ), bounds AS (
+      SELECT min(cents) AS lo, max(cents) AS hi FROM f
+    ), b AS (
+      SELECT period,
+             least(9, CAST(((cents - lo) * 10) // (hi - lo + 1) AS BIGINT))
+               AS bucket
+      FROM f, bounds
+    ), cells AS (
+      SELECT bucket,
+             1 + coalesce(sum(CASE WHEN period = 0 THEN 1 END), 0) AS nb,
+             1 + coalesce(sum(CASE WHEN period = 1 THEN 1 END), 0) AS nc
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT sum(nb) AS tb, sum(nc) AS tc FROM cells
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(nb - 1 AS BIGINT) AS n_base,
+           CAST(nc - 1 AS BIGINT) AS n_curr,
+           round(CAST(round((CAST(nb AS DOUBLE) / tb - CAST(nc AS DOUBLE) / tc)
+                            * ln(CAST(nb * tc AS DOUBLE) / CAST(nc * tb AS DOUBLE))
+                            * 1000000000) AS BIGINT) / 1000000000.0, 6)
+             AS psi_term
+    FROM cells, tot
+    ORDER BY bucket
+    """,
+)
+def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    pre-1998 vs 1998+ — the model-monitoring drift metric (PSI > 0.2 ⇒
+    the scoring population moved; q_corpus_drift is its text-unigram
+    sibling). Ten equal-width buckets over the exact cent domain
+    (integer edge arithmetic — no value can land on a different side of
+    a boundary), add-one smoothing so empty cells stay finite, and each
+    (p−q)·ln(p/q) term evaluates on exact-count ratios and quantizes to
+    nano-units — the output is per-bucket so the drift's LOCATION is
+    visible, and the total PSI is the exact sum of the terms. One scan,
+    one 10-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.year("o_orderdate") < 1998, 0).otherwise(1).alias("period"),
+    )
+    bounds = f.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = f.join(F.broadcast(bounds)).select(
+        "period",
+        F.least(
+            F.lit(9), F.expr("((cents - lo) * 10) div (hi - lo + 1)")
+        ).alias("bucket"),
+    )
+    cells = b.groupBy("bucket").agg(
+        (1 + F.coalesce(F.sum(F.when(F.col("period") == 0, 1)), F.lit(0))).alias(
+            "nb"
+        ),
+        (1 + F.coalesce(F.sum(F.when(F.col("period") == 1, 1)), F.lit(0))).alias(
+            "nc"
+        ),
+    )
+    tot = cells.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    term = (
+        (
+            F.col("nb").cast("double") / F.col("tb")
+            - F.col("nc").cast("double") / F.col("tc")
+        )
+        * F.log(
+            (F.col("nb") * F.col("tc")).cast("double")
+            / (F.col("nc") * F.col("tb")).cast("double")
+        )
+        * 1000000000
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int"),
+            (F.col("nb") - 1).cast("long").alias("n_base"),
+            (F.col("nc") - 1).cast("long").alias("n_curr"),
+            F.round(F.round(term).cast("long") / 1000000000.0, 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -399,19 +399,19 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sql_recursive_drawdown",
     oracle="""
-    WITH RECURSIVE daily AS (
-      SELECT user_id, date_trunc('day', ts) AS day,
+    WITH RECURSIVE weekly AS (
+      SELECT user_id, date_trunc('week', ts) AS week,
              sum(CASE WHEN event_type = 'purchase'
                       THEN CAST(round(value * 1000) AS BIGINT)
                       WHEN event_type = 'error'
                       THEN -CAST(round(value * 1000) AS BIGINT)
                       ELSE 0 END) AS delta
       FROM events WHERE user_id < 50 AND event_type IN ('purchase', 'error')
-      GROUP BY user_id, date_trunc('day', ts)
+      GROUP BY user_id, date_trunc('week', ts)
     ), idx AS (
       SELECT user_id, delta,
-             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
-      FROM daily
+             row_number() OVER (PARTITION BY user_id ORDER BY week) AS t
+      FROM weekly
     ), r(user_id, t, bal) AS (
       SELECT user_id, t, greatest(CAST(0 AS BIGINT), delta) FROM idx WHERE t = 1
       UNION ALL
@@ -419,7 +419,7 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r JOIN idx d ON d.user_id = r.user_id AND d.t = r.t + 1
     )
     SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_periods,
            CAST(max(CASE WHEN t = mt THEN bal END) AS BIGINT) AS final_bal_milli,
            CAST(max(bal) AS BIGINT) AS peak_bal_milli
     FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)
@@ -431,35 +431,45 @@ def q_sql_recursive_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors debit, balance clamps at 0) — the canonical NON-LINEAR
     recurrence that window functions cannot express (max(0, ·) between
     steps breaks prefix-sum associativity), solved with a recursive CTE
-    stepping all users in lockstep over their day index: depth = max
-    active days (≤30 here, bounded by the calendar at any scale), and
-    each step is one join of the live state (one row per user) against
-    that day's deltas. Deltas are exact milli-units aggregated BEFORE
-    the recursion, so the fact table is touched once and the recursion
-    runs on user-day state only."""
+    stepping all users in lockstep over their WEEK index: depth = max
+    active weeks (≤5 here — Spark schedules a full stage per recursion
+    level, so settlement-period granularity keeps the level count
+    single-digit at any corpus scale), each step one join of the live
+    state (one row per user) against that week's deltas. Deltas are
+    exact milli-units aggregated BEFORE the recursion, so the fact
+    table is touched once and the recursion runs on user-week state
+    only."""
     ev = _view(spark, sf_dir, "events")
-    return spark.sql(f"""
-        WITH RECURSIVE daily AS (
-          SELECT user_id, date_trunc('DAY', ts) AS day,
+    # Materialize the user-week delta index BEFORE the recursion: every
+    # recursion level re-evaluates the CTE inputs, so an uncached `idx`
+    # would re-aggregate the fact table once per level (the Holt rule).
+    idx = spark.sql(f"""
+        WITH weekly AS (
+          SELECT user_id, date_trunc('WEEK', ts) AS week,
                  sum(CASE WHEN event_type = 'purchase'
                           THEN CAST(round(value * 1000) AS BIGINT)
                           WHEN event_type = 'error'
                           THEN -CAST(round(value * 1000) AS BIGINT)
                           ELSE CAST(0 AS BIGINT) END) AS delta
           FROM {ev} WHERE user_id < 50 AND event_type IN ('purchase', 'error')
-          GROUP BY user_id, date_trunc('DAY', ts)
-        ), idx AS (
-          SELECT user_id, delta,
-                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS t
-          FROM daily
-        ), r(user_id, t, bal) AS (
+          GROUP BY user_id, date_trunc('WEEK', ts)
+        )
+        SELECT user_id, delta,
+               row_number() OVER (PARTITION BY user_id ORDER BY week) AS t
+        FROM weekly
+    """).cache()
+    idx.count()
+    idx.createOrReplaceTempView("__drawdown_idx")
+    return spark.sql("""
+        WITH RECURSIVE idx AS (SELECT * FROM __drawdown_idx),
+        r(user_id, t, bal) AS (
           SELECT user_id, t, greatest(CAST(0 AS BIGINT), delta) FROM idx WHERE t = 1
           UNION ALL
           SELECT d.user_id, d.t, greatest(CAST(0 AS BIGINT), r.bal + d.delta)
           FROM r JOIN idx d ON d.user_id = r.user_id AND d.t = r.t + 1
         )
         SELECT user_id,
-               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_periods,
                CAST(max(CASE WHEN t = mt THEN bal END) AS BIGINT) AS final_bal_milli,
                CAST(max(bal) AS BIGINT) AS peak_bal_milli
         FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)

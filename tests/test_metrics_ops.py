@@ -586,26 +586,26 @@ def test_new_returning_weekly_split(spark, tmp_path):
 
 
 def test_recursive_drawdown_clamps_at_zero(spark, tmp_path):
-    """User 1: +5, -10, +3 (daily) -> clamped path 5000,0,3000 (final 3000,
-    peak 5000); an unclamped prefix sum would end at -2000. User 2 stays
-    positive so clamped == plain cumsum."""
+    """User 1: +5, -10, +3 (one delta per WEEK) -> clamped path
+    5000,0,3000 (final 3000, peak 5000); an unclamped prefix sum would
+    end at -2000. User 2 stays positive so clamped == plain cumsum."""
     rows = []
     eid = 0
     base = dt.datetime(2024, 4, 1)
-    for day, (etype, val) in enumerate(
+    for wk, (etype, val) in enumerate(
         [("purchase", 5.0), ("error", 10.0), ("purchase", 3.0)]
     ):
-        rows.append((eid, base + dt.timedelta(days=day), 1, etype, val, "{}")); eid += 1
-    for day, (etype, val) in enumerate(
+        rows.append((eid, base + dt.timedelta(weeks=wk), 1, etype, val, "{}")); eid += 1
+    for wk, (etype, val) in enumerate(
         [("purchase", 4.0), ("error", 1.0), ("purchase", 2.0)]
     ):
-        rows.append((eid, base + dt.timedelta(days=day), 2, etype, val, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(weeks=wk), 2, etype, val, "{}")); eid += 1
     # noise rows that must be ignored (other types, other users)
     rows.append((eid, base, 1, "view", 99.0, "{}")); eid += 1
     rows.append((eid, base, 99, "purchase", 99.0, "{}")); eid += 1
     _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
     out = {r.user_id: r for r in QUERIES["q_sql_recursive_drawdown"](spark, str(tmp_path)).collect()}
-    assert out[1].n_days == 3
+    assert out[1].n_periods == 3
     assert out[1].final_bal_milli == 3000   # clamped: NOT -2000
     assert out[1].peak_bal_milli == 5000
     assert out[2].final_bal_milli == 5000   # 4000 -> 3000 -> 5000
@@ -955,3 +955,76 @@ def test_pipe_syntax_equals_classic_formulation(spark, tmp_path):
         ORDER BY l_returnflag, l_linestatus
     """).collect()
     assert got == ref and len(got) >= 1
+
+
+# ------------------------------------------------------- batch 11
+
+
+_LI_FULL_SCHEMA = (
+    "l_partkey long, l_quantity double, l_discount double, l_tax double, "
+    "l_extendedprice double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def test_price_index_pure_inflation(spark, tmp_path):
+    """Every basket part's unit price doubles at equal quantities ->
+    Laspeyres = Paasche = Fisher = 2. A part present only in one
+    period must be excluded from the basket."""
+    rows = []
+    d95 = dt.datetime(1995, 6, 1)
+    d00 = dt.datetime(2000, 6, 1)
+    for pk in (1, 2, 3):
+        rows.append((pk, 10.0, 0.0, 0.0, 100.0 * pk, "N", "O", d95))
+        rows.append((pk, 10.0, 0.0, 0.0, 200.0 * pk, "N", "O", d00))
+    rows.append((99, 5.0, 0.0, 0.0, 500.0, "N", "O", d95))  # base-only part
+    _write(spark, tmp_path, "lineitem", rows, _LI_FULL_SCHEMA)
+    out = QUERIES["q_price_index"](spark, str(tmp_path)).collect()[0]
+    assert out.n_basket_parts == 3
+    assert out.laspeyres == 2.0 and out.paasche == 2.0 and out.fisher == 2.0
+
+
+def test_hhi_monopoly_and_uniform(spark, tmp_path):
+    """Segment M: one customer -> HHI 1, n_eff 1. Segment U: four equal
+    customers -> HHI 0.25, n_eff 4."""
+    custs = [(1, "M"), (2, "U"), (3, "U"), (4, "U"), (5, "U")]
+    orders = [(1, 1, 500.0)] + [(k, k, 100.0) for k in (2, 3, 4, 5)]
+    _write(spark, tmp_path, "customer", custs, _CUST_SCHEMA)
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = {r.segment: r for r in QUERIES["q_concentration_hhi"](spark, str(tmp_path)).collect()}
+    assert out["M"].hhi == 1.0 and out["M"].n_effective == 1.0
+    assert out["U"].hhi == 0.25 and out["U"].n_effective == 4.0
+
+
+def test_psi_identical_distributions_is_zero(spark, tmp_path):
+    """Same value mix in both periods -> every psi term 0."""
+    rows = []
+    ok = 0
+    for year in (1996, 1999):
+        for v in (100.0, 200.0, 300.0, 400.0):
+            for _ in range(5):
+                ok += 1
+                rows.append((ok, 1, v, "O", dt.date(year, 3, 1)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string, o_orderdate date")
+    out = QUERIES["q_psi_stability"](spark, str(tmp_path)).collect()
+    assert sum(abs(r.psi_term) for r in out) == 0.0
+    assert sum(r.n_base for r in out) == 20 and sum(r.n_curr for r in out) == 20
+
+
+def test_psi_detects_shift(spark, tmp_path):
+    """Values move from the low bucket to the high bucket across
+    periods -> positive PSI mass in both moved buckets."""
+    rows = []
+    ok = 0
+    for _ in range(20):
+        ok += 1; rows.append((ok, 1, 100.0, "O", dt.date(1996, 3, 1)))
+    for _ in range(20):
+        ok += 1; rows.append((ok, 1, 1000.0, "O", dt.date(1999, 3, 1)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string, o_orderdate date")
+    out = QUERIES["q_psi_stability"](spark, str(tmp_path)).collect()
+    total = sum(r.psi_term for r in out)
+    assert total > 1.0  # massive shift
