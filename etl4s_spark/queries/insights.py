@@ -2246,3 +2246,131 @@ def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_sample_bootstrap_se",
+    oracle="""
+    WITH reps AS (SELECT unnest(generate_series(0, 19)) AS r),
+    w AS (
+      SELECT reps.r,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CASE
+               WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+               WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+               WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+               ELSE 6 END AS wt
+      FROM orders o CROSS JOIN reps,
+      LATERAL (SELECT ('0x' || substr(md5('boot:' || CAST(reps.r AS VARCHAR)
+                       || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               AS u)
+    ), rep_means AS (
+      SELECT r,
+             CAST(round(CAST(sum(wt * cents) AS DOUBLE) * 1000000
+                        / sum(wt)) AS BIGINT) AS m6
+      FROM w GROUP BY r
+    ), s AS (
+      SELECT count(*) AS rn, sum(CAST(m6 AS HUGEINT)) AS sm,
+             sum(CAST(m6 AS HUGEINT) * m6) AS smm
+      FROM rep_means
+    ), pt AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+      FROM orders
+    )
+    SELECT CAST(pt.n AS BIGINT) AS n_orders,
+           CAST(s.rn AS BIGINT) AS n_replicates,
+           round(CAST(pt.sc AS DOUBLE) / pt.n / 100, 4) AS mean_price,
+           round(sqrt(CAST(s.rn * s.smm - s.sm * s.sm AS DOUBLE)
+                      / (CAST(s.rn AS DOUBLE) * (s.rn - 1)))
+                 / 1000000 / 100, 4) AS boot_se_price
+    FROM s, pt
+    """,
+)
+def q_sample_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of mean order value — the
+    one-pass, RNG-free bootstrap a distributed engine actually runs
+    (Chamandy et al., Google 2012): each (replicate, row) draws a
+    Poisson(1) weight by inverting the CDF on a content-addressed
+    md5 uniform (integer thresholds ⌊F(k)·2³²⌋ written as identical
+    literals on both engines — no RNG, no resampling shuffle, fully
+    reproducible across engines and retries). 20 replicates ride ONE
+    scan via a broadcast replicate dimension; each replicate mean is
+    quantized to micro-cents, and the SE comes from exact integer
+    variance arithmetic over the 20 means (decimal sums — m6² ≈ 10²⁶).
+    At 100 TB this is THE error-bar recipe: the fan-out is ×R on the
+    map side with map-side combine, never a second pass over the
+    fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.range(0, 20).select(F.col("id").cast("int").alias("r"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wt = (
+        F.when(u < 1580030168, 0)
+        .when(u < 3160060337, 1)
+        .when(u < 3950075421, 2)
+        .when(u < 4213413783, 3)
+        .when(u < 4279248373, 4)
+        .when(u < 4292415291, 5)
+        .otherwise(6)
+    )
+    w = o.join(F.broadcast(reps)).select(
+        "r",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        wt.alias("wt"),
+    )
+    rep_means = w.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("wt") * F.col("cents")).cast("double")
+            * 1000000
+            / F.sum("wt")
+        )
+        .cast("long")
+        .alias("m6")
+    )
+    s = rep_means.agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.sum("m6").cast("decimal(24,0)").alias("sm"),
+        F.sum(
+            F.col("m6").cast("decimal(19,0)") * F.col("m6").cast("decimal(19,0)")
+        ).alias("smm"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sc"),
+    )
+    return (
+        s.join(F.broadcast(pt))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("rn").cast("long").alias("n_replicates"),
+            F.round(F.col("sc").cast("double") / F.col("n") / 100, 4).alias(
+                "mean_price"
+            ),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("rn") * F.col("smm") - F.col("sm") * F.col("sm")
+                    ).cast("double")
+                    / (F.col("rn").cast("double") * (F.col("rn") - 1))
+                )
+                / 1000000
+                / 100,
+                4,
+            ).alias("boot_se_price"),
+        )
+    )

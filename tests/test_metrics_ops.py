@@ -1028,3 +1028,21 @@ def test_psi_detects_shift(spark, tmp_path):
     out = QUERIES["q_psi_stability"](spark, str(tmp_path)).collect()
     total = sum(r.psi_term for r in out)
     assert total > 1.0  # massive shift
+
+
+def test_bootstrap_se_sanity_and_determinism(spark, tmp_path):
+    """SE of the mean from the Poisson bootstrap must sit near
+    sigma/sqrt(n) for an iid sample, and rerunning must be bit-identical
+    (content-addressed weights, no RNG)."""
+    import statistics
+    vals = [100.0 + (i % 10) * 50.0 for i in range(200)]
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    out1 = QUERIES["q_sample_bootstrap_se"](spark, str(tmp_path)).collect()[0]
+    out2 = QUERIES["q_sample_bootstrap_se"](spark, str(tmp_path)).collect()[0]
+    assert out1 == out2  # deterministic
+    assert out1.n_orders == 200 and out1.n_replicates == 20
+    assert out1.mean_price == round(sum(vals) / len(vals), 4)
+    analytic = statistics.pstdev(vals) / math.sqrt(len(vals))
+    # 20 replicates is noisy: allow a factor-2 band around sigma/sqrt(n)
+    assert analytic / 2 < out1.boot_se_price < analytic * 2
