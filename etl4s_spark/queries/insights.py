@@ -2374,3 +2374,211 @@ def q_sample_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_se_price"),
         )
     )
+
+
+@query(
+    "q_jackknife_groups",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey % 20 AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT grp, count(*) AS ng, sum(cents) AS sg FROM g GROUP BY grp
+    ), tot AS (
+      SELECT sum(ng) AS n, sum(sg) AS s, count(*) AS ngroups FROM per
+    ), loo AS (
+      SELECT CAST(round(CAST(tot.s - per.sg AS DOUBLE) * 1000000
+                        / (tot.n - per.ng)) AS BIGINT) AS e6
+      FROM per, tot
+    ), v AS (
+      SELECT count(*) AS gn, sum(CAST(e6 AS HUGEINT)) AS se,
+             sum(CAST(e6 AS HUGEINT) * e6) AS see
+      FROM loo
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_orders,
+           CAST(tot.ngroups AS BIGINT) AS n_groups,
+           round(CAST(tot.s AS DOUBLE) / tot.n / 100, 4) AS mean_price,
+           round(sqrt(CAST((v.gn - 1) * (v.gn * v.see - v.se * v.se)
+                           AS DOUBLE)) / v.gn
+                 / 1000000 / 100, 4) AS jk_se_price
+    FROM v, tot
+    """,
+)
+def q_jackknife_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of mean order value —
+    the other one-pass error-bar recipe (the bootstrap's deterministic
+    sibling; the streaming-systems default when replicate weights are
+    too expensive): rows hash into 20 buckets, each leave-one-bucket-
+    out estimate is derived from the per-bucket sums ALONE (the fact
+    table never re-scans), and SE² = (G−1)/G·Σ(θ_g − θ̄)². Estimates
+    quantize to micro-cents so the variance is exact integer
+    arithmetic (HUGEINT/decimal — squares ≈10²⁶); one shuffle to 20
+    cells, everything after is constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        (F.col("o_orderkey") % 20).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("cents").alias("sg")
+    )
+    tot = per.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.count(F.lit(1)).alias("ngroups"),
+    )
+    loo = per.join(F.broadcast(tot)).select(
+        F.round(
+            (F.col("s") - F.col("sg")).cast("double")
+            * 1000000
+            / (F.col("n") - F.col("ng"))
+        )
+        .cast("long")
+        .alias("e6")
+    )
+    v = loo.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(F.col("e6").cast("decimal(24,0)")).alias("se"),
+        F.sum(
+            F.col("e6").cast("decimal(19,0)") * F.col("e6").cast("decimal(19,0)")
+        ).alias("see"),
+    )
+    jk = (
+        F.sqrt(
+            (
+                (F.col("gn") - 1)
+                * (F.col("gn") * F.col("see") - F.col("se") * F.col("se"))
+            ).cast("double")
+        )
+        / F.col("gn")
+        / 1000000
+        / 100
+    )
+    return (
+        v.join(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("ngroups").cast("long").alias("n_groups"),
+            F.round(F.col("s").cast("double") / F.col("n") / 100, 4).alias(
+                "mean_price"
+            ),
+            F.round(jk, 4).alias("jk_se_price"),
+        )
+    )
+
+
+@query(
+    "q_stat_mann_kendall",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day, coalesce(count(e.event_id), 0) AS x
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), s_stat AS (
+      SELECT sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                      ELSE 0 END) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ), ties AS (
+      SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x) WHERE t > 1
+    ), n_t AS (SELECT count(*) AS n FROM daily)
+    , zed AS (
+      SELECT n_t.n, s_stat.s,
+             n_t.n * (n_t.n - 1) * (2 * n_t.n + 5) - ties.tie_term AS v18,
+             CASE WHEN n_t.n * (n_t.n - 1) * (2 * n_t.n + 5) - ties.tie_term = 0
+                  THEN 0.0
+                  ELSE (CASE WHEN s_stat.s > 0 THEN (s_stat.s - 1)
+                             WHEN s_stat.s < 0 THEN (s_stat.s + 1) ELSE 0 END)
+                       / sqrt(CAST(n_t.n * (n_t.n - 1) * (2 * n_t.n + 5)
+                                   - ties.tie_term AS DOUBLE) / 18) END AS z
+      FROM s_stat, ties, n_t
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(v18 AS BIGINT) AS var_s_x18,
+           round(z, 6) AS z,
+           CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict
+    FROM zed
+    """,
+)
+def q_stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily event volume — the
+    nonparametric IS-there-a-trend significance check that pairs with
+    q_ts_theil_sen's HOW-steep slope (the two are the standard
+    trend-analysis duo). S = Σ sign(x_j − x_i) over ordered day pairs
+    (the quadratic stage is days², bounded by the calendar, off the
+    same daily aggregate every ts query shares), the tie-corrected
+    variance is exact integer arithmetic (×18 kept integral;
+    continuity-corrected z does the single float division), and the
+    1.96 verdict is computed from the identical z on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("event_id").alias("cx")
+    )
+    daily = grid.join(counts, "day", "left").select(
+        "day", F.coalesce("cx", F.lit(0)).alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    n_t = daily.agg(F.count(F.lit(1)).alias("n"))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    s_adj = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    z = F.when(var18 == 0, F.lit(0.0)).otherwise(
+        s_adj / F.sqrt(var18.cast("double") / 18)
+    )
+    verdict = (
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+    )
+    return (
+        s_stat.join(F.broadcast(ties))
+        .join(F.broadcast(n_t))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            var18.cast("long").alias("var_s_x18"),
+            F.round(z, 6).alias("z"),
+            verdict.alias("verdict"),
+        )
+    )

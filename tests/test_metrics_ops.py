@@ -1046,3 +1046,47 @@ def test_bootstrap_se_sanity_and_determinism(spark, tmp_path):
     analytic = statistics.pstdev(vals) / math.sqrt(len(vals))
     # 20 replicates is noisy: allow a factor-2 band around sigma/sqrt(n)
     assert analytic / 2 < out1.boot_se_price < analytic * 2
+
+
+def test_jackknife_matches_reference(spark, tmp_path):
+    """Exact delete-one-group jackknife on a tiny fixture vs pure
+    Python with the same micro-cent quantization."""
+    vals = [(i, 1, float(100 + 7 * (i % 13))) for i in range(60)]
+    _write(spark, tmp_path, "orders", vals, _ORD_SCHEMA)
+    out = QUERIES["q_jackknife_groups"](spark, str(tmp_path)).collect()[0]
+    cents = {i: round(v * 100) for i, _, v in vals}
+    S = sum(cents.values()); N = len(cents)
+    groups = {}
+    for i, c in cents.items():
+        groups.setdefault(i % 20, []).append(c)
+    e6 = [round((S - sum(cs)) * 1e6 / (N - len(cs))) for cs in groups.values()]
+    G = len(e6)
+    mean_e6 = sum(e6) / G
+    se = math.sqrt((G - 1) / G * sum((x - mean_e6) ** 2 for x in e6)) / 1e6 / 100
+    assert out.n_groups == G and out.n_orders == 60
+    assert abs(out.jk_se_price - round(se, 4)) < 1e-9
+
+
+def test_mann_kendall_monotone_series(spark, tmp_path):
+    """Strictly increasing daily counts -> S = n(n-1)/2, verdict
+    'increasing'; a constant series -> S = 0, 'no_trend'."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for day in range(10):
+        for j in range(day + 1):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_stat_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert out.s_stat == 45  # all 45 pairs concordant
+    assert out.verdict == "increasing"
+    rows2 = []
+    eid = 0
+    for day in range(10):
+        for j in range(3):
+            rows2.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows2, _EV_SCHEMA)
+    out2 = QUERIES["q_stat_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert out2.s_stat == 0 and out2.verdict == "no_trend" and out2.z == 0.0
