@@ -2582,3 +2582,218 @@ def q_stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             verdict.alias("verdict"),
         )
     )
+
+
+@query(
+    "q_bayes_shrunk_rates",
+    oracle="""
+    WITH br AS (
+      SELECT p.p_brand AS brand, count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), rq AS (
+      SELECT brand, n, k,
+             CAST(round(CAST(k AS DOUBLE) * 1000000000 / n) AS BIGINT) AS r9
+      FROM br
+    ), mom AS (
+      SELECT count(*) AS g, sum(r9) AS sr,
+             sum(CAST(r9 AS HUGEINT) * r9) AS srr
+      FROM rq
+    ), prior AS (
+      SELECT CAST(sr AS DOUBLE) / g / 1000000000 AS mu,
+             CAST(g * srr - sr * sr AS DOUBLE)
+               / (CAST(g AS DOUBLE) * g) / 1e18 AS varr
+      FROM mom
+    ), ab AS (
+      SELECT mu, varr,
+             mu * (mu * (1 - mu) / varr - 1) AS alpha,
+             (1 - mu) * (mu * (1 - mu) / varr - 1) AS beta
+      FROM prior
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(k AS BIGINT) AS n_returned,
+           round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+           round((k + ab.alpha) / (n + ab.alpha + ab.beta), 6) AS shrunk_rate
+    FROM rq, ab
+    ORDER BY shrunk_rate DESC, brand
+    LIMIT 15
+    """,
+)
+def q_bayes_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (Beta-Binomial, method-of-moments) shrinkage of
+    brand return rates — the third way to rank small samples
+    (q_returns_wilson bounds them, this SHRINKS them toward the global
+    prior; a 2-line brand lands at the prior mean, a 40k-line brand
+    keeps its own rate). The prior (α, β) is fitted from the
+    cross-brand rate moments: per-brand rates quantize to nano-units
+    so the moment sums are exact integers, and the two prior scalars
+    broadcast; everything else is the same one-scan dim-bounded
+    aggregate as the Wilson query. Float math: the method-of-moments
+    formulas evaluated once on identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    br = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+        )
+    )
+    rq = br.select(
+        "brand",
+        "n",
+        "k",
+        F.round(F.col("k").cast("double") * 1000000000 / F.col("n"))
+        .cast("long")
+        .alias("r9"),
+    )
+    mom = rq.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("r9").cast("decimal(24,0)").alias("sr"),
+        F.sum(
+            F.col("r9").cast("decimal(19,0)") * F.col("r9").cast("decimal(19,0)")
+        ).alias("srr"),
+    )
+    mu = F.col("sr").cast("double") / F.col("g") / 1000000000
+    varr = (
+        (F.col("g") * F.col("srr") - F.col("sr") * F.col("sr")).cast("double")
+        / (F.col("g").cast("double") * F.col("g"))
+        / 1e18
+    )
+    kappa = mu * (1 - mu) / varr - 1
+    ab = mom.select(
+        (mu * kappa).alias("alpha"), ((1 - mu) * kappa).alias("beta")
+    )
+    return (
+        rq.join(F.broadcast(ab))
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("k").cast("long").alias("n_returned"),
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "brand")
+        .limit(15)
+    )
+
+
+@query(
+    "q_stat_durbin_watson",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span
+    ), daily AS (
+      SELECT g.day, coalesce(count(e.event_id), 0) AS y
+      FROM grid g LEFT JOIN events e ON date_trunc('day', e.ts) = g.day
+      GROUP BY g.day
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t, y FROM daily
+    ), m AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+             sum(t * y) AS sty, sum(t * t) AS stt
+      FROM idx
+    ), resid AS (
+      SELECT t,
+             CAST(m.n AS HUGEINT) * (m.n * m.stt - m.st * m.st) * y
+               - CAST(m.n AS HUGEINT)
+                 * ((m.stt * m.sy - m.st * m.sty)
+                    + (m.n * m.sty - m.st * m.sy) * t) AS e_scaled
+      FROM idx, m
+    ), dw AS (
+      SELECT sum(CAST((e2.e_scaled - e1.e_scaled) AS HUGEINT)
+                 * (e2.e_scaled - e1.e_scaled)) AS num
+      FROM resid e1 JOIN resid e2 ON e2.t = e1.t + 1
+    ), den AS (
+      SELECT sum(CAST(e_scaled AS HUGEINT) * e_scaled) AS d FROM resid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM resid) AS n_days,
+           round(CAST(dw.num AS DOUBLE) / CAST(den.d AS DOUBLE), 6) AS dw
+    FROM dw, den
+    """,
+)
+def q_stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation diagnostic on the residuals of the
+    daily-volume OLS trend — the regression-health check that pairs
+    with q_regression_ols (DW ≈ 2 means independent residuals; → 0
+    positively autocorrelated, the usual outcome for weekly-seasonal
+    traffic). Exactness trick: residuals are scaled by the integer
+    n·(nΣt²−(Σt)²) so e_scaled = n·den·y − n·(Σt²Σy−ΣtΣty) −
+    n·(nΣty−ΣtΣy)·t is EXACT integer arithmetic (the DW ratio is
+    scale-invariant, so the scaling cancels); both Σ(Δe)² and Σe² are
+    exact 128-bit/decimal sums and ONE float division ends it. The
+    quadratic-free plan: one daily aggregate, one O(days) self-join on
+    consecutive t."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.count("event_id").alias("cy")
+    )
+    daily = grid.join(counts, "day", "left").select(
+        "day", F.coalesce("cy", F.lit(0)).alias("y")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    den_i = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    a_num = F.col("stt") * F.col("sy") - F.col("st") * F.col("sty")
+    b_num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    resid = idx.join(F.broadcast(m)).select(
+        "t",
+        (
+            F.col("n").cast("decimal(20,0)")
+            * den_i.cast("decimal(20,0)")
+            * F.col("y").cast("decimal(20,0)")
+            - F.col("n").cast("decimal(20,0)")
+            * (
+                a_num.cast("decimal(20,0)")
+                + b_num.cast("decimal(20,0)") * F.col("t").cast("decimal(20,0)")
+            )
+        ).cast("decimal(38,0)").alias("e_scaled"),
+    )
+    e1, e2 = resid.alias("e1"), resid.alias("e2")
+    num = e1.join(e2, F.col("e2.t") == F.col("e1.t") + 1).agg(
+        F.sum(
+            (F.col("e2.e_scaled") - F.col("e1.e_scaled"))
+            * (F.col("e2.e_scaled") - F.col("e1.e_scaled"))
+        ).alias("num")
+    )
+    den = resid.agg(
+        F.sum(F.col("e_scaled") * F.col("e_scaled")).alias("d")
+    )
+    n_days = resid.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        num.join(F.broadcast(den))
+        .join(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.round(
+                F.col("num").cast("double") / F.col("d").cast("double"), 6
+            ).alias("dw"),
+        )
+    )

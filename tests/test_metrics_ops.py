@@ -1090,3 +1090,59 @@ def test_mann_kendall_monotone_series(spark, tmp_path):
     _write(spark, tmp_path, "events", rows2, _EV_SCHEMA)
     out2 = QUERIES["q_stat_mann_kendall"](spark, str(tmp_path)).collect()[0]
     assert out2.s_stat == 0 and out2.verdict == "no_trend" and out2.z == 0.0
+
+
+# ------------------------------------------------------- batch 13
+
+
+def test_bayes_shrinkage_pulls_small_samples_to_prior(spark, tmp_path):
+    """Small sample at an extreme rate shrinks strongly toward the
+    prior mean; a large sample barely moves."""
+    parts = [(i, f"p{i}", f"Brand#{i}", "t", 1, 1.0) for i in range(1, 7)]
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    li = []
+    # four medium brands around 20-30% set the prior
+    for pk, (k, n) in {1: (20, 100), 2: (30, 100), 3: (25, 100), 4: (25, 100)}.items():
+        li += [(pk, "R" if j < k else "N") for j in range(n)]
+    li += [(5, "R"), (5, "R")]                      # tiny brand, raw rate 1.0
+    li += [(6, "R" if j < 500 else "N") for j in range(1000)]  # big, rate 0.5
+    _write(spark, tmp_path, "lineitem",
+           [(pk, 1.0, 0.0, 0.0, 100.0, rf) for pk, rf in li],
+           "l_partkey long, l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string")
+    rows = {r.brand: r for r in QUERIES["q_bayes_shrunk_rates"](spark, str(tmp_path)).collect()}
+    tiny, big = rows["Brand#5"], rows["Brand#6"]
+    assert tiny.raw_rate == 1.0
+    assert tiny.shrunk_rate < 0.9           # pulled toward the prior
+    assert tiny.raw_rate - tiny.shrunk_rate > 5 * (big.raw_rate - big.shrunk_rate)
+    assert abs(big.shrunk_rate - big.raw_rate) < 0.05  # big sample holds
+
+
+def test_durbin_watson_alternating_vs_trend(spark, tmp_path):
+    """Residuals of a pure linear series are ~0 -> skip; instead: an
+    alternating series around a flat trend has DW near 4 (negative
+    autocorrelation), a slow sine-like drift has DW near 0."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    alt = [10, 20] * 7  # alternating, flat trend
+    for day, cnt in enumerate(alt):
+        for j in range(cnt):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_stat_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    assert out.n_days == 14
+    assert out.dw > 3.0  # alternating residuals -> DW -> 4
+    rows2 = []
+    eid = 0
+    drift = [10] * 7 + [30] * 7  # level shift: positively autocorrelated residuals
+    for day, cnt in enumerate(drift):
+        for j in range(cnt):
+            rows2.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows2, _EV_SCHEMA)
+    out2 = QUERIES["q_stat_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    assert out2.dw < 1.5  # positive residual autocorrelation
