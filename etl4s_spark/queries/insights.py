@@ -2797,3 +2797,205 @@ def q_stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dw"),
         )
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2
+    ), firstm AS (
+      SELECT cust, min(m) AS fm FROM cm GROUP BY cust
+    ), maxm AS (SELECT max(m) AS mm FROM cm),
+    shifted AS (
+      SELECT cust, CAST(m + INTERVAL 1 MONTH AS DATE) AS m, rev AS prev_rev
+      FROM cm
+    ), j AS (
+      SELECT coalesce(c.cust, s.cust) AS cust,
+             coalesce(c.m, s.m) AS m,
+             coalesce(c.rev, 0) AS cur_rev,
+             coalesce(s.prev_rev, 0) AS prev_rev
+      FROM cm c FULL OUTER JOIN shifted s
+        ON s.cust = c.cust AND s.m = c.m
+    ), cls AS (
+      SELECT j.m,
+             j.prev_rev,
+             j.cur_rev,
+             CASE WHEN j.prev_rev = 0 AND f.fm = j.m  THEN j.cur_rev ELSE 0 END AS newr,
+             CASE WHEN j.prev_rev = 0 AND f.fm < j.m  THEN j.cur_rev ELSE 0 END AS resur,
+             CASE WHEN j.prev_rev > 0 AND j.cur_rev > j.prev_rev
+                  THEN j.cur_rev - j.prev_rev ELSE 0 END AS expan,
+             CASE WHEN j.prev_rev > 0 AND j.cur_rev > 0 AND j.cur_rev < j.prev_rev
+                  THEN j.cur_rev - j.prev_rev ELSE 0 END AS contr,
+             CASE WHEN j.cur_rev = 0 THEN -j.prev_rev ELSE 0 END AS churn
+      FROM j JOIN firstm f ON f.cust = j.cust, maxm
+      WHERE j.m <= maxm.mm
+    )
+    SELECT m AS month,
+           CAST(sum(prev_rev) AS BIGINT) AS starting_cents,
+           CAST(sum(newr) AS BIGINT)     AS new_cents,
+           CAST(sum(resur) AS BIGINT)    AS resurrected_cents,
+           CAST(sum(expan) AS BIGINT)    AS expansion_cents,
+           CAST(sum(contr) AS BIGINT)    AS contraction_cents,
+           CAST(sum(churn) AS BIGINT)    AS churned_cents,
+           CAST(sum(cur_rev) AS BIGINT)  AS ending_cents
+    FROM cls GROUP BY m ORDER BY month
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue growth accounting (the SaaS quick-ratio
+    decomposition): each month's revenue change splits into new /
+    resurrected / expansion / contraction / churned by full-outer-
+    joining the customer-month revenue grid against itself shifted one
+    month — ending ≡ starting + new + resurrected + expansion +
+    contraction + churned, an exact-cents identity pinned in pytest
+    (q_users_new_returning counts heads; this decomposes the money).
+    Two shuffles total (customer-month rollup, month rollup); the
+    self-join runs on the customer-month aggregate, never the fact
+    table, and first-month attribution (new vs resurrected) rides the
+    same per-customer min."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.trunc("o_orderdate", "month").alias("m"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    firstm = cm.groupBy("cust").agg(F.min("m").alias("fm"))
+    maxm = cm.agg(F.max("m").alias("mm"))
+    shifted = cm.select(
+        "cust", F.add_months("m", 1).alias("m"), F.col("rev").alias("prev_rev")
+    )
+    c, s = cm.alias("c"), shifted.alias("s")
+    j = c.join(
+        s, (F.col("s.cust") == F.col("c.cust")) & (F.col("s.m") == F.col("c.m")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.cust"), F.col("s.cust")).alias("cust"),
+        F.coalesce(F.col("c.m"), F.col("s.m")).alias("m"),
+        F.coalesce(F.col("c.rev"), F.lit(0)).alias("cur_rev"),
+        F.coalesce(F.col("s.prev_rev"), F.lit(0)).alias("prev_rev"),
+    )
+    cls = (
+        j.join(firstm, "cust")
+        .join(F.broadcast(maxm))
+        .filter(F.col("m") <= F.col("mm"))
+        .select(
+            "m",
+            "prev_rev",
+            "cur_rev",
+            F.when(
+                (F.col("prev_rev") == 0) & (F.col("fm") == F.col("m")),
+                F.col("cur_rev"),
+            )
+            .otherwise(0)
+            .alias("newr"),
+            F.when(
+                (F.col("prev_rev") == 0) & (F.col("fm") < F.col("m")),
+                F.col("cur_rev"),
+            )
+            .otherwise(0)
+            .alias("resur"),
+            F.when(
+                (F.col("prev_rev") > 0) & (F.col("cur_rev") > F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            )
+            .otherwise(0)
+            .alias("expan"),
+            F.when(
+                (F.col("prev_rev") > 0)
+                & (F.col("cur_rev") > 0)
+                & (F.col("cur_rev") < F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            )
+            .otherwise(0)
+            .alias("contr"),
+            F.when(F.col("cur_rev") == 0, -F.col("prev_rev"))
+            .otherwise(0)
+            .alias("churn"),
+        )
+    )
+    return (
+        cls.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.sum("prev_rev").cast("long").alias("starting_cents"),
+            F.sum("newr").cast("long").alias("new_cents"),
+            F.sum("resur").cast("long").alias("resurrected_cents"),
+            F.sum("expan").cast("long").alias("expansion_cents"),
+            F.sum("contr").cast("long").alias("contraction_cents"),
+            F.sum("churn").cast("long").alias("churned_cents"),
+            F.sum("cur_rev").cast("long").alias("ending_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_delta_method_ratio",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x,
+             count(*) AS y
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT sum(x) AS nx, sum(y) AS dy, count(*) AS nu FROM u
+    ), dres AS (
+      SELECT CAST(u.x AS HUGEINT) * tot.dy - CAST(tot.nx AS HUGEINT) * u.y AS d
+      FROM u, tot
+    ), s AS (
+      SELECT sum(d * d) AS sdd FROM dres
+    )
+    SELECT CAST(tot.nu AS BIGINT) AS n_customers,
+           CAST(tot.dy AS BIGINT) AS n_orders,
+           round(CAST(tot.nx AS DOUBLE) / tot.dy / 100, 4) AS rev_per_order,
+           round(sqrt(CAST(s.sdd AS DOUBLE))
+                 / (CAST(tot.dy AS DOUBLE) * tot.dy) / 100, 6) AS se_delta
+    FROM s, tot
+    """,
+)
+def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method (linearization) standard error of a RATIO metric —
+    revenue-per-order with customers as the independent unit, the
+    cluster-robust SE every experimentation platform uses for ratio
+    KPIs (naive per-order variance is wrong when orders cluster within
+    customers; completes the inference kit next to the bootstrap and
+    jackknife). Exactness: with r = N/D, each linearization residual
+    x_u·D − N·y_u is EXACT integer arithmetic (128-bit — products
+    reach 10¹⁴ before squaring), so Σd² is exact and SE =
+    √(Σd²)/D² is one float expression. One shuffle to the customer
+    level, one 1-row total, one broadcast-back."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    tot = u.agg(
+        F.sum("x").alias("nx"), F.sum("y").alias("dy"), F.count(F.lit(1)).alias("nu")
+    )
+    dres = u.join(F.broadcast(tot)).select(
+        (
+            F.col("x").cast("decimal(24,0)") * F.col("dy").cast("decimal(12,0)")
+            - F.col("nx").cast("decimal(24,0)") * F.col("y").cast("decimal(12,0)")
+        ).alias("d")
+    )
+    s = dres.agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd")
+    )
+    return (
+        s.join(F.broadcast(tot))
+        .select(
+            F.col("nu").cast("long").alias("n_customers"),
+            F.col("dy").cast("long").alias("n_orders"),
+            F.round(
+                F.col("nx").cast("double") / F.col("dy") / 100, 4
+            ).alias("rev_per_order"),
+            F.round(
+                F.sqrt(F.col("sdd").cast("double"))
+                / (F.col("dy").cast("double") * F.col("dy"))
+                / 100,
+                6,
+            ).alias("se_delta"),
+        )
+    )

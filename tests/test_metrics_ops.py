@@ -1146,3 +1146,51 @@ def test_durbin_watson_alternating_vs_trend(spark, tmp_path):
     _write(spark, tmp_path, "events", rows2, _EV_SCHEMA)
     out2 = QUERIES["q_stat_durbin_watson"](spark, str(tmp_path)).collect()[0]
     assert out2.dw < 1.5  # positive residual autocorrelation
+
+
+# ------------------------------------------------------- batch 14
+
+
+def test_growth_accounting_identity_and_classes(spark, tmp_path):
+    """Three months, four customers exercising every class; the
+    ending = starting + sum(components) identity must hold exactly."""
+    d = dt.date
+    orders = [
+        # cust 1: new in Jan (100), expands in Feb (150), churns in Mar
+        (1, 1, 100.0, d(2024, 1, 5)), (2, 1, 150.0, d(2024, 2, 5)),
+        # cust 2: new in Jan (200), contracts in Feb (80), holds in Mar (80)
+        (3, 2, 200.0, d(2024, 1, 6)), (4, 2, 80.0, d(2024, 2, 6)),
+        (5, 2, 80.0, d(2024, 3, 6)),
+        # cust 3: new in Feb (50)
+        (6, 3, 50.0, d(2024, 2, 7)),
+        # cust 4: new in Jan (30), absent Feb, resurrects in Mar (40)
+        (7, 4, 30.0, d(2024, 1, 8)), (8, 4, 40.0, d(2024, 3, 8)),
+    ]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date")
+    out = {r.month.isoformat(): r for r in QUERIES["q_growth_accounting"](spark, str(tmp_path)).collect()}
+    jan, feb, mar = out["2024-01-01"], out["2024-02-01"], out["2024-03-01"]
+    assert jan.new_cents == 33000 and jan.starting_cents == 0
+    assert feb.new_cents == 5000          # cust 3
+    assert feb.expansion_cents == 5000    # cust 1: 100 -> 150
+    assert feb.contraction_cents == -12000  # cust 2: 200 -> 80
+    assert feb.churned_cents == -3000     # cust 4 absent
+    assert mar.resurrected_cents == 4000  # cust 4 returns
+    assert mar.churned_cents == -20000    # cust 1 (150) and cust 3 (50) gone
+    for r in (jan, feb, mar):
+        assert r.ending_cents == (r.starting_cents + r.new_cents
+                                  + r.resurrected_cents + r.expansion_cents
+                                  + r.contraction_cents + r.churned_cents)
+
+
+def test_delta_method_zero_variance_ratio(spark, tmp_path):
+    """Every customer has identical (x, y) -> residuals x*D - N*y = 0
+    -> SE exactly 0; heterogeneous customers -> SE > 0."""
+    orders = [(i, i // 2, 100.0) for i in range(2, 12)]  # 5 custs x 2 orders
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = QUERIES["q_delta_method_ratio"](spark, str(tmp_path)).collect()[0]
+    assert out.rev_per_order == 100.0 and out.se_delta == 0.0
+    orders2 = [(1, 1, 100.0), (2, 2, 100.0), (3, 2, 500.0)]
+    _write(spark, tmp_path, "orders", orders2, _ORD_SCHEMA)
+    out2 = QUERIES["q_delta_method_ratio"](spark, str(tmp_path)).collect()[0]
+    assert out2.se_delta > 0
