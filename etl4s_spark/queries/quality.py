@@ -435,3 +435,256 @@ def q_er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster_id").cast("long"), "n_members", "canonical_key")
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q_grouped_regression",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_quantity) AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), m AS (
+      SELECT brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM f GROUP BY brand
+    )
+    , d AS (
+      SELECT brand, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary_n,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(sy AS DOUBLE) / n AS my
+      FROM m
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n,
+           round(CASE WHEN varx_n = 0 THEN 0
+                      ELSE cov_n / varx_n END / 100, 6) AS slope_dollars,
+           round((my - CASE WHEN varx_n = 0 THEN 0
+                            ELSE cov_n / varx_n END * mx) / 100, 4)
+             AS intercept_dollars,
+           round(CASE WHEN varx_n = 0 OR vary_n = 0 THEN 0
+                      ELSE cov_n * cov_n / (varx_n * vary_n) END, 6) AS r2
+    FROM d ORDER BY brand
+    """,
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BRAND OLS (price ~ quantity): the 'millions of tiny models'
+    pattern q_regression_ols promises — every group's slope/intercept/
+    R² derives from five exact moment sums that are map-side-combinable
+    aggregate state, so fitting 25 models (or 25 million at 100 TB)
+    costs exactly one shuffle on the group key and zero extra passes.
+    Float math once per group on identical doubles (R² via the
+    squared-covariance identity, no residual pass needed); the y²
+    moment widens to 128-bit/decimal before summation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    f = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = f.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("syy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (
+        F.col("n") * F.col("syy")
+        - F.col("sy").cast("decimal(24,0)") * F.col("sy").cast("decimal(24,0)")
+    ).cast("double")
+    slope = F.when(varx_n == 0, F.lit(0.0)).otherwise(cov_n / varx_n)
+    r2 = F.when((varx_n == 0) | (vary_n == 0), F.lit(0.0)).otherwise(
+        cov_n * cov_n / (varx_n * vary_n)
+    )
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope / 100, 6).alias("slope_dollars"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / 100,
+            4,
+        ).alias("intercept_dollars"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("brand")
+
+
+@query(
+    "q_cluster_update_step",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 4
+    ), dists AS (
+      SELECT e.vec_id, c.centroid_id, e.embedding,
+             CAST(round(list_sum(list_transform(
+                    list_zip(e.embedding, c.cvec),
+                    t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+                         * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))
+                  * 1000000) AS BIGINT) AS d_e6
+      FROM embeddings e, cent c
+      WHERE e.vec_id < 500
+    ), assigned AS (
+      SELECT vec_id, centroid_id, embedding,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d_e6, centroid_id) AS rn
+      FROM dists
+    ), el AS (
+      SELECT centroid_id, i AS dim,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_e6
+      FROM assigned, unnest(generate_series(0, 63)) AS t(i)
+      WHERE rn = 1
+    ), newc AS (
+      SELECT centroid_id, dim, sum(v_e6) AS s, count(*) AS n
+      FROM el GROUP BY centroid_id, dim
+    )
+    SELECT centroid_id,
+           CAST(max(n) AS BIGINT) AS n_members,
+           round(CAST(sum(CASE WHEN dim < 4
+                               THEN CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+                               ELSE 0 END) AS DOUBLE) / 1000000, 6)
+             AS head4_coord_sum,
+           CAST(sum(abs(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT))) AS BIGINT)
+             AS l1_norm_e6
+    FROM newc GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def q_cluster_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) ITERATION: the assignment step
+    (q_cluster_assign's broadcast-centroids argmin) followed by the
+    UPDATE step — new centroids as per-cluster per-dimension means.
+    Elements quantize to integer micro-units before the mean sums
+    (float-sum order cannot move a centroid — the q_embedding_
+    centroid_dist rule), each new coordinate rounds once, and the
+    result is summarized per cluster (member count, head-coordinate
+    sum, L1 norm of the new centroid) so the contract stays k rows.
+    At 100 TB this is THE k-means loop body: broadcast k·d floats out,
+    one scan, one (k·d)-cell aggregate back — iterate by feeding the
+    output centroids into the next assignment."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        "embedding",
+        F.round(d2 * 1000000).cast("long").alias("d_e6"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d_e6", "centroid_id")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "embedding")
+    )
+    el = assigned.select(
+        "centroid_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("centroid_id", "dim", "val").select(
+        "centroid_id",
+        "dim",
+        F.round(F.col("val") * 1000000).cast("long").alias("v_e6"),
+    )
+    newc = el.groupBy("centroid_id", "dim").agg(
+        F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    coord = F.round(F.col("s").cast("double") / F.col("n")).cast("long")
+    return (
+        newc.groupBy("centroid_id")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.when(F.col("dim") < 4, coord).otherwise(0)).cast("double")
+                / 1000000,
+                6,
+            ).alias("head4_coord_sum"),
+            F.sum(F.abs(coord)).cast("long").alias("l1_norm_e6"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "q_target_encoding_loo",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey, l_linenumber,
+             p.p_brand AS brand,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), g AS (
+      SELECT brand, count(*) AS n, sum(y) AS s FROM f GROUP BY brand
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.brand,
+           CAST(f.y AS INT) AS y,
+           round(CAST(g.s - f.y AS DOUBLE) / (g.n - 1), 6) AS te_loo
+    FROM f JOIN g USING (brand)
+    WHERE f.l_orderkey < 100
+    ORDER BY f.l_orderkey, f.l_linenumber
+    """,
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of brand against the return label
+    — the leakage-safe categorical encoder a feature pipeline ships to
+    training: each row's encoding (S_g − y_i)/(n_g − 1) excludes its
+    OWN label, so the feature never memorizes the row it describes.
+    The group statistics are one map-side-combined aggregate joined
+    back by broadcast (25 rows); the encoding itself is a scan-stage
+    expression over exact integer counts with one division — at 100 TB
+    the fact table is read once and nothing but the dim-sized stats
+    table moves. Output is a bounded audit slice (orderkey < 100);
+    the full encoded table is the same plan without the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    f = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = f.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    return (
+        f.join(F.broadcast(g), "brand")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "brand",
+            F.col("y").cast("int").alias("y"),
+            F.round(
+                (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -1194,3 +1194,69 @@ def test_delta_method_zero_variance_ratio(spark, tmp_path):
     _write(spark, tmp_path, "orders", orders2, _ORD_SCHEMA)
     out2 = QUERIES["q_delta_method_ratio"](spark, str(tmp_path)).collect()[0]
     assert out2.se_delta > 0
+
+
+# ------------------------------------------------------- batch 15
+
+
+def test_grouped_regression_exact_lines(spark, tmp_path):
+    """Brand A: y = 200x exactly (slope 2 dollars, R2 = 1); brand B:
+    y constant (slope 0, R2 = 0)."""
+    parts = [(1, "p1", "Brand#A", "t", 1, 1.0), (2, "p2", "Brand#B", "t", 1, 1.0)]
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    li = [(1, float(x), 0.0, 0.0, 2.0 * x, "N") for x in range(1, 11)]
+    li += [(2, float(x), 0.0, 0.0, 500.0, "N") for x in range(1, 11)]
+    _write(spark, tmp_path, "lineitem", li,
+           "l_partkey long, l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string")
+    out = {r.brand: r for r in QUERIES["q_grouped_regression"](spark, str(tmp_path)).collect()}
+    assert out["Brand#A"].slope_dollars == 2.0
+    assert out["Brand#A"].intercept_dollars == 0.0
+    assert out["Brand#A"].r2 == 1.0
+    assert out["Brand#B"].slope_dollars == 0.0 and out["Brand#B"].r2 == 0.0
+
+
+def test_target_encoding_loo_excludes_own_label(spark, tmp_path):
+    """Brand with labels [1, 0, 0, 1]: the y=1 rows encode (2-1)/3 and
+    the y=0 rows (2-0)/3 — never the naive 0.5."""
+    parts = [(1, "p1", "Brand#A", "t", 1, 1.0)]
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    flags = ["R", "N", "N", "R"]
+    li = [(ok, 1, 1, float(ok), 0.0, 0.0, 100.0, rf)
+          for ok, rf in enumerate(flags, start=1)]
+    _write(spark, tmp_path, "lineitem", li,
+           "l_orderkey long, l_partkey long, l_linenumber long, l_quantity double, "
+           "l_discount double, l_tax double, l_extendedprice double, "
+           "l_returnflag string")
+    out = QUERIES["q_target_encoding_loo"](spark, str(tmp_path)).collect()
+    enc = {r.l_orderkey: r.te_loo for r in out}
+    assert enc[1] == round(1 / 3, 6) and enc[4] == round(1 / 3, 6)   # y=1 rows
+    assert enc[2] == round(2 / 3, 6) and enc[3] == round(2 / 3, 6)   # y=0 rows
+
+
+def test_cluster_update_step_planted_means(spark, tmp_path):
+    """Two tight planted clusters: the update step must produce each
+    cluster's exact mean vector (checked via the L1-norm summary)."""
+    d = 64
+
+    def vec(v0, v1):
+        v = [0.0] * d
+        v[0], v[1] = v0, v1
+        return v
+
+    rows = [
+        (0, vec(1.0, 0.0)), (1, vec(0.0, 1.0)),       # seed centroids 0,1
+        (4, vec(1.2, 0.0)), (5, vec(0.8, 0.0)),       # near centroid 0
+        (6, vec(0.0, 1.4)), (7, vec(0.0, 0.6)),       # near centroid 1
+    ]
+    _write(spark, tmp_path, "embeddings", rows, "vec_id long, embedding array<double>")
+    out = {r.centroid_id: r for r in QUERIES["q_cluster_update_step"](spark, str(tmp_path)).collect()}
+    # cluster 0 members: {0, 4, 5} -> mean (1.0, 0, ...) ; L1 = 1.0
+    assert out[0].n_members == 3 and out[0].l1_norm_e6 == 1000000
+    assert out[0].head4_coord_sum == 1.0
+    # cluster 1 members: {1, 6, 7} -> mean (0, 1.0, ...) ; L1 = 1.0
+    assert out[1].n_members == 3 and out[1].l1_norm_e6 == 1000000
