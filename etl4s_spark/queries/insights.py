@@ -2999,3 +2999,78 @@ def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("se_delta"),
         )
     )
+
+
+@query(
+    "q_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), hist AS (
+      SELECT priority, days, count(*) AS c FROM lat GROUP BY priority, days
+    ), cum AS (
+      SELECT priority, days, c,
+             sum(c) OVER (PARTITION BY priority ORDER BY days
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(c) OVER (PARTITION BY priority) AS tw
+      FROM hist
+    )
+    SELECT priority,
+           CAST(any_value(tw) AS BIGINT) AS n_lines,
+           CAST(min(days) FILTER (WHERE 4 * cw >= tw) AS INT)     AS p25_days,
+           CAST(min(days) FILTER (WHERE 2 * cw >= tw) AS INT)     AS p50_days,
+           CAST(min(days) FILTER (WHERE 4 * cw >= 3 * tw) AS INT) AS p75_days,
+           CAST(min(days) FILTER (WHERE 100 * cw >= 95 * tw) AS INT) AS p95_days
+    FROM cum
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    fulfillment-SLA scorecard (does URGENT actually ship faster?).
+    Latency is an exact integer day count, so all four percentiles are
+    lower-discrete selections via integer cross-multiplication over ONE
+    cumulative counts-histogram pass (the q_agg_weighted_median shape:
+    the window runs over the bounded latency DOMAIN, never raw rows —
+    at 100 TB the per-priority state is ~hundreds of day-buckets).
+    One join shuffle keyed on orderkey, one histogram shuffle, four
+    FILTERed mins sharing the pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    hist = lat.groupBy("priority", "days").agg(F.count(F.lit(1)).alias("c"))
+    wo = (
+        Window.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "days",
+        F.sum("c").over(wo).alias("cw"),
+        F.sum("c").over(wp).alias("tw"),
+    )
+
+    def pctl(num: int, den: int):
+        return F.min(
+            F.when(den * F.col("cw") >= num * F.col("tw"), F.col("days"))
+        ).cast("int")
+
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.first("tw").cast("long").alias("n_lines"),
+            pctl(1, 4).alias("p25_days"),
+            pctl(1, 2).alias("p50_days"),
+            pctl(3, 4).alias("p75_days"),
+            pctl(95, 100).alias("p95_days"),
+        )
+        .orderBy("priority")
+    )

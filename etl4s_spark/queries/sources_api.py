@@ -554,3 +554,66 @@ def q_join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_calendar_dim",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS d0,
+             CAST(last_day(max(o_orderdate)) AS DATE) AS d1
+      FROM orders
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    )
+    SELECT d AS cal_date,
+           CAST(isodow(d) AS INT) AS dow_iso,
+           CAST(week(d) AS INT) AS iso_week,
+           CAST(month(d) AS INT) AS month,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(year(d) AS INT) AS year,
+           CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+           CAST(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS INT) AS is_month_end
+    FROM cal
+    ORDER BY cal_date
+    LIMIT 400
+    """,
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar DIMENSION over the fact span (first month
+    start → last month end): ISO weekday/week, month, quarter, year,
+    weekend and month-end flags — the conformed date dim every star
+    schema joins instead of re-deriving date parts per query. Rows are
+    BORN distributed from sequence+explode (never a driver loop); the
+    only fact-table touch is the 1-row span aggregate. Numbering
+    standardized on ISO (weekday()+1 ↔ isodow, weekofyear ↔ week —
+    both ISO-8601 on both engines); bounded audit slice of 400 days
+    with a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("d0"),
+        F.last_day(F.max("o_orderdate")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    return (
+        cal.select(
+            F.col("d").alias("cal_date"),
+            (F.weekday("d") + 1).cast("int").alias("dow_iso"),
+            F.weekofyear("d").cast("int").alias("iso_week"),
+            F.month("d").cast("int").alias("month"),
+            F.quarter("d").cast("int").alias("quarter"),
+            F.year("d").cast("int").alias("year"),
+            F.when(F.weekday("d") + 1 >= 6, 1).otherwise(0).cast("int").alias(
+                "is_weekend"
+            ),
+            F.when(F.col("d") == F.last_day("d"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_month_end"),
+        )
+        .orderBy("cal_date")
+        .limit(400)
+    )

@@ -1159,3 +1159,66 @@ def q_text_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ln_c"),
     )
+
+
+@query(
+    "q_text_code_detect",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[{};=<>()\\[\\]]')) AS sym,
+             len(regexp_extract_all(text,
+                 '\\b(def|class|return|import|var|let|const|function|if|else|for|while)\\b'))
+               AS kw,
+             length(text) AS nc
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), scored AS (
+      SELECT source,
+             CASE WHEN sym * 50 >= nc OR kw >= 3 THEN 1 ELSE 0 END AS is_codey
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_codey) AS BIGINT) AS n_codey,
+           round(CAST(sum(is_codey) AS DOUBLE) / count(*), 6) AS codey_share
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic per source — the training-mix triage
+    signal that decides whether a crawl source needs a code-specific
+    pipeline (tokenizer, dedup granularity, quality rules differ for
+    code): a document is 'codey' if structural symbols ({};=<>()[])
+    exceed 2% of characters or ≥3 programming keywords appear. Both
+    signals are single regexp passes in the scan projection (exact
+    integer counts, threshold via integer cross-multiplication
+    sym·50 ≥ nc — no float ratio), rolled up to a per-source share.
+    The regexes are RE2-and-Java-compatible by construction (the
+    TOKEN_REGEX portability rule)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    sym = F.regexp_count("text", F.lit(r"[{};=<>()\[\]]"))
+    kw = F.regexp_count(
+        "text",
+        F.lit(
+            r"\b(def|class|return|import|var|let|const|function|if|else|for|while)\b"
+        ),
+    )
+    scored = d.select(
+        "source",
+        F.when((sym * 50 >= F.length("text")) | (kw >= 3), 1)
+        .otherwise(0)
+        .alias("is_codey"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_codey").cast("long").alias("n_codey"),
+            F.round(
+                F.sum("is_codey").cast("double") / F.count(F.lit(1)), 6
+            ).alias("codey_share"),
+        )
+        .orderBy("source")
+    )

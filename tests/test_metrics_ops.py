@@ -1260,3 +1260,50 @@ def test_cluster_update_step_planted_means(spark, tmp_path):
     assert out[0].head4_coord_sum == 1.0
     # cluster 1 members: {1, 6, 7} -> mean (0, 1.0, ...) ; L1 = 1.0
     assert out[1].n_members == 3 and out[1].l1_norm_e6 == 1000000
+
+
+# ------------------------------------------------------- batch 16
+
+
+def test_calendar_dim_flags(spark, tmp_path):
+    orders = [(1, 1, 100.0, "O", dt.date(2024, 2, 10)),
+              (2, 1, 100.0, "O", dt.date(2024, 3, 20))]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string, o_orderdate date")
+    rows = {r.cal_date.isoformat(): r for r in QUERIES["q_calendar_dim"](spark, str(tmp_path)).collect()}
+    assert "2024-02-01" in rows and "2024-03-31" in rows  # month-aligned span
+    assert len(rows) == 29 + 31
+    leap = rows["2024-02-29"]
+    assert leap.is_month_end == 1 and leap.dow_iso == 4  # Thursday
+    sat = rows["2024-03-02"]
+    assert sat.is_weekend == 1 and sat.quarter == 1
+
+
+def test_ship_latency_exact_percentiles(spark, tmp_path):
+    """Ten lines with latencies 1..10 days: lower-discrete p25/p50/p75/
+    p95 = 3/5/8/10."""
+    orders = [(k, 1, 100.0, "O", dt.date(2024, 1, 1), "1-URGENT") for k in range(1, 11)]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string, o_orderdate date, o_orderpriority string")
+    li = [(k, 1, 1.0, 0.0, 0.0, 100.0, "N",
+           dt.datetime(2024, 1, 1) + dt.timedelta(days=k)) for k in range(1, 11)]
+    _write(spark, tmp_path, "lineitem", li,
+           "l_orderkey long, l_partkey long, l_quantity double, l_discount double, "
+           "l_tax double, l_extendedprice double, l_returnflag string, "
+           "l_shipdate timestamp")
+    out = QUERIES["q_ship_latency"](spark, str(tmp_path)).collect()[0]
+    assert (out.p25_days, out.p50_days, out.p75_days, out.p95_days) == (3, 5, 8, 10)
+
+
+def test_code_detect_separates_code_from_prose(spark, tmp_path):
+    code = "def f(x):\n    return {x: [1, 2]} if x else None\nimport os\nclass A: pass"
+    prose = "The quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [(1, code, "en", "github", len(code)),
+            (2, prose, "en", "web", len(prose)),
+            (3, prose, "en", "github", len(prose))]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = {r.source: r for r in QUERIES["q_text_code_detect"](spark, str(tmp_path)).collect()}
+    assert out["github"].n_codey == 1 and out["github"].codey_share == 0.5
+    assert out["web"].n_codey == 0
