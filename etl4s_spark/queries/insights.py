@@ -565,7 +565,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(lag AS INT) AS lag_days,
            CAST(n AS BIGINT) AS n_days,
            round((n * sxy - sx * sy) /
-                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
     FROM m ORDER BY lag_days
     """,
@@ -1814,7 +1814,7 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     ), th AS (
       SELECT CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta,
              CAST(sx AS DOUBLE) / n AS mean_pre_all
       FROM g
     )
@@ -3073,4 +3073,134 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             pctl(95, 100).alias("p95_days"),
         )
         .orderBy("priority")
+    )
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ), daily_new AS (
+      SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY first_day
+    ), dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT d.day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_uniques
+    FROM dau d LEFT JOIN daily_new n ON n.day = d.day
+    ORDER BY d.day
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the 'total audience to date'
+    curve. The naive formulation re-counts DISTINCT over a growing
+    prefix (O(days) passes, quadratic in the window — exactly what a
+    100 TB log cannot afford); the exact one-pass identity is
+    cumulative_uniques(d) = Σ first-seen counts ≤ d: one per-user MIN,
+    one tiny histogram, one prefix window over O(days) rows. DAU rides
+    alongside from the same scan family (this is also the exact
+    formulation HLL sketches approximate when memory, not passes, is
+    the constraint — q_agg_hll_union holds that contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily_new = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    dau = ev.groupBy(F.date_trunc("DAY", "ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(daily_new, "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_uniques", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS x
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT count(*) AS n, sum(x) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(CAST(sx AS DOUBLE) / n / 1000, 4) AS mean_value,
+           round(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1))) / 1000, 4) AS sd_value,
+           round((1.96 + 0.8416)
+                 * sqrt(2 * (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        / (CAST(n AS DOUBLE) / 2)) / 1000, 4) AS mde_abs,
+           round((1.96 + 0.8416)
+                 * sqrt(2 * (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        / (CAST(n AS DOUBLE) / 2))
+                 / (CAST(sx AS DOUBLE) / n), 6) AS mde_rel
+    FROM m
+    """,
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a 50/50 experiment on per-user
+    purchase value at α=0.05 (two-sided), power 0.8 — the pre-launch
+    power check that pairs with q_ab_cuped's post-launch readout:
+    MDE = (z_{α/2}+z_{power})·√(2σ²/(n/2)) with the z constants as
+    exact decimal literals (1.96, 0.8416 — erf itself is banned,
+    FIXTURES C.3: libm erf is not cross-engine stable, but the two
+    canonical quantiles are just numbers). The sample variance comes
+    from exact integer milli-unit moments (128-bit squares); one scan,
+    one 1-row reduce, float math once."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        ).alias("x")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(24,0)") * F.col("sx").cast("decimal(24,0)")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    mde = (1.96 + 0.8416) * F.sqrt(2 * var / (F.col("n").cast("double") / 2))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.col("sx").cast("double") / F.col("n") / 1000, 4).alias(
+            "mean_value"
+        ),
+        F.round(F.sqrt(var) / 1000, 4).alias("sd_value"),
+        F.round(mde / 1000, 4).alias("mde_abs"),
+        F.round(mde / (F.col("sx").cast("double") / F.col("n")), 6).alias(
+            "mde_rel"
+        ),
     )

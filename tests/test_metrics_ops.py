@@ -1307,3 +1307,45 @@ def test_code_detect_separates_code_from_prose(spark, tmp_path):
     out = {r.source: r for r in QUERIES["q_text_code_detect"](spark, str(tmp_path)).collect()}
     assert out["github"].n_codey == 1 and out["github"].codey_share == 0.5
     assert out["web"].n_codey == 0
+
+
+# ------------------------------------------------------- batch 17
+
+
+def test_cumulative_uniques_counts_first_seen_only(spark, tmp_path):
+    """Users returning on later days must not inflate the cumulative
+    curve; DAU still counts them."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    plan = {0: [1, 2], 1: [1, 3], 2: [1, 2, 3]}  # day -> active users
+    for day, users in plan.items():
+        for u in users:
+            rows.append((eid, base + dt.timedelta(days=day), u, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(QUERIES["q_cumulative_uniques"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r.day)
+    assert [(r.dau, r.new_users, r.cumulative_uniques) for r in out] == [
+        (2, 2, 2), (2, 1, 3), (3, 0, 3)]
+
+
+def test_power_mde_closed_form(spark, tmp_path):
+    """Per-user values alternate 0/2000 milli-units -> known mean and
+    sample variance; MDE must equal the closed form exactly."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for u in range(1, 41):
+        v = 2.0 if u % 2 == 0 else 0.001  # 2000 or 1 milli-unit
+        rows.append((eid, base, u, "purchase", v, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_power_mde"](spark, str(tmp_path)).collect()[0]
+    xs = [2000 if u % 2 == 0 else 1 for u in range(1, 41)]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+    mde = (1.96 + 0.8416) * math.sqrt(2 * var / (n / 2))
+    assert out.n_users == 40
+    assert abs(out.mde_abs - round(mde / 1000, 4)) < 1e-9
+    assert abs(out.mde_rel - round(mde / mean, 6)) < 1e-9
