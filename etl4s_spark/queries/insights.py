@@ -3204,3 +3204,151 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mde_rel"
         ),
     )
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, min(ts) AS ta FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), b AS (
+      SELECT e.user_id, min(e.ts) AS tb
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.ta
+        AND e.ts <= a.ta + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e
+      JOIN a ON a.user_id = e.user_id
+      JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb
+        AND e.ts <= a.ta + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS reached_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS reached_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS reached_purchase,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM b)
+                 / (SELECT count(*) FROM a), 6) AS p_click_given_view,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM c)
+                 / nullif((SELECT count(*) FROM b), 0), 6)
+             AS p_purchase_given_click
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED funnel with a 24-hour window (ClickHouse's
+    windowFunnel semantics): view → first click AFTER the first view →
+    first purchase AFTER that click, all inside 24h of the anchor view.
+    q_funnel_conversion counts lifetime stage membership; this is the
+    time-bounded ordered variant campaign analysis actually needs
+    (a purchase BEFORE the click does not count). Each stage is one
+    conditional MIN over a user-keyed join against the previous
+    stage's anchor — three shuffles on the same user key (Catalyst
+    reuses the partitioning), no window functions, no per-user
+    event-list materialization; output is a constant 1-row scorecard."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ta"))
+            & (F.col("ts") <= F.col("ta") + F.expr("interval 24 hours"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"), F.first("ta").alias("ta"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b.select("user_id", "tb", "ta"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("tb"))
+            & (F.col("ts") <= F.col("ta") + F.expr("interval 24 hours"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    na = a.agg(F.count(F.lit(1)).alias("reached_view"))
+    nb = b.agg(F.count(F.lit(1)).alias("reached_click"))
+    nc = c.agg(F.count(F.lit(1)).alias("reached_purchase"))
+    return (
+        na.join(F.broadcast(nb))
+        .join(F.broadcast(nc))
+        .select(
+            F.col("reached_view").cast("long"),
+            F.col("reached_click").cast("long"),
+            F.col("reached_purchase").cast("long"),
+            F.round(
+                F.col("reached_click").cast("double") / F.col("reached_view"), 6
+            ).alias("p_click_given_view"),
+            F.round(
+                F.col("reached_purchase").cast("double")
+                / F.nullif(F.col("reached_click"), F.lit(0)).cast("double"),
+                6,
+            ).alias("p_purchase_given_click"),
+        )
+    )
+
+
+@query(
+    "q_engagement_l28",
+    oracle="""
+    WITH last_day AS (
+      SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events
+    ), ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events, last_day
+      WHERE CAST(date_trunc('day', ts) AS DATE) > d1 - 28
+    ), per_user AS (
+      SELECT user_id, count(*) AS active_days FROM ud GROUP BY user_id
+    ), tot AS (SELECT count(*) AS t FROM per_user)
+    SELECT CAST(active_days AS INT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE) / tot.t, 6) AS user_share
+    FROM per_user, tot
+    GROUP BY active_days, tot.t
+    ORDER BY active_days
+    """,
+)
+def q_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 engagement histogram — users bucketed by how many of the
+    trailing 28 days they were active (the Facebook-style engagement
+    fingerprint: a right-heavy L28 is a daily-habit product, a spike
+    at 1 is drive-by traffic; q_user_stickiness's DAU/WAU ratio is its
+    daily summary). One distinct-shuffle to user-days inside the
+    window (the date filter prunes at the scan), a per-user count, a
+    ≤28-row histogram with exact shares. The anchor is the data's own
+    last day, so the result is reproducible on a frozen snapshot."""
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.agg(
+        F.date_trunc("DAY", F.max("ts")).cast("date").alias("d1")
+    )
+    ud = (
+        ev.join(F.broadcast(last_day))
+        .filter(
+            F.date_trunc("DAY", "ts").cast("date") > F.date_sub(F.col("d1"), 28)
+        )
+        .select("user_id", F.date_trunc("DAY", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    per_user = ud.groupBy("user_id").agg(F.count(F.lit(1)).alias("active_days"))
+    tot = per_user.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        per_user.groupBy("active_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("active_days").cast("int"),
+            F.col("n_users").cast("long"),
+            F.round(
+                F.col("n_users").cast("double") / F.col("t").cast("double"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("active_days")
+    )

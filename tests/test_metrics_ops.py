@@ -1349,3 +1349,43 @@ def test_power_mde_closed_form(spark, tmp_path):
     assert out.n_users == 40
     assert abs(out.mde_abs - round(mde / 1000, 4)) < 1e-9
     assert abs(out.mde_rel - round(mde / mean, 6)) < 1e-9
+
+
+# ------------------------------------------------------- batch 18
+
+
+def test_windowed_funnel_enforces_order_and_window(spark, tmp_path):
+    """User 1: clean view->click->purchase inside 24h (counts fully).
+    User 2: purchase BEFORE click (stops at click). User 3: click
+    25h after view (stops at view)."""
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 4, 1, 10)
+    h = dt.timedelta(hours=1)
+    rows += [(1, t0, 1, "view"), (2, t0 + h, 1, "click"), (3, t0 + 2 * h, 1, "purchase")]
+    rows += [(4, t0, 2, "view"), (5, t0 + 2 * h, 2, "purchase"), (6, t0 + 3 * h, 2, "click")]
+    rows += [(7, t0, 3, "view"), (8, t0 + 25 * h, 3, "click")]
+    evs = [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows]
+    _write(spark, tmp_path, "events", evs, _EV_SCHEMA)
+    out = QUERIES["q_funnel_windowed"](spark, str(tmp_path)).collect()[0]
+    assert out.reached_view == 3
+    assert out.reached_click == 2      # users 1, 2 (user 3 outside 24h)
+    assert out.reached_purchase == 1   # only user 1 (user 2's purchase preceded click)
+    assert out.p_purchase_given_click == 0.5
+
+
+def test_l28_histogram_counts_and_window(spark, tmp_path):
+    """User 1 active 3 days, user 2 active 1 day, user 3 active only
+    OUTSIDE the trailing 28 days (excluded)."""
+    rows = []
+    eid = 0
+    anchor = dt.datetime(2024, 4, 30)
+    for d in (0, 5, 10):
+        rows.append((eid, anchor - dt.timedelta(days=d), 1, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, anchor - dt.timedelta(days=2), 2, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, anchor - dt.timedelta(days=40), 3, "view", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.active_days: r for r in QUERIES["q_engagement_l28"](spark, str(tmp_path)).collect()}
+    assert out[3].n_users == 1 and out[1].n_users == 1
+    assert sum(r.n_users for r in out.values()) == 2  # user 3 excluded
+    assert out[1].user_share == 0.5
