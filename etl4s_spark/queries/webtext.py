@@ -1222,3 +1222,84 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_corpus_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source
+    ), per_lang AS (
+      SELECT lang, sum(c) AS n, count(*) AS n_sources FROM cells GROUP BY lang
+    ), simpson AS (
+      SELECT lang, sum(c * (c - 1)) AS num FROM cells GROUP BY lang
+    ), shannon AS (
+      SELECT cells.lang,
+             sum(CAST(round(-(CAST(c AS DOUBLE) / p.n)
+                            * ln(CAST(c AS DOUBLE) / p.n)
+                            * 1000000000) AS BIGINT)) AS h_e9
+      FROM cells JOIN per_lang p ON p.lang = cells.lang
+      GROUP BY cells.lang
+    )
+    SELECT p.lang,
+           CAST(p.n AS BIGINT) AS n_docs,
+           CAST(p.n_sources AS BIGINT) AS n_sources,
+           round(1 - CAST(s.num AS DOUBLE) / (CAST(p.n AS DOUBLE) * (p.n - 1)), 6)
+             AS simpson_d,
+           round(h.h_e9 / 1000000000.0, 6) AS shannon_nats,
+           round(exp(h.h_e9 / 1000000000.0), 4) AS effective_sources
+    FROM per_lang p
+    JOIN simpson s ON s.lang = p.lang
+    JOIN shannon h ON h.lang = p.lang
+    ORDER BY p.lang
+    """,
+)
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity per language: Simpson's D (probability two
+    random docs come from different sources — EXACT integers via
+    1 − Σc(c−1)/n(n−1), no float accumulation at all), Shannon entropy
+    (nano-nat quantized terms, the q_stat_mutual_info rule), and the
+    effective source count e^H (exp on an identical double — same
+    determinism class as ln, FIXTURES C.5). The corpus-composition
+    scalar that says 'German is one crawl dump, English is twelve' —
+    which decides per-language dedup and mixture strategy. One
+    contingency shuffle; everything after is O(langs·sources)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_sources")
+    )
+    simpson = cells.groupBy("lang").agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("num")
+    )
+    sh_term = (
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c").cast("double") / F.col("n"))
+        * 1000000000
+    )
+    shannon = (
+        cells.join(per_lang.select("lang", "n"), "lang")
+        .groupBy("lang")
+        .agg(F.sum(F.round(sh_term).cast("long")).alias("h_e9"))
+    )
+    return (
+        per_lang.join(simpson, "lang")
+        .join(shannon, "lang")
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.round(
+                1
+                - F.col("num").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ).alias("simpson_d"),
+            F.round(F.col("h_e9") / 1000000000.0, 6).alias("shannon_nats"),
+            F.round(F.exp(F.col("h_e9") / 1000000000.0), 4).alias(
+                "effective_sources"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1389,3 +1389,23 @@ def test_l28_histogram_counts_and_window(spark, tmp_path):
     assert out[3].n_users == 1 and out[1].n_users == 1
     assert sum(r.n_users for r in out.values()) == 2  # user 3 excluded
     assert out[1].user_share == 0.5
+
+
+def test_corpus_diversity_extremes(spark, tmp_path):
+    """Single-source language -> Simpson 0, H 0, effective 1; uniform
+    two-source language -> Simpson and entropy at their closed forms."""
+    docs = []
+    did = 0
+    for _ in range(6):
+        docs.append((did, "x", "de", "only", 1)); did += 1
+    for src in ("a", "b"):
+        for _ in range(3):
+            docs.append((did, "x", "en", src, 1)); did += 1
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = {r.lang: r for r in QUERIES["q_corpus_diversity"](spark, str(tmp_path)).collect()}
+    de, en = out["de"], out["en"]
+    assert de.simpson_d == 0.0 and de.shannon_nats == 0.0 and de.effective_sources == 1.0
+    # en: n=6 in two cells of 3 -> D = 1 - 2*3*2/(6*5) = 0.6; H = ln 2
+    assert en.simpson_d == 0.6
+    assert abs(en.shannon_nats - round(math.log(2), 6)) < 2e-9
+    assert abs(en.effective_sources - 2.0) < 1e-3
