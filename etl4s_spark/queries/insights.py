@@ -3352,3 +3352,155 @@ def q_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("active_days")
     )
+
+
+@query(
+    "q_price_volume_mix",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CASE WHEN year(l_shipdate) = 1995 THEN 0 ELSE 1 END AS period,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS q
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1995, 2000)
+      GROUP BY 1, 2
+    ), basket AS (
+      SELECT p0.c AS c0, p0.q AS q0, p1.c AS c1, p1.q AS q1
+      FROM per p0 JOIN per p1 ON p1.l_partkey = p0.l_partkey
+      WHERE p0.period = 0 AND p1.period = 1
+    ), eff AS (
+      SELECT sum(c1 - c0) AS total_delta,
+             -- price effect: q0 * (p1 - p0) = q0*c1/q1 - c0, per part,
+             -- quantized to milli-cents
+             sum(CAST(round(CAST(q0 AS DOUBLE) * c1 * 1000 / q1
+                            - c0 * 1000.0) AS BIGINT)) AS price_e3,
+             -- volume effect: p0 * (q1 - q0) = c0*q1/q0 - c0
+             sum(CAST(round(CAST(c0 AS DOUBLE) * q1 * 1000 / q0
+                            - c0 * 1000.0) AS BIGINT)) AS volume_e3,
+             sum(c0) AS base_rev
+      FROM basket
+    )
+    SELECT CAST(base_rev AS BIGINT) AS base_rev_cents,
+           CAST(total_delta AS BIGINT) AS delta_rev_cents,
+           CAST(price_e3 // 1000 AS BIGINT) AS price_effect_cents,
+           CAST(volume_e3 // 1000 AS BIGINT) AS volume_effect_cents,
+           CAST(total_delta - price_e3 // 1000 - volume_e3 // 1000 AS BIGINT)
+             AS cross_effect_cents
+    FROM eff
+    """,
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge (1995 → 2000 over the common
+    part basket): ΔR decomposes into a price effect q₀·Δp, a volume
+    effect p₀·Δq, and the residual cross term — the CFO's 'why did
+    revenue move' waterfall, with q_price_index as its index-number
+    sibling off the same two-period part aggregate. Unit values are
+    rationals, so both effects quantize per part to milli-cents
+    (identical doubles → identical integers) and the cross term is
+    defined as the EXACT remainder total − price − volume, making the
+    bridge sum to ΔR by construction (pinned in pytest). One scan,
+    one (part, period) shuffle, basket join on the part aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.filter(F.year("l_shipdate").isin(1995, 2000))
+        .groupBy(
+            "l_partkey",
+            F.when(F.year("l_shipdate") == 1995, 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    p0 = per.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("c").alias("c0"), F.col("q").alias("q0")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("c").alias("c1"), F.col("q").alias("q1")
+    )
+    basket = p0.join(p1, "l_partkey")
+    price_e3 = F.round(
+        F.col("q0").cast("double") * F.col("c1") * 1000 / F.col("q1")
+        - F.col("c0") * 1000.0
+    ).cast("long")
+    volume_e3 = F.round(
+        F.col("c0").cast("double") * F.col("q1") * 1000 / F.col("q0")
+        - F.col("c0") * 1000.0
+    ).cast("long")
+    eff = basket.agg(
+        F.sum(F.col("c1") - F.col("c0")).alias("total_delta"),
+        F.sum(price_e3).alias("price_e3"),
+        F.sum(volume_e3).alias("volume_e3"),
+        F.sum("c0").alias("base_rev"),
+    )
+    pe = F.expr("price_e3 div 1000")
+    ve = F.expr("volume_e3 div 1000")
+    return eff.select(
+        F.col("base_rev").cast("long").alias("base_rev_cents"),
+        F.col("total_delta").cast("long").alias("delta_rev_cents"),
+        pe.cast("long").alias("price_effect_cents"),
+        ve.cast("long").alias("volume_effect_cents"),
+        (F.col("total_delta") - pe - ve).cast("long").alias("cross_effect_cents"),
+    )
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    ), tot AS (
+      SELECT count(*) AS n, sum(x) AS sx FROM rev
+    ), dec AS (
+      SELECT least(9, ((i - 1) * 10) // n) AS decile, x
+      FROM ranked, tot
+    ), agg AS (
+      SELECT decile, count(*) AS n_cust, sum(x) AS rev FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           CAST(rev AS BIGINT) AS rev_cents,
+           round(CAST(sum(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / tot.sx, 6) AS cum_rev_share
+    FROM agg, tot
+    ORDER BY decile
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in customer deciles (poorest→richest, cumulative
+    revenue share per decile) — the CURVE whose area q_gini_
+    concentration summarizes and whose top-end q_revenue_pareto reads
+    (perfect equality ⇒ cum share = (d+1)/10; the sag below that line
+    IS the inequality). Customers rank ascending by exact cents with a
+    key tie-break, decile edges come from integer cross-multiplication
+    on the rank (no percentile arithmetic), and the cumulative window
+    runs over 10 rows. At 100 TB the rank is a distributed sort +
+    zipWithIndex-style offset, everything after is constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = rev.select("x", F.row_number().over(w).alias("i"))
+    tot = rev.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    dec = ranked.join(F.broadcast(tot)).select(
+        F.least(F.lit(9), F.expr("((i - 1) * 10) div n")).alias("decile"),
+        "x",
+        "sx",
+    )
+    agg = dec.groupBy("decile", "sx").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("x").alias("rev")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        F.col("decile").cast("int"),
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.col("rev").cast("long").alias("rev_cents"),
+        F.round(
+            F.sum("rev").over(wc).cast("double") / F.col("sx").cast("double"), 6
+        ).alias("cum_rev_share"),
+    ).orderBy("decile")

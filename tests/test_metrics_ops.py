@@ -1409,3 +1409,49 @@ def test_corpus_diversity_extremes(spark, tmp_path):
     assert en.simpson_d == 0.6
     assert abs(en.shannon_nats - round(math.log(2), 6)) < 2e-9
     assert abs(en.effective_sources - 2.0) < 1e-3
+
+
+# ------------------------------------------------------- batch 20
+
+
+def test_pvm_bridge_sums_to_delta(spark, tmp_path):
+    """Pure price doubling at constant volume: all delta lands in the
+    price effect, volume and cross are 0; the bridge identity holds."""
+    rows = []
+    d95, d00 = dt.datetime(1995, 6, 1), dt.datetime(2000, 6, 1)
+    for pk in (1, 2):
+        rows.append((pk, 10.0, 0.0, 0.0, 100.0 * pk, "N", "O", d95))
+        rows.append((pk, 10.0, 0.0, 0.0, 200.0 * pk, "N", "O", d00))
+    _write(spark, tmp_path, "lineitem", rows, _LI_FULL_SCHEMA)
+    out = QUERIES["q_price_volume_mix"](spark, str(tmp_path)).collect()[0]
+    assert out.delta_rev_cents == 30000
+    assert out.price_effect_cents == 30000
+    assert out.volume_effect_cents == 0 and out.cross_effect_cents == 0
+    assert (out.price_effect_cents + out.volume_effect_cents
+            + out.cross_effect_cents) == out.delta_rev_cents
+
+
+def test_pvm_pure_volume(spark, tmp_path):
+    """Quantity doubles at constant unit price: all delta is volume."""
+    rows = [
+        (1, 10.0, 0.0, 0.0, 100.0, "N", "O", dt.datetime(1995, 6, 1)),
+        (1, 20.0, 0.0, 0.0, 200.0, "N", "O", dt.datetime(2000, 6, 1)),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, _LI_FULL_SCHEMA)
+    out = QUERIES["q_price_volume_mix"](spark, str(tmp_path)).collect()[0]
+    assert out.volume_effect_cents == 10000
+    assert out.price_effect_cents == 0 and out.cross_effect_cents == 0
+
+
+def test_lorenz_curve_shape(spark, tmp_path):
+    """20 customers, one whale with half the revenue: top decile share
+    jumps; cumulative shares are monotone and end at 1."""
+    orders = [(i, i, 100.0) for i in range(1, 20)] + [(20, 20, 1900.0)]
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    out = sorted(QUERIES["q_lorenz_curve"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r.decile)
+    assert len(out) == 10 and all(r.n_customers == 2 for r in out)
+    shares = [r.cum_rev_share for r in out]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    assert out[9].rev_cents == 10000 + 190000  # cust 19 + whale
+    assert shares[8] == round((18 * 100) / 3800, 6)  # bottom 9 deciles
