@@ -4291,3 +4291,153 @@ def q_embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q_audit_lsh_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 500 AND b.vec_id < 500
+        AND list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.3
+    ), planes AS (
+      SELECT p, d,
+             CAST(('0x' || substr(md5('pl:' || CAST(p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+               - 2147483648 AS coeff
+      FROM unnest(generate_series(0, 31)) AS tp(p),
+           unnest(generate_series(0, 63)) AS td(d)
+    ), el AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+      WHERE vec_id < 500
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN sum(e.q * pl.coeff) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN planes pl ON e.d = pl.d
+      GROUP BY e.vec_id, pl.p
+    ), bands AS (
+      SELECT vec_id, p // 8 AS band_idx,
+             sum(bit * (1 << (p % 8))) AS band_key
+      FROM bits GROUP BY vec_id, p // 8
+    ), proposed AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+    ), ths AS (
+      SELECT unnest([0.3, 0.4, 0.5, 0.6]) AS th
+    ), truth AS (
+      SELECT th, id_a, id_b FROM scored, ths WHERE cos_sim >= th
+    ), hits AS (
+      SELECT t.th, count(*) AS h
+      FROM truth t JOIN proposed p ON p.id_a = t.id_a AND p.id_b = t.id_b
+      GROUP BY t.th
+    ), nt AS (
+      SELECT th, count(*) AS n FROM truth GROUP BY th
+    )
+    SELECT round(ths.th, 1) AS threshold,
+           CAST(coalesce(nt.n, 0) AS BIGINT) AS n_truth,
+           CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hits,
+           round(coalesce(hits.h, 0)
+                 / greatest(1.0, coalesce(nt.n, 0)), 6) AS recall,
+           round(coalesce(hits.h, 0)
+                 / greatest(1.0, (SELECT count(*) FROM proposed)), 6)
+             AS precision_at_th
+    FROM ths
+    LEFT JOIN nt ON nt.th = ths.th
+    LEFT JOIN hits ON hits.th = ths.th
+    ORDER BY threshold
+    """,
+)
+def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point TUNING table: recall AND precision of the
+    checkable hyperplane index against exact-cosine truth at four
+    thresholds (0.3 → 0.6) — the sweep a dedup owner actually runs
+    before picking a cutoff (q_audit_ann_recall reports the single
+    0.4 point; this shows the tradeoff curve: recall rises with the
+    threshold since near-threshold pairs are the ones the sketch
+    misses, while precision-against-truth falls as truth thins).
+    Exact scored pairs are computed ONCE at the loosest threshold and
+    re-thresholded per operating point (no re-scan per threshold);
+    the propose side is the same integer-exact band plan. All counts
+    exact integers; the threshold comparisons run on identical
+    doubles (the 0.4-family determinism class)."""
+    from etl4s_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    scored = (
+        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.3)
+        .select("id_a", "id_b", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+    planes = spark.range(32 * 64).selectExpr(
+        "CAST(id div 64 AS INT) AS p",
+        "CAST(id % 64 AS INT) AS d",
+        "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
+        "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
+    )
+    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    bands = (
+        el.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("q") * F.col("coeff")) >= 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+        .groupBy("vec_id", F.expr("p div 8").alias("band_idx"))
+        .agg(F.sum(F.expr("bit * shiftleft(1, p % 8)")).alias("band_key"))
+        .localCheckpoint(eager=True)
+    )
+    proposed = (
+        bands.join(
+            bands.select(F.col("vec_id").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prop = proposed.count()
+    ths = spark.createDataFrame([(0.3,), (0.4,), (0.5,), (0.6,)], "th double")
+    truth = F.broadcast(ths).join(scored, F.col("cos_sim") >= F.col("th")).select(
+        "th", "id_a", "id_b"
+    )
+    nt = truth.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        truth.join(proposed, ["id_a", "id_b"])
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        ths.join(nt, "th", "left")
+        .join(hits, "th", "left")
+        .select(
+            F.round("th", 1).alias("threshold"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("h", F.lit(0))
+                / F.greatest(F.lit(1.0), F.coalesce("n", F.lit(0)).cast("double")),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce("h", F.lit(0)) / F.greatest(F.lit(1.0), F.lit(float(n_prop))),
+                6,
+            ).alias("precision_at_th"),
+        )
+        .orderBy("threshold")
+    )

@@ -1455,3 +1455,19 @@ def test_lorenz_curve_shape(spark, tmp_path):
     assert shares == sorted(shares) and shares[-1] == 1.0
     assert out[9].rev_cents == 10000 + 190000  # cust 19 + whale
     assert shares[8] == round((18 * 100) / 3800, 6)  # bottom 9 deciles
+
+
+def test_lsh_threshold_sweep_monotonic(spark, sf_dir):
+    """On the real corpus slice: truth counts shrink as the threshold
+    rises, recall is non-decreasing (tighter pairs are easier for the
+    sketch), and every count is internally consistent."""
+    rows = sorted(QUERIES["q_audit_lsh_threshold_sweep"](spark, sf_dir).collect(),
+                  key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.3, 0.4, 0.5, 0.6]
+    truths = [r.n_truth for r in rows]
+    assert truths == sorted(truths, reverse=True)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_truth
+        assert 0.0 <= r.recall <= 1.0
+    recalls = [r.recall for r in rows if r.n_truth > 0]
+    assert recalls == sorted(recalls)
