@@ -3504,3 +3504,81 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").over(wc).cast("double") / F.col("sx").cast("double"), 6
         ).alias("cum_rev_share"),
     ).orderBy("decile")
+
+
+@query(
+    "q_attribution_time_decay",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), touches AS (
+      SELECT e.user_id, e.event_type,
+             CAST(round(exp((CAST(epoch_us(e.ts) AS DOUBLE)
+                             - epoch_us(c.conv_ts)) / 3600000000.0
+                            / 12.0 * ln(0.5) * -1)
+                        * 1000000000) AS BIGINT) AS w9
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.conv_ts
+    ), per_user AS (
+      SELECT user_id, sum(w9) AS tw FROM touches GROUP BY user_id
+    ), credited AS (
+      SELECT t.event_type,
+             CAST(t.w9 AS DOUBLE) / p.tw AS share
+      FROM touches t JOIN per_user p ON p.user_id = t.user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(CAST(round(share * 1000000000) AS BIGINT))
+                 / 1000000000.0, 6) AS credit
+    FROM credited
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution (12-hour half-life) — the third standard
+    multi-touch model beside first/last (q_attribution_touch) and
+    U-shaped (q_attribution_position): each pre-conversion touch
+    weighs 0.5^(Δt/12h), written as exp(Δt·ln0.5/12h) since pow() is
+    banned (FIXTURES §C) while exp/ln on identical doubles are the
+    established deterministic class. Each raw weight quantizes to
+    nano-units BEFORE the per-user normalizing sum (exact bigint), the
+    per-touch share divides two exact numbers, and the channel rollup
+    re-quantizes shares before ITS sum — no float accumulation
+    anywhere. Two user-keyed shuffles sharing a partitioning, then a
+    channel rollup; every converting user's credits sum to 1."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    dt_hours = (
+        F.unix_micros("ts").cast("double") - F.unix_micros("conv_ts")
+    ) / 3600000000.0
+    w9 = F.round(
+        F.exp(dt_hours / 12.0 * F.log(F.lit(0.5)) * -1) * 1000000000
+    ).cast("long")
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .select("user_id", "event_type", w9.alias("w9"))
+    )
+    per_user = touches.groupBy("user_id").agg(F.sum("w9").alias("tw"))
+    credited = touches.join(per_user, "user_id").select(
+        "event_type",
+        (F.col("w9").cast("double") / F.col("tw")).alias("share"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(
+                F.sum(F.round(F.col("share") * 1000000000).cast("long"))
+                / 1000000000.0,
+                6,
+            ).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

@@ -1471,3 +1471,22 @@ def test_lsh_threshold_sweep_monotonic(spark, sf_dir):
         assert 0.0 <= r.recall <= 1.0
     recalls = [r.recall for r in rows if r.n_truth > 0]
     assert recalls == sorted(recalls)
+
+
+def test_time_decay_favors_recent_touches(spark, tmp_path):
+    """Touch 12h before conversion gets exactly half the weight of one
+    at conversion-instant-minus-epsilon; per-user credits sum to 1."""
+    rows = []
+    t0 = dt.datetime(2024, 4, 2, 12)
+    rows.append((1, t0 - dt.timedelta(hours=12), 1, "view", 1.0, "{}"))
+    rows.append((2, t0 - dt.timedelta(microseconds=1), 1, "click", 1.0, "{}"))
+    rows.append((3, t0, 1, "purchase", 1.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.event_type: r for r in QUERIES["q_attribution_time_decay"](spark, str(tmp_path)).collect()}
+    assert "purchase" not in out
+    total = out["view"].credit + out["click"].credit
+    assert abs(total - 1.0) < 2e-9
+    # weights 0.5 vs ~1.0 -> click share 2/3, view 1/3
+    assert abs(out["click"].credit - round(2 / 3, 6)) < 1e-6
+    assert abs(out["view"].credit - round(1 / 3, 6)) < 1e-6
+    assert out["click"].credit > out["view"].credit  # recency wins
