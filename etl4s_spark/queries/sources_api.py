@@ -617,3 +617,53 @@ def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cal_date")
         .limit(400)
     )
+
+
+@query(
+    "q_observe_inline_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_large,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_status,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def q_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via the OBSERVATION API — the
+    zero-extra-pass pattern (Spark's named-metric accumulators,
+    Deequ's mechanism): counters ride the SAME job that consumes the
+    data instead of separate validation scans. Here the consuming
+    action is a count over the observed frame; the observed metrics
+    (row count, large-order count, invalid-status count, exact cent
+    mass) come back through the Observation handle and are returned as
+    the 1-row result the oracle recomputes classically. This is the
+    queries()-registered twin of the Layer-A ensure*/observe family
+    (plans/observe.py): at 100 TB every pipeline stage carries these
+    for free — the four aggregates here cost ZERO additional scans."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).alias(
+            "n_large"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_bad_status"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    observed.count()  # the consuming action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["n_bad_status"], m["total_cents"])],
+        "n_rows long, n_large long, n_bad_status long, total_cents long",
+    )

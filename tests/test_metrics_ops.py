@@ -1490,3 +1490,13 @@ def test_time_decay_favors_recent_touches(spark, tmp_path):
     assert abs(out["click"].credit - round(2 / 3, 6)) < 1e-6
     assert abs(out["view"].credit - round(1 / 3, 6)) < 1e-6
     assert out["click"].credit > out["view"].credit  # recency wins
+
+
+def test_observe_metrics_match_direct_aggregates(spark, tmp_path):
+    orders = [(1, 1, 100.0, "O"), (2, 1, 400000.0, "F"), (3, 1, 50.0, "X")]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderstatus string")
+    out = QUERIES["q_observe_inline_metrics"](spark, str(tmp_path)).collect()[0]
+    assert out.n_rows == 3 and out.n_large == 1 and out.n_bad_status == 1
+    assert out.total_cents == 10000 + 40000000 + 5000

@@ -84,6 +84,25 @@ PROBE_QUERIES = [
     "q_histogram_equidepth",
     "q_agg_weighted_median",
     "q_skyline_pareto",
+    # round-5 fourth wave (uncapped over their fact tables)
+    "q_stat_spearman",
+    "q_stat_kendall",
+    "q_agg_moments",
+    "q_gini_concentration",
+    "q_concentration_hhi",
+    "q_returns_wilson",
+    "q_grouped_regression",
+    "q_user_stickiness",
+    "q_cumulative_uniques",
+    "q_growth_accounting",
+    "q_delta_method_ratio",
+    "q_sample_bootstrap_se",
+    "q_jackknife_groups",
+    "q_attribution_position",
+    "q_attribution_time_decay",
+    "q_funnel_windowed",
+    "q_lorenz_curve",
+    "q_psi_stability",
 ]
 
 
