@@ -1925,3 +1925,94 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(wt).cast("double"), 6
         ).alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "q_anomaly_rolling_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2
+    ), framed AS (
+      SELECT g, day, c,
+             list(c) OVER (PARTITION BY g ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS win
+      FROM daily
+    ), medw AS (
+      SELECT g, day, c, len(win) AS n, list_sort(win) AS sw FROM framed
+    ), med AS (
+      SELECT g, day, c, n,
+             2 * c - (sw[(n - 1) // 2 + 1] + sw[n // 2 + 1]) AS dev2,
+             sw
+      FROM medw WHERE n = 7
+    ), madw AS (
+      SELECT g, day, c, dev2,
+             list_sort(list_transform(sw,
+               x -> abs(2 * x - (sw[(7 - 1) // 2 + 1] + sw[7 // 2 + 1])))) AS ad
+      FROM med
+    ), flagged AS (
+      SELECT g, day, c, dev2,
+             ad[(7 - 1) // 2 + 1] + ad[7 // 2 + 1] AS mad4
+      FROM madw
+    )
+    SELECT g AS event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           round(c / 100.0, 2) AS daily_total,
+           round(dev2 / 200.0, 2) AS deviation,
+           round(mad4 / 400.0, 2) AS rolling_mad
+    FROM flagged
+    WHERE abs(CAST(dev2 AS DOUBLE)) * 2 > 2.9652 * 2 * mad4 AND mad4 > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_anomaly_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING robust anomaly detector: a day is anomalous when its
+    deviation from the trailing-7-day median exceeds 2·(1.4826·MAD) of
+    that SAME trailing window (Hampel filter semantics — q_anomaly_mad
+    applies one global fence; this adapts per series per day, catching
+    a spike that a drifting level would hide). The frame excludes the
+    current day (7 PRECEDING..1 PRECEDING) so a spike cannot defend
+    itself by inflating its own baseline. All medians are two-middle-
+    element selections over sorted ≤7-element frame arrays (bounded
+    higher-order ops — the FIXTURES C.4 exception), kept in DOUBLED /
+    quadrupled integer units so every comparison is exact integer
+    cross-multiplication: |2·dev2| > 2.9652·2·mad4 with 2.9652 =
+    2·1.4826 as an exact decimal literal. One shuffle per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("g").orderBy("day").rowsBetween(-7, -1)
+    framed = daily.select(
+        "g",
+        "day",
+        "c",
+        F.array_sort(F.collect_list("c").over(w)).alias("sw"),
+    ).withColumn("n", F.size("sw")).filter(F.col("n") == 7)
+    # F.get is 0-indexed and NULL-safe out of bounds: Catalyst merges the
+    # n==7 filter with the anomaly filter, so these expressions also run
+    # on short frames — element_at would raise under ANSI there.
+    med2 = F.get("sw", 3) + F.get("sw", 3)  # n=7: both middles = 4th element
+    dev2 = 2 * F.col("c") - med2
+    ad = F.array_sort(
+        F.transform("sw", lambda x: F.abs(2 * x - med2))
+    )
+    mad4 = F.get(ad, 3) + F.get(ad, 3)
+    flagged = framed.select(
+        "g",
+        "day",
+        "c",
+        dev2.alias("dev2"),
+        mad4.alias("mad4"),
+    ).filter(
+        (F.abs(F.col("dev2").cast("double")) * 2 > 2.9652 * 2 * F.col("mad4"))
+        & (F.col("mad4") > 0)
+    )
+    return flagged.select(
+        F.col("g").alias("event_type"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("c") / 100.0, 2).alias("daily_total"),
+        F.round(F.col("dev2") / 200.0, 2).alias("deviation"),
+        F.round(F.col("mad4") / 400.0, 2).alias("rolling_mad"),
+    ).orderBy("event_type", "day")

@@ -1500,3 +1500,25 @@ def test_observe_metrics_match_direct_aggregates(spark, tmp_path):
     out = QUERIES["q_observe_inline_metrics"](spark, str(tmp_path)).collect()[0]
     assert out.n_rows == 3 and out.n_large == 1 and out.n_bad_status == 1
     assert out.total_cents == 10000 + 40000000 + 5000
+
+
+def test_rolling_mad_flags_spike_not_level_shift_baseline(spark, tmp_path):
+    """A single 10x spike against a stable baseline is flagged; the
+    stable days are not; the spike cannot inflate its own window
+    (frame excludes current day)."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    vals = [10.0] * 8 + [100.0] + [10.0] * 4  # spike on day 8
+    # distinct per-day jitter so the rolling MAD is strictly positive
+    # (an all-equal window has MAD 0 and is excluded by design)
+    for day, v in enumerate(vals):
+        vv = v + day * 0.01
+        rows.append((eid, base + dt.timedelta(days=day), 1, "view", vv, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_anomaly_rolling_mad"](spark, str(tmp_path)).collect()
+    days = {r.day for r in out}
+    assert "2024-04-09" in days  # the spike (day index 8)
+    assert all(r.daily_total > 50 for r in out if r.day == "2024-04-09")
+    # no stable day before the spike is flagged
+    assert not any(r.day < "2024-04-09" for r in out)
