@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl4s_spark.operators.dedup import (
     exact_dedup,
@@ -4440,4 +4441,127 @@ def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_th"),
         )
         .orderBy("threshold")
+    )
+
+
+@query(
+    "q_cluster_labels",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 4
+    ), dists AS (
+      SELECT e.vec_id, c.centroid_id,
+             CAST(round(list_sum(list_transform(
+                    list_zip(e.embedding, c.cvec),
+                    t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+                         * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))
+                  * 1000000) AS BIGINT) AS d_e6
+      FROM embeddings e, cent c
+      WHERE e.vec_id < 500
+    ), assigned AS (
+      SELECT vec_id AS doc_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d_e6, centroid_id) AS rn
+      FROM dists
+    ), docs AS (
+      SELECT a.centroid_id, d.doc_id,
+             list_filter(string_split(d.text, ' '), x -> x <> '') AS ws
+      FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+      WHERE a.rn = 1 AND d.text IS NOT NULL
+    ), n_docs AS (SELECT count(*) AS n FROM docs),
+    terms AS (
+      SELECT centroid_id, doc_id, unnest(ws) AS term FROM docs
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), ctf AS (
+      SELECT centroid_id, term, count(*) AS tf FROM terms GROUP BY centroid_id, term
+    ), scored AS (
+      SELECT c.centroid_id, c.term,
+             round(c.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+      FROM ctf c JOIN df d ON d.term = c.term CROSS JOIN n_docs n
+    ), ranked AS (
+      SELECT centroid_id, term, tfidf,
+             row_number() OVER (PARTITION BY centroid_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT centroid_id, CAST(rn AS INT) AS rn, term, tfidf
+    FROM ranked WHERE rn <= 3
+    ORDER BY centroid_id, rn
+    """,
+)
+def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic CLUSTER LABELING: assign every document's embedding to
+    its nearest seed centroid (the q_cluster_assign argmin), then name
+    each cluster by its top-3 TF-IDF terms — the step that turns
+    anonymous k-means cells into 'this cluster is about X', run after
+    every corpus clustering. The composition reuses the two proven
+    plans end to end (broadcast-centroid argmin; tf·ln(N/df) with the
+    q_text_tfidf determinism recipe — exact counts into one ln) joined
+    through doc_id = vec_id; ranking is WindowGroupLimit per cluster
+    with a term tie-break. At 100 TB: one scan of each table, the
+    centroid matrix and df vocabulary are the only broadcast state."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = e.join(F.broadcast(cent)).select(
+        F.col("vec_id").alias("doc_id"),
+        "centroid_id",
+        F.round(d2 * 1000000).cast("long").alias("d_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("d_e6", "centroid_id")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "centroid_id")
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .join(assigned, "doc_id")
+        .select(
+            "centroid_id",
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    terms = docs.select("centroid_id", "doc_id", F.explode("ws").alias("term"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    ctf = terms.groupBy("centroid_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        ctf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "centroid_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    wr = Window.partitionBy("centroid_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("centroid_id", F.col("rn").cast("int"), "term", "tfidf")
+        .orderBy("centroid_id", "rn")
     )

@@ -1522,3 +1522,31 @@ def test_rolling_mad_flags_spike_not_level_shift_baseline(spark, tmp_path):
     assert all(r.daily_total > 50 for r in out if r.day == "2024-04-09")
     # no stable day before the spike is flagged
     assert not any(r.day < "2024-04-09" for r in out)
+
+
+def test_cluster_labels_planted_topics(spark, tmp_path):
+    """Two tight clusters whose documents use disjoint vocabularies:
+    each cluster's top terms must come from its own vocabulary."""
+    d = 64
+
+    def vec(i, x=1.0):
+        v = [0.0] * d
+        v[i] = x
+        return v
+
+    embs = [(0, vec(0)), (1, vec(1)),             # seed centroids
+            (4, vec(0, 0.9)), (5, vec(0, 1.1)),   # cluster 0
+            (6, vec(1, 0.9)), (7, vec(1, 1.1))]   # cluster 1
+    docs = [
+        (0, "alpha beta alpha", "en", "s", 1), (1, "gamma delta gamma", "en", "s", 1),
+        (4, "alpha beta beta", "en", "s", 1), (5, "alpha alpha beta", "en", "s", 1),
+        (6, "gamma delta delta", "en", "s", 1), (7, "gamma gamma delta", "en", "s", 1),
+    ]
+    _write(spark, tmp_path, "embeddings", embs, "vec_id long, embedding array<double>")
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = QUERIES["q_cluster_labels"](spark, str(tmp_path)).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.centroid_id, []).append(r.term)
+    assert set(by_cluster[0]) <= {"alpha", "beta"}
+    assert set(by_cluster[1]) <= {"gamma", "delta"}
