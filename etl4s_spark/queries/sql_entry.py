@@ -612,3 +612,41 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(revenue_cents AS BIGINT) AS revenue_cents
         |> ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "q_sql_named_params",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount <= 0.05
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL with named markers plus the IDENTIFIER clause
+    (Spark 3.4+/4.x surface): the query text contains no inlined
+    values — `:min_qty` / `:max_disc` bind server-side (typed literal
+    substitution inside analysis, the injection-safe path a template
+    engine should use instead of f-strings) and the table name itself
+    arrives through IDENTIFIER(:tbl). Same Catalyst plan as the
+    literal query — parameters fold into the pushed-down scan filters;
+    the oracle states the bound form."""
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE l_quantity >= :min_qty AND l_discount <= :max_disc
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"tbl": li, "min_qty": 30, "max_disc": 0.05},
+    )

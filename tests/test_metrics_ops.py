@@ -1550,3 +1550,21 @@ def test_cluster_labels_planted_topics(spark, tmp_path):
         by_cluster.setdefault(r.centroid_id, []).append(r.term)
     assert set(by_cluster[0]) <= {"alpha", "beta"}
     assert set(by_cluster[1]) <= {"gamma", "delta"}
+
+
+def test_sql_named_params_equals_literal_form(spark, tmp_path):
+    rows = [(float(q), 0.01 * (q % 8), 0.0, 100.0 * q, "N" if q % 2 else "R", "O")
+            for q in range(1, 61)]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string, l_linestatus string")
+    got = QUERIES["q_sql_named_params"](spark, str(tmp_path)).collect()
+    ref = spark.sql("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM __lineitem
+        WHERE l_quantity >= 30 AND l_discount <= 0.05
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """).collect()
+    assert got == ref and len(got) == 2
