@@ -1568,3 +1568,75 @@ def test_sql_named_params_equals_literal_form(spark, tmp_path):
         GROUP BY l_returnflag ORDER BY l_returnflag
     """).collect()
     assert got == ref and len(got) == 2
+
+
+# --------------------------------------------- closed-form hardening
+
+
+def test_cuped_theta_and_adjustment_match_reference(spark, tmp_path):
+    """Exact CUPED reference: theta = cov/var over per-user (pre, post)
+    milli-units, arm means adjusted by theta*(pre_arm - pre_all).
+    md5 arms (precomputed): users 2,3,5,12 -> A; 1,4,6..11 -> B."""
+    pre_post = {
+        1: (10.0, 4.0), 2: (20.0, 9.0), 3: (30.0, 13.0), 4: (40.0, 18.0),
+        5: (15.0, 8.0), 6: (25.0, 10.0), 7: (35.0, 16.0), 8: (5.0, 2.0),
+        9: (12.0, 6.0), 10: (22.0, 11.0), 11: (32.0, 15.0), 12: (8.0, 3.0),
+    }
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for u, (pre, post) in pre_post.items():
+        rows.append((eid, base + dt.timedelta(days=2), u, "purchase", pre, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(days=20), u, "purchase", post, "{}")); eid += 1
+    # span anchors so the 15-day cutoff splits the two purchases
+    rows.append((eid, base, 998, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(days=29), 999, "view", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r.arm: r for r in QUERIES["q_ab_cuped"](spark, str(tmp_path)).collect()}
+
+    import hashlib
+
+    def arm_of(u):
+        return "A" if hashlib.md5(f"ab:{u}".encode()).hexdigest()[0] < "8" else "B"
+
+    arms = {u: arm_of(u) for u in list(pre_post) + [998, 999]}
+    xs = {u: (round(p * 1000), round(q * 1000)) for u, (p, q) in pre_post.items()}
+    xs[998] = (0, 0); xs[999] = (0, 0)
+    n = len(xs)
+    sx = sum(p for p, _ in xs.values()); sy = sum(q for _, q in xs.values())
+    sxy = sum(p * q for p, q in xs.values()); sxx = sum(p * p for p, _ in xs.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_pre_all = sx / n
+    for arm_name in ("A", "B"):
+        users = [u for u in xs if arms[u] == arm_name]
+        m_pre = sum(xs[u][0] for u in users) / len(users)
+        m_post = sum(xs[u][1] for u in users) / len(users)
+        want = (m_post - theta * (m_pre - mean_pre_all)) / 1000
+        got = out[arm_name]
+        assert got.n_users == len(users)
+        assert abs(got.mean_post_cuped - round(want, 6)) < 1e-9
+
+
+def test_durbin_watson_exact_reference(spark, tmp_path):
+    """DW computed by the engine must equal the pure-Python value on a
+    planted daily series (OLS residuals, scale-invariant ratio)."""
+    ys = [10, 14, 9, 20, 13, 18, 11, 25, 16, 22, 12, 28]
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for day, cnt in enumerate(ys):
+        for j in range(cnt):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), 1, "view", 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = QUERIES["q_stat_durbin_watson"](spark, str(tmp_path)).collect()[0]
+    n = len(ys)
+    ts = list(range(n))
+    sx = sum(ts); sy = sum(ys)
+    sxy = sum(t * y for t, y in zip(ts, ys)); sxx = sum(t * t for t in ts)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    e = [y - a - b * t for t, y in zip(ts, ys)]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(x * x for x in e)
+    assert out.n_days == n
+    assert abs(out.dw - round(dw, 6)) < 1e-6
