@@ -1640,3 +1640,61 @@ def test_durbin_watson_exact_reference(spark, tmp_path):
     dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(x * x for x in e)
     assert out.n_days == n
     assert abs(out.dw - round(dw, 6)) < 1e-6
+
+
+def test_bayes_shrinkage_exact_reference(spark, tmp_path):
+    """Exact method-of-moments Beta-Binomial reference with the same
+    nano-quantization as the engine."""
+    data = {1: (20, 100), 2: (30, 100), 3: (10, 50), 4: (1, 4)}
+    parts = [(pk, f"p{pk}", f"Brand#{pk}", "t", 1, 1.0) for pk in data]
+    _write(spark, tmp_path, "part", parts,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    li = []
+    for pk, (k, n) in data.items():
+        li += [(pk, "R" if j < k else "N") for j in range(n)]
+    _write(spark, tmp_path, "lineitem",
+           [(pk, 1.0, 0.0, 0.0, 100.0, rf) for pk, rf in li],
+           "l_partkey long, l_quantity double, l_discount double, l_tax double, "
+           "l_extendedprice double, l_returnflag string")
+    out = {r.brand: r for r in QUERIES["q_bayes_shrunk_rates"](spark, str(tmp_path)).collect()}
+    r9 = {pk: round(k * 1e9 / n) for pk, (k, n) in data.items()}
+    g = len(r9)
+    sr = sum(r9.values()); srr = sum(v * v for v in r9.values())
+    mu = sr / g / 1e9
+    varr = (g * srr - sr * sr) / (g * g) / 1e18
+    kappa = mu * (1 - mu) / varr - 1
+    alpha, beta = mu * kappa, (1 - mu) * kappa
+    for pk, (k, n) in data.items():
+        want = (k + alpha) / (n + alpha + beta)
+        assert abs(out[f"Brand#{pk}"].shrunk_rate - round(want, 6)) < 1e-9
+
+
+def test_bootstrap_se_exact_reference(spark, tmp_path):
+    """The Poisson bootstrap is fully reproducible outside the engine:
+    recompute every replicate weight from md5 and match the SE
+    EXACTLY."""
+    import hashlib
+    T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291]
+    vals = {i: 100.0 + (i % 7) * 33.0 for i in range(1, 81)}
+    _write(spark, tmp_path, "orders",
+           [(i, 1, v) for i, v in vals.items()], _ORD_SCHEMA)
+    out = QUERIES["q_sample_bootstrap_se"](spark, str(tmp_path)).collect()[0]
+
+    def wt(r, ok):
+        u = int(hashlib.md5(f"boot:{r}:{ok}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(T):
+            if u < t:
+                return k
+        return 6
+
+    m6 = []
+    for r in range(20):
+        sw = sum(wt(r, ok) * round(v * 100) for ok, v in vals.items())
+        nw = sum(wt(r, ok) for ok in vals)
+        m6.append(round(sw * 1e6 / nw))
+    rn = len(m6)
+    sm = sum(m6); smm = sum(x * x for x in m6)
+    se = math.sqrt((rn * smm - sm * sm) / (rn * (rn - 1))) / 1e6 / 100
+    assert out.n_replicates == 20
+    assert abs(out.boot_se_price - round(se, 4)) < 1e-9
