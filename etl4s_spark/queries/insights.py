@@ -2752,7 +2752,7 @@ def q_stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = daily.select(
         (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
-    )
+    ).cache()  # reused by moments, residuals x2, counts
     m = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("st"),

@@ -962,8 +962,11 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    classes = wc.groupBy("c").agg(F.count(F.lit(1)).alias("nw")).select(
-        "c", "nw", (F.col("c") * F.col("nw")).alias("tok")
+    classes = (
+        wc.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .select("c", "nw", (F.col("c") * F.col("nw")).alias("tok"))
+        .cache()  # reused by cum window AND totals
     )
     wo = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
     cum = classes.select(
@@ -1266,7 +1269,11 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     which decides per-language dedup and mixture strategy. One
     contingency shuffle; everything after is O(langs·sources)."""
     d = load_table(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()  # reused by margins, Simpson and Shannon
+    )
     per_lang = cells.groupBy("lang").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_sources")
     )
