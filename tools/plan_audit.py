@@ -63,6 +63,12 @@ FEATURES = {
     "nested_loop": r"BroadcastNestedLoopJoin|CartesianProduct",
     "sort_merge_joins": r"SortMergeJoin",
     "hash_joins": r"BroadcastHashJoin|ShuffledHashJoin",
+    # cache()/localCheckpoint reuse points: the printed plan repeats the
+    # full child subtree under every InMemoryTableScan, so raw feature
+    # counts OVERSTATE executed work for cached plans — subtrees below a
+    # reuse point run once at materialization. Read `cached_reuses > 0`
+    # as "counts above are a textual upper bound, not executed ops".
+    "cached_reuses": r"InMemoryTableScan|TableCacheQueryStage",
 }
 
 
