@@ -4565,3 +4565,74 @@ def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("centroid_id", F.col("rn").cast("int"), "term", "tfidf")
         .orderBy("centroid_id", "rn")
     )
+
+
+@query(
+    "q_shard_dup_leakage",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, md5(text) AS fp,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:42'), 1, 6))
+               ::BIGINT % 16 AS shard
+      FROM documents WHERE text IS NOT NULL
+    ), pairs AS (
+      SELECT a.shard AS shard_a, b.shard AS shard_b
+      FROM sharded a JOIN sharded b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(sum(CASE WHEN shard_a <> shard_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_shard,
+           round(CAST(sum(CASE WHEN shard_a <> shard_b THEN 1 ELSE 0 END)
+                      AS DOUBLE) / greatest(1, count(*)), 6) AS leakage_share
+    FROM pairs
+    """,
+)
+def q_shard_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard duplicate LEAKAGE audit: exact-duplicate pairs whose
+    members land in DIFFERENT training shards — the number that decides
+    whether per-shard (map-side, cheap) dedup is sufficient or a global
+    (shuffle) dedup pass is required before sharding. Content-addressed
+    sharding splits dups across shards at ~(N−1)/N rate by design
+    (md5(doc_id) is independent of md5(text)), so on any corpus with
+    duplicates this reads near 15/16 — the audit PROVES per-shard
+    dedup would silently keep those pairs. One fingerprint self-join
+    (shuffle on fp, bucketed by construction), exact integer counts."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sharded = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(":shard:42"))
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("shard"),
+    )
+    a, b = sharded.alias("a"), sharded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.shard").alias("shard_a"), F.col("b.shard").alias("shard_b")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.sum(F.when(F.col("shard_a") != F.col("shard_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_shard"),
+        F.round(
+            F.sum(F.when(F.col("shard_a") != F.col("shard_b"), 1).otherwise(0))
+            .cast("double")
+            / F.greatest(F.lit(1), F.count(F.lit(1))),
+            6,
+        ).alias("leakage_share"),
+    )

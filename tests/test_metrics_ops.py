@@ -1698,3 +1698,24 @@ def test_bootstrap_se_exact_reference(spark, tmp_path):
     se = math.sqrt((rn * smm - sm * sm) / (rn * (rn - 1))) / 1e6 / 100
     assert out.n_replicates == 20
     assert abs(out.boot_se_price - round(se, 4)) < 1e-9
+
+
+def test_shard_dup_leakage_counts(spark, tmp_path):
+    """Three copies of one text (3 pairs) plus unique docs: pair count
+    is exact; leakage equals the cross-shard fraction derivable from
+    the md5 shard function."""
+    import hashlib
+
+    def shard(doc_id):
+        return int(hashlib.md5(f"{doc_id}:shard:42".encode()).hexdigest()[:6], 16) % 16
+
+    docs = [(i, "same text here", "en", "s", 14) for i in (1, 2, 3)]
+    docs += [(i, f"unique {i}", "en", "s", 8) for i in (10, 11)]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = QUERIES["q_shard_dup_leakage"](spark, str(tmp_path)).collect()[0]
+    assert out.n_dup_pairs == 3
+    want_cross = sum(
+        1 for a, b in [(1, 2), (1, 3), (2, 3)] if shard(a) != shard(b)
+    )
+    assert out.n_cross_shard == want_cross
+    assert out.leakage_share == round(want_cross / 3, 6)
