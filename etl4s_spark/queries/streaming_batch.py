@@ -11,6 +11,8 @@ built on (stream = unbounded table).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -854,10 +856,15 @@ def q_stream_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(sink).start()
     try:
         q.processAllAvailable()
+        # materialize BEFORE cleanup: the returned frame must not lazily
+        # reference the temp sink (the q_stream_upsert_replay rule —
+        # otherwise one versioned temp dir leaks per invocation)
+        out_tbl = spark.read.parquet(out_dir).orderBy("event_id").toArrow()
     finally:
         q.stop()
         shutil.rmtree(replay_dir, ignore_errors=True)
-    return spark.read.parquet(out_dir).orderBy("event_id")
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+    return spark.createDataFrame(out_tbl.to_pandas())
 
 
 @query(
