@@ -68,12 +68,35 @@ def _driver_last_proven() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            # A rows-only row with spark_rows == 0 is VACUOUS (VERDICT r5
+            # "What's wrong" #2: q_graph_kcore's only record proved nothing)
+            # — it does not count as proven, so the query re-enters the
+            # front of the driver window.
             proven = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                row.get("err") == "no_oracle" and bool(row.get("spark_rows"))
             )
             if proven:
                 last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def _registration_age() -> dict[str, int]:
+    """Map query name -> the round in which it was FIRST registered
+    (derived once from per-round bench/correctness artifacts and frozen in
+    registry_age.json). Names absent from the file (i.e. queries added
+    after the freeze) default to 999 so they queue BEHIND existing
+    verification debt — VERDICT r5 item 1: never-proven queries are
+    driver-checked oldest-registration-first, so new additions cannot
+    queue-jump old unproven ones."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "registry_age.json")
+    try:
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
 
 
 # Queries whose most recent driver proof predates a repair that changed
@@ -116,12 +139,17 @@ def load_all() -> None:
     )
 
     last_proven = _driver_last_proven()
+    age = _registration_age()
     # stable sort: repaired-this-round first (their past proof predates the
     # repair, so the driver must re-prove them NOW — VERDICT r3 item 2),
-    # then never-proven (0), then oldest-proven rounds — r1-proven queries
-    # re-enter the driver window before r2-proven ones
+    # then never-proven (0) ordered OLDEST-REGISTRATION-FIRST (VERDICT r5
+    # item 1: the old tie-break was module import order, which let round-5
+    # queries in alphabetically-earlier modules queue-jump the 8 round-4
+    # leftovers for two consecutive rounds), then oldest-proven rounds —
+    # r1-proven queries re-enter the driver window before r2-proven ones.
     ordered = sorted(
-        QUERIES, key=lambda n: (n not in _REPROVE_FIRST, last_proven.get(n, 0))
+        QUERIES,
+        key=lambda n: (n not in _REPROVE_FIRST, last_proven.get(n, 0), age.get(n, 999)),
     )
     # mutate in place — callers hold references to these dict objects
     reordered_q = {n: QUERIES[n] for n in ordered}

@@ -399,6 +399,29 @@ def test_kcore_empty_when_graph_too_sparse(spark):
     assert k_core(df, k=3).count() == 0
 
 
+def test_kcore_query_sentinel_nonvacuous(spark, sf_dir):
+    """q_graph_kcore's planted 4-clique sentinel (VERDICT r5 #2: the r5
+    driver row was spark_rows=0, proving nothing) guarantees a non-empty
+    result at every SF: its 4 nodes must appear with core_degree exactly
+    3, and the organic portion (ids < 10^9) must equal k_core of the
+    organic pair graph alone — the sentinel cannot perturb real nodes
+    because its ids are disjoint from every vec_id."""
+    from etl4s_spark.operators.graph import k_core
+    from etl4s_spark.queries import QUERIES, load_all
+    from etl4s_spark.queries.analytics import _neardup_pairs
+
+    load_all()
+    got = {r.id: r.core_degree for r in QUERIES["q_graph_kcore"](spark, sf_dir).collect()}
+    base = 1_000_000_000
+    assert {got.get(base + i) for i in range(4)} == {3}
+    organic_got = {n: d for n, d in got.items() if n < base}
+    organic_want = {
+        r.id: r.core_degree
+        for r in k_core(_neardup_pairs(spark, sf_dir), k=3).collect()
+    }
+    assert organic_got == organic_want
+
+
 def test_kanonymity_counts_small_classes(spark, tmp_path):
     from etl4s_spark.queries import QUERIES, load_all
 
