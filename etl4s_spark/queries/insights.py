@@ -99,10 +99,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment a TOTAL order (both engines split remainder rows into the
     leading buckets, so ties are the only divergence risk — removed).
     Monetary is exact cents. The anchor date is a scalar subquery →
-    broadcast one-row join, not a collect. At 100 TB the three ntiles
-    are global sorts — the documented cost of exact quantile labels; the
-    cheap alternative (approx-percentile cutoffs) is q_sample_quality_decile's
-    pattern."""
+    broadcast one-row join, not a collect. Each quintile is the TWO-PASS
+    distributed rank (operators/ranking.py — VERDICT r5 #1: three
+    unpartitioned ntile windows used to sort every customer through one
+    partition each): monthly recency buckets / the bounded frequency
+    domain itself / eighth-octave log revenue buckets → broadcast prefix
+    offsets → per-bucket rank → exact ntile arithmetic, bit-identical to
+    the three ntile(5)s with no unpartitioned window."""
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     per_cust = (
@@ -117,16 +120,36 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("anchor", "last_order"))
     )
-    scored = per_cust.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey")))
-        .alias("m_score"),
+    from etl4s_spark.operators.ranking import exact_ntile, global_index, log_bucket
+
+    idxed = global_index(
+        per_cust,
+        F.col("recency_days"),
+        F.expr("recency_days div 30").cast("int"),
+        ["o_custkey"],
+        idx_name="idx_r",
+        total_name="n_total",
+    )
+    idxed = global_index(
+        idxed,
+        F.col("frequency"),
+        F.col("frequency").cast("int"),
+        ["o_custkey"],
+        ascending=False,
+        idx_name="idx_f",
+    )
+    idxed = global_index(
+        idxed,
+        F.col("monetary_cents"),
+        log_bucket(F.col("monetary_cents")),
+        ["o_custkey"],
+        ascending=False,
+        idx_name="idx_m",
+    )
+    scored = idxed.select(
+        exact_ntile(5, idx="idx_r").alias("r_score"),
+        exact_ntile(5, idx="idx_f").alias("f_score"),
+        exact_ntile(5, idx="idx_m").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1309,10 +1332,14 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     the catalog: class A = the head covering the first 80% of revenue,
     B = the next 15%, C = the tail. Class edges are integer
     cross-multiplications on exact cent cumulative sums (10·cum ≤
-    8·total), so membership cannot straddle engines; the cumulative
-    window runs over the PART domain (one row per part), not fact rows.
-    Complements q_revenue_pareto's decile Lorenz curve with the named
-    business partition."""
+    8·total), so membership cannot straddle engines. The cumulative sum
+    is the TWO-PASS distributed cumsum (operators/ranking.py — VERDICT
+    r5 #1: the cumulative window here used to sort every part through
+    ONE partition; so did the sum-over-() total): eighth-octave log
+    revenue buckets → broadcast prefix offsets → per-bucket running sum;
+    the total is a one-row broadcast join."""
+    from etl4s_spark.operators.ranking import global_cumsum, log_bucket
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = (
@@ -1320,14 +1347,16 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("r"))
     )
-    wcum = Window.orderBy(F.desc("r"), "p_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.select(
-        "r",
-        F.sum("r").over(wcum).alias("cum_r"),
-        F.sum("r").over(Window.partitionBy()).alias("tot"),
-    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    ranked = global_cumsum(
+        rev,
+        F.col("r"),
+        log_bucket(F.col("r")),
+        ["p_partkey"],
+        sum_col="r",
+        ascending=False,
+        cum_name="cum_r",
+    ).join(F.broadcast(tot))
     classed = ranked.select(
         F.when(10 * F.col("cum_r") <= 8 * F.col("tot"), "A")
         .when(20 * F.col("cum_r") <= 19 * F.col("tot"), "B")
@@ -3475,17 +3504,22 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue share per decile) — the CURVE whose area q_gini_
     concentration summarizes and whose top-end q_revenue_pareto reads
     (perfect equality ⇒ cum share = (d+1)/10; the sag below that line
-    IS the inequality). Customers rank ascending by exact cents with a
-    key tie-break, decile edges come from integer cross-multiplication
-    on the rank (no percentile arithmetic), and the cumulative window
-    runs over 10 rows. At 100 TB the rank is a distributed sort +
-    zipWithIndex-style offset, everything after is constant-size."""
+    IS the inequality). The customer rank is the TWO-PASS distributed
+    rank (operators/ranking.py — VERDICT r5 #1: the row_number here used
+    to sort every customer through ONE partition): eighth-octave log
+    revenue buckets → broadcast prefix offsets → per-bucket rank; decile
+    edges come from integer cross-multiplication on the rank (no
+    percentile arithmetic); even the 10-row decile cumsum uses the
+    bucketed cumsum so NO unpartitioned window remains in the plan."""
+    from etl4s_spark.operators.ranking import global_cumsum, global_index, log_bucket
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = rev.select("x", F.row_number().over(w).alias("i"))
+    ranked = global_index(
+        rev, F.col("x"), log_bucket(F.col("x")), ["o_custkey"], idx_name="i"
+    )
     tot = rev.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
     dec = ranked.join(F.broadcast(tot)).select(
         F.least(F.lit(9), F.expr("((i - 1) * 10) div n")).alias("decile"),
@@ -3495,13 +3529,20 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dec.groupBy("decile", "sx").agg(
         F.count(F.lit(1)).alias("n_cust"), F.sum("x").alias("rev")
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return agg.select(
+    cum = global_cumsum(
+        agg,
+        F.col("decile"),
+        F.col("decile").cast("int"),
+        [],
+        sum_col="rev",
+        cum_name="cum_rev",
+    )
+    return cum.select(
         F.col("decile").cast("int"),
         F.col("n_cust").cast("long").alias("n_customers"),
         F.col("rev").cast("long").alias("rev_cents"),
         F.round(
-            F.sum("rev").over(wc).cast("double") / F.col("sx").cast("double"), 6
+            F.col("cum_rev").cast("double") / F.col("sx").cast("double"), 6
         ).alias("cum_rev_share"),
     ).orderBy("decile")
 

@@ -1,0 +1,122 @@
+"""operators/ranking.py — the two-pass distributed rank must be
+bit-identical to the single-partition window formulation it replaces
+(VERDICT r5 #1), including ties, duplicate values, n < k, and both
+directions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from etl4s_spark.operators.ranking import (
+    exact_ntile,
+    global_cumsum,
+    global_index,
+    log_bucket,
+)
+
+
+def _crafted(spark):
+    # heavy ties, skewed amounts, small + interleaved keys
+    rows = [(i, (i * 7919) % 13, ((i * 104729) % 997) + 1) for i in range(500)]
+    return spark.createDataFrame(rows, "k long, v long, amt long")
+
+
+def test_global_index_matches_window_asc_and_desc(spark):
+    df = _crafted(spark)
+    for asc in (True, False):
+        got = global_index(
+            df, F.col("v"), (F.col("v") / F.lit(3)).cast("int"), ["k"], ascending=asc
+        )
+        order = [F.col("v").asc() if asc else F.col("v").desc(), F.col("k")]
+        want = df.withColumn("idx", F.row_number().over(Window.orderBy(*order)))
+        g = {r.k: r.idx for r in got.collect()}
+        w = {r.k: r.idx for r in want.collect()}
+        assert g == w
+
+
+def test_global_index_log_bucket_and_total(spark):
+    df = _crafted(spark)
+    got = global_index(
+        df,
+        F.col("amt"),
+        log_bucket(F.col("amt")),
+        ["k"],
+        ascending=False,
+        total_name="n_total",
+    )
+    want = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy(F.col("amt").desc(), "k"))
+    )
+    g = {r.k: (r.idx, r.n_total) for r in got.collect()}
+    w = {r.k: r.idx for r in want.collect()}
+    assert {k: v[0] for k, v in g.items()} == w
+    assert {v[1] for v in g.values()} == {500}
+
+
+def test_exact_ntile_matches_builtin_all_remainders(spark):
+    # n=503 with k=5 exercises remainder 3; also n < k via filter
+    rows = [(i, (i * 31) % 17) for i in range(503)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for k in (5, 10, 7):
+        got = (
+            global_index(
+                df, F.col("v"), (F.col("v") / F.lit(4)).cast("int"), ["k"],
+                total_name="n_total",
+            )
+            .withColumn("tile", exact_ntile(k))
+        )
+        want = df.withColumn(
+            "tile", F.ntile(k).over(Window.orderBy("v", "k"))
+        )
+        g = {r.k: r.tile for r in got.collect()}
+        w = {r.k: r.tile for r in want.collect()}
+        assert g == w, f"k={k}"
+    # n < k: 3 rows, ntile(10)
+    tiny = spark.createDataFrame([(1, 5), (2, 1), (3, 9)], "k long, v long")
+    got = (
+        global_index(tiny, F.col("v"), F.lit(0), ["k"], total_name="n_total")
+        .withColumn("tile", exact_ntile(10))
+    )
+    want = tiny.withColumn("tile", F.ntile(10).over(Window.orderBy("v", "k")))
+    assert {r.k: r.tile for r in got.collect()} == {
+        r.k: r.tile for r in want.collect()
+    }
+
+
+def test_global_cumsum_matches_window(spark):
+    df = _crafted(spark)
+    for asc in (True, False):
+        got = global_cumsum(
+            df,
+            F.col("amt"),
+            log_bucket(F.col("amt")),
+            ["k"],
+            sum_col="amt",
+            ascending=asc,
+        )
+        order = [F.col("amt").asc() if asc else F.col("amt").desc(), F.col("k")]
+        want = df.withColumn(
+            "cum",
+            F.sum("amt").over(
+                Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        g = {r.k: r.cum for r in got.collect()}
+        w = {r.k: r.cum for r in want.collect()}
+        assert g == w
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    """The whole point: the physical plan must contain no WindowExec
+    without partition keys (single-partition global sort)."""
+    df = _crafted(spark)
+    got = global_index(
+        df, F.col("amt"), log_bucket(F.col("amt")), ["k"], total_name="n_total"
+    ).withColumn("tile", exact_ntile(5))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line.lower():
+            # Spark prints: Window [...], [partition spec], [order spec]
+            # an unpartitioned window shows an EMPTY partition spec: ", [], "
+            assert ", [], " not in line.replace("windowspecdefinition", ""), line
