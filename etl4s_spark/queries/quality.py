@@ -223,10 +223,18 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_bin.agg(
         F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")
     )
+    # try_divide: a PURE bin (n_nonevent = 0) raises DIVIDE_BY_ZERO under
+    # ANSI mode (a guard filter would not protect the expression —
+    # FIXTURES §C.5); WoE of a pure bin is undefined → NULL. Never occurs
+    # in the production orders data (no decile is single-status), so the
+    # mirrored oracle is unaffected; the planted closed-form test
+    # (tests/test_stat_references.py) exercises it.
     woe = F.round(
         F.log(
-            (F.col("n_event").cast("double") * F.col("tn"))
-            / (F.col("n_nonevent").cast("double") * F.col("te"))
+            F.try_divide(
+                F.col("n_event").cast("double") * F.col("tn"),
+                F.col("n_nonevent").cast("double") * F.col("te"),
+            )
         ),
         6,
     )
