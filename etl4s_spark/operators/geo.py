@@ -78,7 +78,25 @@ def grid_radius_join(
     largest qualifying |delta| restores the lemma |cell(a)−cell(b)| ≤ 1
     per axis, and 1e-9 relative slack dwarfs the 2⁻⁵² predicate
     rounding while changing no verify decision.
+
+    Preconditions (enforced — ADVICE r5: the operator used to silently
+    misbehave): left/right column names must be DISJOINT (after the
+    equi-join, F.col(lx)/F.col(rx) would be ambiguous), and neither side
+    may already carry the reserved ``cell`` / ``dist_sq`` columns.
+    Callers with overlapping schemas rename before calling.
     """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"grid_radius_join requires disjoint column names; both sides "
+            f"have {sorted(overlap)} — rename one side before joining"
+        )
+    reserved = {"cell", "dist_sq"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"grid_radius_join reserves {sorted(reserved)}; rename the "
+            f"input column(s)"
+        )
     s = float(radius) * (1.0 + 1e-9)
     lcell = add_grid_cell(left, lx, ly, s)
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

@@ -287,6 +287,12 @@ def weighted_sample_without_replacement(
     both engines and adjacent order-statistic gaps are ~10 orders of
     magnitude larger, so the ranking is engine-stable. Ties broken by id.
 
+    Weights must be POSITIVE and finite: rows with w ≤ 0, NULL, or NaN
+    are filtered out up front (ADVICE r5 — a NaN score sorts FIRST under
+    descending order, silently forcing that row into every sample;
+    negative weights likewise float to the top). Filtering matches A-ES
+    semantics: zero/negative weight means zero selection probability.
+
     Returns the k sampled rows with their ``score`` (= ln(u)/w).
     """
     u32 = F.conv(
@@ -297,9 +303,11 @@ def weighted_sample_without_replacement(
         10,
     ).cast("double")
     u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
-    score = F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
     return (
-        df.withColumn("score", score)
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
+        .withColumn("score", score)
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )

@@ -794,7 +794,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the SYMMETRIZED edge list (distinct by construction: neardup
     # pairs are unique and oriented) so all 4 passes — degree + 3
     # iterations — reuse one materialized frame
-    sym = symmetrize(_neardup_pairs(spark, sf_dir)).cache()
+    sym = symmetrize(_neardup_pairs(spark, sf_dir)).localCheckpoint(eager=True)
     out = (
         pagerank_edges(sym, iterations=3, damping_pct=85)
         .orderBy(F.col("rank_e6").desc(), "id")

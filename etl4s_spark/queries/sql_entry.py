@@ -371,18 +371,23 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound keeps worst-case clique re-walks polynomial."""
     from etl4s_spark.queries.analytics import _neardup_pairs
 
-    # Materialize the edge list once: every recursion level re-evaluates
-    # the CTE's inputs, and without the cache the O(n²·d) cosine pair
-    # generation would run once PER HOP instead of once per query.
-    edges = _neardup_pairs(spark, sf_dir).cache()
-    edges.count()
-    edges.createOrReplaceTempView("__ndp_edges")
-    return spark.sql("""
+    import uuid
+
+    # Materialize the edge list once (localCheckpoint: every recursion
+    # level re-evaluates the CTE's inputs, and without it the O(n²·d)
+    # cosine pair generation would run once PER HOP; unlike cache() it
+    # leaves no CacheManager entry behind — ADVICE r5). The view name is
+    # uuid-suffixed and dropped right after analysis so concurrent runs
+    # in one session can't clobber each other (ADVICE r5).
+    view = f"__ndp_edges_{uuid.uuid4().hex}"
+    edges = _neardup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView(view)
+    out = spark.sql(f"""
         WITH RECURSIVE sym AS (
-          SELECT id_a AS id, id_b AS nbr FROM __ndp_edges
+          SELECT id_a AS id, id_b AS nbr FROM {view}
           UNION ALL
-          SELECT id_b AS id, id_a AS nbr FROM __ndp_edges
-        ), seed AS (SELECT min(id_a) AS s FROM __ndp_edges),
+          SELECT id_b AS id, id_a AS nbr FROM {view}
+        ), seed AS (SELECT min(id_a) AS s FROM {view}),
         walk(id, hop) AS (
           SELECT s, 0 FROM seed
           UNION ALL
@@ -394,6 +399,8 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
         GROUP BY hop ORDER BY hop
     """)
+    spark.catalog.dropTempView(view)  # plan already analyzed; safe to drop
+    return out
 
 
 @query(
@@ -457,11 +464,13 @@ def q_sql_recursive_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, delta,
                row_number() OVER (PARTITION BY user_id ORDER BY week) AS t
         FROM weekly
-    """).cache()
-    idx.count()
-    idx.createOrReplaceTempView("__drawdown_idx")
-    return spark.sql("""
-        WITH RECURSIVE idx AS (SELECT * FROM __drawdown_idx),
+    """).localCheckpoint(eager=True)
+    import uuid
+
+    view = f"__drawdown_idx_{uuid.uuid4().hex}"
+    idx.createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        WITH RECURSIVE idx AS (SELECT * FROM {view}),
         r(user_id, t, bal) AS (
           SELECT user_id, t, greatest(CAST(0 AS BIGINT), delta) FROM idx WHERE t = 1
           UNION ALL
@@ -475,6 +484,8 @@ def q_sql_recursive_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT *, max(t) OVER (PARTITION BY user_id) AS mt FROM r)
         GROUP BY user_id ORDER BY user_id
     """)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @query(
@@ -545,11 +556,13 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY g.week
         )
         SELECT row_number() OVER (ORDER BY week) AS t, week, x FROM weekly
-    """).cache()
-    idx.count()
-    idx.createOrReplaceTempView("__holt_idx")
-    return spark.sql("""
-        WITH RECURSIVE idx AS (SELECT * FROM __holt_idx),
+    """).localCheckpoint(eager=True)
+    import uuid
+
+    view = f"__holt_idx_{uuid.uuid4().hex}"
+    idx.createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        WITH RECURSIVE idx AS (SELECT * FROM {view}),
         h(t, week, x, l, b) AS (
           SELECT a.t, a.week, a.x, a.x, b2.x - a.x
           FROM idx a JOIN idx b2 ON b2.t = 2 WHERE a.t = 1
@@ -566,6 +579,8 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(l + b, 6) AS forecast_next
         FROM h ORDER BY week
     """)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 @query(

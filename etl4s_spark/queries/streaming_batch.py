@@ -864,7 +864,10 @@ def q_stream_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
-    return spark.createDataFrame(out_tbl.to_pandas())
+    # hand the Arrow table to createDataFrame directly (Spark 4 accepts
+    # pyarrow tables): the old .to_pandas() hop could alter nullability/
+    # dtypes and raises on an empty result (ADVICE r5)
+    return spark.createDataFrame(out_tbl)
 
 
 @query(

@@ -966,7 +966,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.groupBy("c")
         .agg(F.count(F.lit(1)).alias("nw"))
         .select("c", "nw", (F.col("c") * F.col("nw")).alias("tok"))
-        .cache()  # reused by cum window AND totals
+        .localCheckpoint(eager=True)  # count-class histogram (bounded); reused by cum window AND totals
     )
     wo = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
     cum = classes.select(
@@ -1272,7 +1272,7 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         d.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()  # reused by margins, Simpson and Shannon
+        .localCheckpoint(eager=True)  # contingency cells; reused by margins, Simpson and Shannon
     )
     per_lang = cells.groupBy("lang").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_sources")
