@@ -75,8 +75,16 @@ def normalize(rows: list[tuple]) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write a per-query pass/fail matrix to this path "
+        "(VERDICT r5 item 6: the round-close sweep must be an auditable "
+        "artifact, not a narrative claim)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from etl4s_spark.session import get_spark
@@ -94,6 +102,7 @@ def main() -> int:
     for name in names:
         if name not in qs:
             print(f"  {name}: NOT REGISTERED")
+            results[name] = {"status": "fail", "err": "not_registered"}
             n_fail += 1
             continue
         t0 = time.monotonic()
@@ -106,11 +115,15 @@ def main() -> int:
             srows = [tuple(row) for row in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"spark:{type(e).__name__}"}
             n_fail += 1
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "spark_rows": len(srows), "sec": round(dt, 2),
+            }
             n_rows_only += 1
             continue
         try:
@@ -119,6 +132,7 @@ def main() -> int:
             dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb:{type(e).__name__}"}
             n_fail += 1
             continue
         dcols = sorted(dpdf.columns)
@@ -149,12 +163,32 @@ def main() -> int:
                 problems.append(f"values differ; first diffs: {diffs}")
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
+            results[name] = {"status": "fail", "err": " | ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+            results[name] = {
+                "status": "pass", "spark_rows": len(srows), "sec": round(dt, 2),
+            }
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as f:
+            _json.dump(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rows_only,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
