@@ -90,7 +90,12 @@ def lorenz_deciles(df: DataFrame, key: str, amount: Column) -> DataFrame:
     is integer division — engine-exact."""
     from etl4s_spark.operators.ranking import exact_ntile, global_index, log_bucket
 
-    per_key = df.groupBy(key).agg(F.sum(amount).alias("__amt"))
+    # one row per key; materialized once so the fact table is scanned
+    # exactly once — the rank pass, its bucket histogram, and the total
+    # all read the checkpoint
+    per_key = df.groupBy(key).agg(F.sum(amount).alias("__amt")).localCheckpoint(
+        eager=True
+    )
     total = per_key.agg(F.sum("__amt").alias("__total"))
     ranked = global_index(
         per_key,
@@ -130,7 +135,11 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     direction."""
     from etl4s_spark.operators.ranking import global_index, log_bucket
 
-    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    # one row per key, materialized once: rank pass + bucket histogram
+    # read the checkpoint, the fact table is scanned exactly once
+    per_key = (
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    )
     ranked = global_index(
         per_key, F.col("c"), log_bucket(F.col("c")), [key],
         idx_name="i", total_name="nk",

@@ -122,6 +122,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl4s_spark.operators.ranking import exact_ntile, global_index, log_bucket
 
+    # one row per customer, reused by three rank passes — materialize once
+    per_cust = per_cust.localCheckpoint(eager=True)
     idxed = global_index(
         per_cust,
         F.col("recency_days"),
@@ -1346,6 +1348,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_partkey")
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("r"))
+        .localCheckpoint(eager=True)  # one row/part; cumsum + total reuse it
     )
     tot = rev.agg(F.sum("r").alias("tot"))
     ranked = global_cumsum(
@@ -3511,8 +3514,10 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.operators.ranking import global_cumsum, global_index, log_bucket
 
     o = load_table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+        .localCheckpoint(eager=True)  # one row/customer; rank + totals reuse it
     )
     ranked = global_index(
         rev, F.col("x"), log_bucket(F.col("x")), ["o_custkey"], idx_name="i"

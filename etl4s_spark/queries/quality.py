@@ -215,10 +215,14 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         total_name="n_total",
     ).select("y", exact_ntile(10).alias("bin"))
-    per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("n_event"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n_nonevent"),
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_event"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("n_nonevent"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows; aggregated again for totals
     )
     tot = per_bin.agg(
         F.sum("n_event").alias("te"), F.sum("n_nonevent").alias("tn")

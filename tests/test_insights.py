@@ -43,15 +43,17 @@ def test_insights_plan_contracts(spark, sf_dir):
 
 
 def test_skew_profile_ranks_keys_not_rows(spark, sf_dir):
-    """The Gini ranking window must run over the per-key aggregate
-    (hundreds of rows), never the fact table: exactly one scan of
-    lineitem in the plan, and the Window sits above an aggregate."""
+    """The Gini ranking must run over the per-key aggregate (hundreds of
+    rows), never the fact table: the per-key frame is checkpointed at
+    construction, so the RETURNED plan contains ZERO parquet scans of
+    lineitem (the one fact scan happened in the checkpoint job) and the
+    rank Window reads the materialized frame."""
     from etl4s_spark.queries import QUERIES, load_all
 
     load_all()
     plan = plan_str(QUERIES["q_skew_profile"](spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan parquet") == 0, tree
     assert "Window" in tree and "HashAggregate" in tree
 
 
