@@ -207,3 +207,57 @@ def test_eval_split_srm_planted_goodness_of_fit(spark, tmp_path):
     assert out.n_rows == n
     assert abs(out.chi_sq_gof - round(chi, 4)) < 1e-3
     assert out.n_buckets_beyond_3sigma == beyond
+
+
+def test_eval_precision_recall_at_k_planted_closed_form(spark, tmp_path):
+    """q_eval_precision_recall_at_k on the same crafted cosine geometry
+    as the NDCG reference (one query on the x-axis, candidates at
+    strictly increasing angles, alternating labels) vs plain-Python
+    hit counting: rel at ranks 1..5 = [1,0,1,0,1] → hits@10 = 3,
+    n_rel = 3, micro precision@10 = 3/10, macro recall@10 = 1."""
+    load_all()
+    rows = [(0, [1.0, 0.0], 1)]
+    for j in range(5):
+        ang = 0.1 + 0.2 * j
+        rows.append((20 + j, [math.cos(ang), math.sin(ang)], 1 if j % 2 == 0 else 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = QUERIES["q_eval_precision_recall_at_k"](spark, str(tmp_path)).collect()[0]
+    assert out.n_queries == 1
+    assert out.total_hits_at_10 == 3
+    assert abs(out.micro_precision_at_10 - 0.3) < 1e-9
+    assert abs(out.macro_recall_at_10 - 1.0) < 1e-9
+
+
+def test_eval_langid_confusion_planted_matrix(spark, tmp_path):
+    """q_eval_langid_confusion on crafted documents whose stopword
+    content forces every cell of a known confusion matrix: 3 true-en
+    docs predicted en, 2 true-fr docs predicted fr, 1 true-fr doc
+    written with ENGLISH stopwords (predicted en — a planted confusion),
+    and 1 true-zh doc with no latin stopwords (predicted und)."""
+    load_all()
+    en = "the cat and the dog of the house is here"
+    fr = "le chat et les chiens des villes est la"
+    zh = "山 水 风 月"
+    docs = [
+        (0, en, "en", "s", len(en)),
+        (1, en, "en", "s", len(en)),
+        (2, en, "en", "s", len(en)),
+        (3, fr, "fr", "s", len(fr)),
+        (4, fr, "fr", "s", len(fr)),
+        (5, en, "fr", "s", len(en)),  # planted confusion: fr doc, en words
+        (6, zh, "zh", "s", len(zh)),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = {
+        (r.actual_lang, r.pred_lang): r.n
+        for r in QUERIES["q_eval_langid_confusion"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("en", "en"): 3,
+        ("fr", "fr"): 2,
+        ("fr", "en"): 1,
+        ("zh", "und"): 1,
+    }

@@ -103,6 +103,13 @@ PROBE_QUERIES = [
     "q_funnel_windowed",
     "q_lorenz_curve",
     "q_psi_stability",
+    # round-6: the full set of two-pass distributed-rank rewrites
+    # (VERDICT r5 item 2) — their K× ratio is the direct evidence the
+    # single-partition sort is gone (see also RANK_CROSSOVER.json)
+    "q_feature_woe",
+    "q_sample_quality_decile",
+    "q_eval_calibration",
+    "q_abc_classification",
 ]
 
 
