@@ -102,10 +102,13 @@ def _registration_age() -> dict[str, int]:
 # Queries whose most recent driver proof predates a repair that changed
 # their behavior — forced to the front of the registration order so the
 # driver's ~50-query window re-proves them in the next round, then removed
-# once green rows land. Emptied for round 5: all 18 events-dependent
-# queries repaired by the _load_events fix were re-proven green in
-# CORRECTNESS_r04, so never-proven queries regain front-of-window priority.
-_REPROVE_FIRST: frozenset = frozenset()
+# once green rows land. Round 6: q_join_anti and q_window_rank_movers were
+# de-vacuified (their hash-green rows matched on EMPTY results — the
+# generator gives every customer orders, and no customer ordered in both
+# of the last two months; predicates changed to large-order anti-set /
+# quarterly periods), so their r1-era proofs no longer cover the shipped
+# behavior.
+_REPROVE_FIRST: frozenset = frozenset({"q_join_anti", "q_window_rank_movers"})
 
 
 def load_all() -> None:

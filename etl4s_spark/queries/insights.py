@@ -1230,7 +1230,7 @@ def q_window_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT o_custkey,
-             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS mon,
              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
       FROM orders GROUP BY 1, 2
     ), bounds AS (
@@ -1239,7 +1239,7 @@ def q_window_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m.o_custkey, m.mon, m.rev,
              rank() OVER (PARTITION BY m.mon ORDER BY m.rev DESC, m.o_custkey) AS rnk
       FROM monthly m, bounds b
-      WHERE m.mon = b.m1 OR m.mon = b.m1 - INTERVAL 1 MONTH
+      WHERE m.mon = b.m1 OR m.mon = b.m1 - INTERVAL 3 MONTH
     ), piv AS (
       SELECT o_custkey,
              max(CASE WHEN mon = (SELECT m1 FROM bounds) THEN rnk END) AS rank_now,
@@ -1261,20 +1261,24 @@ def q_window_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the last two months — the leaderboard-delta readout that
     absolute-value deltas (q_period_over_period) miss (a small account
     tripling matters more in rank space than a whale wobbling 2%).
-    Ranks are total-ordered (rev desc, key); the two-month slice comes
-    from a broadcast one-row max-month bound; one shuffle for the
-    monthly rollup, one rank window per month partition,
-    TakeOrdered(20)."""
+    QUARTERLY periods, not monthly: at driver SFs no customer ordered in
+    both of the last two calendar months, so the monthly variant
+    hash-matched on an EMPTY result every round (the q_graph_kcore
+    vacuity class) — quarters give a non-empty repeat-customer
+    intersection at every SF. Ranks are total-ordered (rev desc, key);
+    the two-period slice comes from a broadcast one-row max-period
+    bound; one shuffle for the rollup, one rank window per period
+    partition, TakeOrdered(20)."""
     od = load_table(spark, sf_dir, "orders")
     monthly = od.groupBy(
-        "o_custkey", F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+        "o_custkey", F.date_trunc("quarter", "o_orderdate").cast("date").alias("mon")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
     bounds = monthly.agg(F.max("mon").alias("m1"))
     two = (
         monthly.join(F.broadcast(bounds))
         .filter(
             (F.col("mon") == F.col("m1"))
-            | (F.col("mon") == F.add_months(F.col("m1"), -1))
+            | (F.col("mon") == F.add_months(F.col("m1"), -3))
         )
         .withColumn(
             "rnk",

@@ -148,17 +148,29 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     ORDER BY c_custkey
+    LIMIT 500
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no large (> $300k) order. The
+    plain customers-without-orders predicate returned ZERO rows at every
+    driver SF (the generator gives every customer orders), so its
+    hash-green rows proved only that both engines agree on emptiness —
+    the same vacuity class as q_graph_kcore's r5 row. The filtered anti
+    set is non-empty and deterministic at every SF, so the driver's
+    value hash now checks real anti-join semantics; LIMIT keeps the
+    output bounded as customer count scales."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
+        .limit(500)
     )
 
 
