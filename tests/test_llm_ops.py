@@ -287,6 +287,58 @@ def test_connected_components_and_canonical_dedup(spark):
     assert set(ccomp.values()) == {10} and len(ccomp) == 11
 
 
+def test_connected_components_contracted(spark):
+    """min_neighbor_contract + contracted CC return bit-identical labels
+    to plain connected_components on every graph shape: cliques (the
+    dense case the contraction exists for — contracts to ZERO edges and
+    skips the iterative machinery), chains (residue left → iterative CC
+    runs on the contracted graph), and mixtures."""
+    from etl4s_spark.operators.dedup import (
+        connected_components,
+        connected_components_contracted,
+        min_neighbor_contract,
+    )
+
+    # clique {1,2,3} + clique {5,6,7} + bridge 3-5 + isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 6), (6, 7), (5, 7), (3, 5), (10, 11)],
+        "id_a long, id_b long",
+    )
+    plain = {r.id: r.component for r in connected_components(pairs).collect()}
+    contracted = {
+        r.id: r.component for r in connected_components_contracted(pairs).collect()
+    }
+    assert contracted == plain
+    assert set(plain.values()) == {1, 10}
+
+    # pure clique: one pass collapses everything (contracted edges empty)
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(30, 36) for b in range(a + 1, 36)],
+        "id_a long, id_b long",
+    )
+    mapping, residue = min_neighbor_contract(clique)
+    assert residue.count() == 0
+    assert {r.id: r.m for r in mapping.collect()} == {i: 30 for i in range(30, 36)}
+    cl = {r.id: r.component for r in connected_components_contracted(clique).collect()}
+    assert cl == {i: 30 for i in range(30, 36)}
+
+    # long chain: contraction halves it, iterative CC finishes the job
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40, 52)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components_contracted(chain).collect()}
+    assert set(cc.values()) == {40} and len(cc) == 13
+
+    # cc_kwargs pass through (fixed sweeps on the contracted graph)
+    fixed = {
+        r.id: r.component
+        for r in connected_components_contracted(
+            pairs, n_sweeps=3, verify_converged=False
+        ).collect()
+    }
+    assert fixed == plain
+
+
 def test_connected_components_modes(spark, tmp_path):
     """Fixed-sweep / reliable-checkpoint / non-convergence contract
     (VERDICT r2 item 5, ADVICE r2 medium)."""
