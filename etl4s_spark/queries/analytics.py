@@ -40,13 +40,26 @@ _PAIRS_SQL = """
 """
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     from etl4s_spark.operators.similarity import embedding_neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+    # Materialized at the source by default: the all-pairs cosine is the
+    # expensive leaf under every graph query, and most consumers
+    # (triangle census e1/e2/e3, degree symmetrize, jaccard wedges,
+    # assortativity moments) reference the frame 2-5 times — self-joins
+    # cannot share a lazy broadcast-NL subplan, so each reference would
+    # re-evaluate the O(n²) dot products. The materialized pair list
+    # itself is tiny (tens of rows per 500 docs). Consumers that read
+    # the pairs exactly ONCE into their own materialization (k_core
+    # symmetrizes+checkpoints immediately) pass materialize=False to
+    # skip the redundant barrier.
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
         "id_a", "id_b"
     )
+    return pairs.localCheckpoint(eager=True) if materialize else pairs
 
 
 def _daily_grid(ev: DataFrame):
@@ -794,7 +807,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the SYMMETRIZED edge list (distinct by construction: neardup
     # pairs are unique and oriented) so all 4 passes — degree + 3
     # iterations — reuse one materialized frame
-    sym = symmetrize(_neardup_pairs(spark, sf_dir)).localCheckpoint(eager=True)
+    sym = symmetrize(_neardup_pairs(spark, sf_dir, materialize=False)).localCheckpoint(
+        eager=True
+    )
     out = (
         pagerank_edges(sym, iterations=3, damping_pct=85)
         .orderBy(F.col("rank_e6").desc(), "id")
@@ -1094,7 +1109,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)],
         "id_a long, id_b long",
     )
-    pairs = _neardup_pairs(spark, sf_dir).select(
+    pairs = _neardup_pairs(spark, sf_dir, materialize=False).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
     return (

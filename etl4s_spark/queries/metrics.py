@@ -441,11 +441,17 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs through hubs; near 0/positive means clean clique-like dup
     groups. Degrees attach via broadcast join (the degree table is one
     row per node in the PAIR graph, tiny relative to the corpus)."""
+    # _neardup_pairs arrives materialized; deg backs three consumers
+    # (two broadcast build sides + the node count) so it gets the same
     pairs = _neardup_pairs(spark, sf_dir)
     sym = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))
     )
-    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    deg = (
+        sym.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
     e = (
         pairs.join(F.broadcast(deg.withColumnRenamed("id", "id_a")), "id_a")
         .withColumnRenamed("degree", "x")

@@ -384,7 +384,9 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uuid-suffixed and dropped right after analysis so concurrent runs
     # in one session can't clobber each other (ADVICE r5).
     view = f"__ndp_edges_{uuid.uuid4().hex}"
-    edges = _neardup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _neardup_pairs(spark, sf_dir, materialize=False).localCheckpoint(
+        eager=True
+    )
     edges.createOrReplaceTempView(view)
     out = spark.sql(f"""
         WITH RECURSIVE sym AS (
