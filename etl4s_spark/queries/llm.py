@@ -3750,8 +3750,12 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = widen(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(shingles).alias("s")
+    # the shingle explosion feeds three consumers (sizes + both sides of
+    # the self-join) — materialize once instead of re-exploding per ref
+    sh = (
+        widen(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -4063,8 +4067,11 @@ def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = widen(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(shingles).alias("s")
+    # sh feeds sizes + both verify joins — materialize the explosion once
+    sh = (
+        widen(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
