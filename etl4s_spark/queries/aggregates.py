@@ -481,18 +481,26 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (DataFrame API has no direct equivalent);
     grouping_id recomputed portably as grouping()-bit arithmetic."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
+    import uuid
+
+    # a view literally named `lineitem` would outlive this query and
+    # shadow nothing today but serve stale-sf data to any future bare
+    # `lineitem` SQL reference — scope it and drop after analysis
+    view = f"__gsets_lineitem_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) * 2
                  + CAST(grouping(l_linestatus) AS INT) AS gid,
                round(sum(l_quantity), 4) AS sum_qty
-        FROM lineitem
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+    spark.catalog.dropTempView(view)  # plan already analyzed; safe to drop
+    return out
 
 
 @query(
@@ -720,10 +728,13 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     when another DISTINCT aggregate shares the Aggregate node
     (ClassCastException) — one distinct aggregate per node is the
     supported rung, and the count falls out of the result anyway."""
+    import uuid
+
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__listagg_orders")
-    return spark.sql(
-        """
+    view = f"__listagg_orders_{uuid.uuid4().hex}"
+    o.createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
         SELECT o_orderpriority, statuses,
                CAST(size(split(statuses, ',')) AS BIGINT) AS n_statuses,
                n_orders
@@ -732,12 +743,14 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  listagg(DISTINCT o_orderstatus, ',')
                    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
                  CAST(count(*) AS BIGINT)                AS n_orders
-          FROM __listagg_orders
+          FROM {view}
           GROUP BY o_orderpriority
         )
         ORDER BY o_orderpriority
         """
     )
+    spark.catalog.dropTempView(view)  # plan already analyzed; safe to drop
+    return out
 
 
 @query(
@@ -821,10 +834,13 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail every BI layer on top of a cube needs to render subtotals
     correctly. Exact-cent sums; one expand + one shuffle exactly like
     the plain grouping-sets query."""
+    import uuid
+
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gid_v")
-    return li.sparkSession.sql(
-        """
+    view = f"__lineitem_gid_{uuid.uuid4().hex}"
+    li.createOrReplaceTempView(view)
+    out = li.sparkSession.sql(
+        f"""
         SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
                coalesce(l_linestatus, '<all>')  AS linestatus,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
@@ -832,11 +848,13 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT)         AS n,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                  AS sum_cents
-        FROM lineitem_gid_v
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY grouping_level, returnflag, linestatus
         """
     )
+    li.sparkSession.catalog.dropTempView(view)  # plan analyzed; safe
+    return out
 
 
 @query(

@@ -269,7 +269,7 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     true = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counters = cms_counters(true, "l_partkey", depth=4, width=512, weight_col="true_count")
     est = cms_estimates(
@@ -373,7 +373,7 @@ def q_agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "bucket")
         .agg(F.bitmap_construct_agg("pos").alias("bm"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     per_type = buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("long").alias("n")

@@ -19,7 +19,19 @@ from etl4s_spark.sources.tables import load_table
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
-    vname = f"__{name}"
+    """Register ``name`` as a temp view and return the view name.
+
+    The name is suffixed with a digest of ``sf_dir``: a bare ``__orders``
+    registered at one scale factor would persist in the session catalog
+    and silently serve STALE data to a later query run at a different
+    sf_dir. With the digest the registration is idempotent per
+    (table, sf_dir) and distinct across sf_dirs; the bounded residue
+    (one view per table x sf) is intentional — the views are shared by
+    every SQL-surface query in this module."""
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    vname = f"__{name}_{sfx}"
     load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
     return vname
 
@@ -240,18 +252,23 @@ def q_udtf_python_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent built-in explode stays the hot-path recommendation."""
     from etl4s_spark.functions.udfs import sentence_split_udtf
 
+    import uuid
+
     spark.udtf.register("etl4s_sentences", sentence_split_udtf())
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    view = f"__udtf_docs_{uuid.uuid4().hex}"
     d.select(
         "doc_id", F.regexp_replace("text", " table ", ". ").alias("prepared")
-    ).createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
-        """
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
-        FROM __udtf_docs d, LATERAL etl4s_sentences(d.prepared) s
+        FROM {view} d, LATERAL etl4s_sentences(d.prepared) s
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+    spark.catalog.dropTempView(view)  # plan already analyzed; safe to drop
+    return out
 
 @query(
     "q_sql_scripting",
@@ -284,6 +301,8 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     — scripting earns its keep on fixpoints SQL can't close-form, and
     this entry pins the machinery (variables, loop, branch, subquery
     conditions) against an exact answer."""
+    import uuid
+
     o = load_table(spark, sf_dir, "orders")
     hist = (
         o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("p"))
@@ -292,43 +311,54 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .persist()
     )
-    hist.createOrReplaceTempView("__sql_script_hist")
+    hv = f"__sql_script_hist_{uuid.uuid4().hex}"
+    iv = f"__sql_script_idx_{uuid.uuid4().hex}"
+    hist.createOrReplaceTempView(hv)
     idx = spark.sql(
-        """
+        f"""
         SELECT row_number() OVER (ORDER BY p)        AS rn,
                p, c,
                sum(c) OVER (ORDER BY p DESC)         AS n_ge
-        FROM __sql_script_hist
+        FROM {hv}
         """
     ).coalesce(1).persist()
     idx.count()
-    idx.createOrReplaceTempView("__sql_script_idx")
-    return spark.sql(
-        """
+    spark.catalog.dropTempView(hv)  # idx plan analyzed + materialized
+    idx.createOrReplaceTempView(iv)
+    out = spark.sql(
+        f"""
         BEGIN
           DECLARE lo BIGINT DEFAULT 1;
           DECLARE hi BIGINT DEFAULT 0;
           DECLARE n BIGINT DEFAULT 0;
           DECLARE target BIGINT DEFAULT 0;
-          SET hi = (SELECT max(rn) FROM __sql_script_idx);
-          SET n = (SELECT sum(c) FROM __sql_script_idx);
+          SET hi = (SELECT max(rn) FROM {iv});
+          SET n = (SELECT sum(c) FROM {iv});
           SET target = n DIV 10;
           WHILE lo < hi DO
-            IF (SELECT n_ge FROM __sql_script_idx
+            IF (SELECT n_ge FROM {iv}
                 WHERE rn = (lo + hi) DIV 2) <= target THEN
               SET hi = (lo + hi) DIV 2;
             ELSE
               SET lo = (lo + hi) DIV 2 + 1;
             END IF;
           END WHILE;
-          SELECT round((SELECT p FROM __sql_script_idx WHERE rn = lo) / 100, 2)
+          SELECT round((SELECT p FROM {iv} WHERE rn = lo) / 100, 2)
                    AS threshold,
-                 (SELECT CAST(n_ge AS BIGINT) FROM __sql_script_idx
+                 (SELECT CAST(n_ge AS BIGINT) FROM {iv}
                   WHERE rn = lo)                     AS n_above,
                  CAST(n AS BIGINT)                   AS n_total;
         END
         """
     )
+    # the script executes eagerly statement-by-statement; pin the 1-row
+    # result so the session-scoped view and the two persisted frames can
+    # be released instead of leaking across a 361-query sweep
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(iv)
+    idx.unpersist()
+    hist.unpersist()
+    return out
 
 
 @query(

@@ -234,14 +234,17 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exec; sums are exact cents. The SQL form is used because
     the DataFrame rangeBetween API takes only numeric offsets —
     the one surface where SQL expresses more than the fluent API."""
+    import uuid
+
     ev = load_table(spark, sf_dir, "events")
+    view = f"__daily_cents_{uuid.uuid4().hex}"
     ev.groupBy(
         "event_type", F.date_trunc("DAY", "ts").cast("date").alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
-    ).createOrReplaceTempView("daily_cents_v")
-    return ev.sparkSession.sql(
-        """
+    ).createOrReplaceTempView(view)
+    out = ev.sparkSession.sql(
+        f"""
         SELECT event_type,
                date_format(day, 'yyyy-MM-dd') AS day,
                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
@@ -250,8 +253,10 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
                      RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS days_in_window
-        FROM daily_cents_v
+        FROM {view}
         ORDER BY event_type, day
         LIMIT 500
         """
     )
+    ev.sparkSession.catalog.dropTempView(view)  # plan analyzed; safe
+    return out
