@@ -946,14 +946,21 @@ def test_pipe_syntax_equals_classic_formulation(spark, tmp_path):
            "l_quantity double, l_discount double, l_tax double, "
            "l_extendedprice double, l_returnflag string, l_linestatus string")
     got = QUERIES["q_sql_pipe_syntax"](spark, str(tmp_path)).collect()
+    # register our own view rather than piggybacking on the query's
+    # internal (sf-digest-suffixed) registration — the side-effect name
+    # is an implementation detail
+    spark.read.parquet(f"{tmp_path}/lineitem.parquet").createOrReplaceTempView(
+        "__pipe_ref_lineitem"
+    )
     ref = spark.sql("""
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                              AS BIGINT)) AS BIGINT) AS revenue_cents
-        FROM __lineitem WHERE l_quantity >= 10
+        FROM __pipe_ref_lineitem WHERE l_quantity >= 10
         GROUP BY l_returnflag, l_linestatus HAVING count(*) >= 10
         ORDER BY l_returnflag, l_linestatus
     """).collect()
+    spark.catalog.dropTempView("__pipe_ref_lineitem")
     assert got == ref and len(got) >= 1
 
 
@@ -1559,14 +1566,18 @@ def test_sql_named_params_equals_literal_form(spark, tmp_path):
            "l_quantity double, l_discount double, l_tax double, "
            "l_extendedprice double, l_returnflag string, l_linestatus string")
     got = QUERIES["q_sql_named_params"](spark, str(tmp_path)).collect()
+    spark.read.parquet(f"{tmp_path}/lineitem.parquet").createOrReplaceTempView(
+        "__params_ref_lineitem"
+    )
     ref = spark.sql("""
         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                  AS rev_cents
-        FROM __lineitem
+        FROM __params_ref_lineitem
         WHERE l_quantity >= 30 AND l_discount <= 0.05
         GROUP BY l_returnflag ORDER BY l_returnflag
     """).collect()
+    spark.catalog.dropTempView("__params_ref_lineitem")
     assert got == ref and len(got) == 2
 
 
