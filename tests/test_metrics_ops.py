@@ -1730,3 +1730,56 @@ def test_shard_dup_leakage_counts(spark, tmp_path):
     )
     assert out.n_cross_shard == want_cross
     assert out.leakage_share == round(want_cross / 3, 6)
+
+
+# ------------------------------------------------------- cross-correlation
+
+
+def test_cross_corr_planted_lagged_series(spark, tmp_path):
+    """Purchases are planted as the click series shifted +2 days, so the
+    lagged cross-correlation must read EXACTLY 1.0 at lag +2 (x(t) pairs
+    with y(t+2) = x(t)), and every other lag must match a pure-Python
+    Pearson over the zero-filled daily series — a first-principles
+    reference independent of both engines' moment-sum formulation
+    (SURVEY §5.2 non-mirrored-reference rule)."""
+    clicks = [5, 1, 4, 2, 6, 3, 7, 2, 5, 1]
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for d, c in enumerate(clicks):
+        for j in range(c):
+            rows.append((eid, base + dt.timedelta(days=d, minutes=j), 1, "click", 1.0, "{}"))
+            eid += 1
+        for j in range(c):  # same count, two days later
+            rows.append(
+                (eid, base + dt.timedelta(days=d + 2, minutes=30 + j), 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+
+    # zero-filled daily series over the full span (day 0 .. day 11)
+    x = clicks + [0, 0]
+    y = [0, 0] + clicks
+
+    def ref_corr(lag):
+        pairs = [
+            (x[t], y[t + lag]) for t in range(len(x)) if 0 <= t + lag < len(y)
+        ]
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        return n, round(
+            (n * sxy - sx * sy)
+            / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    out = {r.lag_days: r for r in QUERIES["q_ts_cross_corr"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(-3, 4))
+    for lag in range(-3, 4):
+        n_ref, r_ref = ref_corr(lag)
+        assert out[lag].n_days == n_ref, f"lag {lag}: n {out[lag].n_days} != {n_ref}"
+        assert abs(out[lag].xcorr - r_ref) < 1e-9, f"lag {lag}: {out[lag].xcorr} != {r_ref}"
+    assert out[2].xcorr == 1.0  # the planted shift
