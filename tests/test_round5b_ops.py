@@ -87,6 +87,53 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert heavy >= 30  # E[heavy] ≈ 38 of 40; <30 would mean broken keys
 
 
+def test_weighted_sample_filters_invalid_weights(spark):
+    """Rows with NaN, negative, zero, or NULL weights must be EXCLUDED,
+    not silently forced into the sample (a NaN key sorts first under
+    descending order — the failure mode this guards). The sample must
+    equal the A-ES replica computed over the valid-weight rows only."""
+    import hashlib
+
+    from etl4s_spark.operators.sampling import weighted_sample_without_replacement
+
+    valid = [(i, float(1 + (i * 37) % 100)) for i in range(60)]
+    poison = [
+        (1000, float("nan")),
+        (1001, -5.0),
+        (1002, 0.0),
+        (1003, None),
+    ]
+    df = spark.createDataFrame(valid + poison, "id long, w double")
+    got = [
+        r.id for r in weighted_sample_without_replacement(df, "id", "w", k=10).collect()
+    ]
+    assert not any(i >= 1000 for i in got)
+
+    def score(i, w):
+        h = int(hashlib.md5(f"w:42:{i}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    want = [i for i, w in sorted(valid, key=lambda t: (-score(*t), t[0]))[:10]]
+    assert got == want
+
+
+def test_grid_radius_join_rejects_ambiguous_schemas(spark):
+    """The operator must refuse overlapping column names (post-join
+    F.col references would silently bind ambiguously) and inputs that
+    already carry the reserved 'cell'/'dist_sq' columns."""
+    import pytest
+
+    from etl4s_spark.operators.geo import grid_radius_join
+
+    a = spark.createDataFrame([(0.0, 0.0)], ["x", "y"])
+    b_overlap = spark.createDataFrame([(0.0, 0.0)], ["x", "by"])
+    with pytest.raises(ValueError, match="disjoint"):
+        grid_radius_join(a, b_overlap, "x", "y", "x", "by", 1.0)
+    b_reserved = spark.createDataFrame([(0.0, 0.0, 1)], ["bx", "by", "cell"])
+    with pytest.raises(ValueError, match="reserves"):
+        grid_radius_join(a, b_reserved, "x", "y", "bx", "by", 1.0)
+
+
 def test_mad_query_flags_planted_outliers(spark, tmp_path):
     """q_anomaly_mad on a crafted table: 98 values at 10.00 ± 0.02 and
     two at 500 — MAD must be tiny and exactly the two plants flagged
