@@ -107,8 +107,14 @@ def _registration_age() -> dict[str, int]:
 # generator gives every customer orders, and no customer ordered in both
 # of the last two months; predicates changed to large-order anti-set /
 # quarterly periods), so their r1-era proofs no longer cover the shipped
-# behavior.
-_REPROVE_FIRST: frozenset = frozenset({"q_join_anti", "q_window_rank_movers"})
+# behavior. Round-6 continuation: the sf0.1 sweep exposed the same vacuity
+# class one scale up — q_tpch_q11's fixed 0.001-of-total threshold and
+# q_dedup_containment's 250-doc slice both read 0 rows at sf0.1; the
+# threshold is now 2x the mean part value and the slice is 1000 docs
+# (non-empty at every SF), so their earlier proofs predate the predicates.
+_REPROVE_FIRST: frozenset = frozenset(
+    {"q_join_anti", "q_window_rank_movers", "q_tpch_q11", "q_dedup_containment"}
+)
 
 
 def load_all() -> None:

@@ -2064,7 +2064,7 @@ def q_text_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS (
       SELECT doc_id, {_WORDS_SQL} AS w, {_NORM_SQL} AS norm
-      FROM documents WHERE doc_id < 250
+      FROM documents WHERE doc_id < 1000
     ), sh AS (
       SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(w) >= 3 THEN
@@ -2094,10 +2094,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination and quote-detection care about). Directed pairs
     (both orientations), same explode + shingle-keyed equi-join shape
     as the Jaccard tier — quadratic only within shared-shingle groups,
-    applied to bounded slices or LSH candidates at scale."""
+    applied to bounded slices or LSH candidates at scale. Slice bound
+    is 1000 docs: the generator's planted near-dups thin out with SF
+    and the original 250-doc slice held NO ≥0.3 containment pair at
+    sf0.1 (a vacuous empty-vs-empty agreement in the r6 sweep); at
+    1000 docs the result is non-empty at every SF (56/50/16 rows)."""
     sh = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 250)
+        .filter(F.col("doc_id") < 1000)
         .select("doc_id", F.col("text"))
         .withColumn("__norm", normalize_text(F.col("text")))
         .withColumn("__w", F.split(F.col("__norm"), " "))

@@ -809,25 +809,35 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_name = 'NATION_3'
     )
+    , per AS (
+      SELECT l_partkey, sum(val) AS part_val FROM natps GROUP BY l_partkey
+    )
     SELECT l_partkey AS ps_partkey,
-           round(CAST(sum(val) AS DOUBLE), 4) AS value
-    FROM natps
-    GROUP BY l_partkey
-    HAVING CAST(sum(val) AS DOUBLE)
-         > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM natps)
+           round(CAST(part_val AS DOUBLE), 4) AS value
+    FROM per
+    WHERE CAST(part_val AS DOUBLE)
+         > (SELECT CAST(sum(part_val) AS DOUBLE) * 2.0 / count(*) FROM per)
     ORDER BY value DESC, ps_partkey
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose one-nation inventory
-    value exceeds a FRACTION OF THE GLOBAL TOTAL — a HAVING clause
-    against an uncorrelated scalar aggregate of the SAME derived
-    relation. Value proxy: extendedprice of the nation's lineitems (no
-    partsupp). Scale plan: `natps` is derived once; the per-part agg
-    and the global one-row agg both read it (exchange reuse), the
-    global total broadcasts as a 1-row cross join, and the threshold
-    compare is a cheap post-agg filter. Decimal sums exact → double
-    conversion deterministic on both engines."""
+    value exceeds a threshold derived from a scalar aggregate of the
+    SAME derived relation (spec shape: HAVING vs uncorrelated
+    subquery). Value proxy: extendedprice of the nation's lineitems
+    (no partsupp). The spec's FRACTION is 0.0001/SF — a constant
+    fraction of the total empties out as the part count grows (at
+    sf0.1 NO part held 0.1% of the nation total: the r6 sf0.1 sweep
+    read 0 rows, a vacuous cross-engine agreement). The SF-invariant
+    reformulation keeps the spec's intent and shape: parts worth MORE
+    THAN 2x THE MEAN part value (threshold = 2*total/n_parts), which
+    is non-empty at every SF (14/127/1228 rows at sf0.001/0.01/0.1)
+    and selects ~1-10% of parts at any scale. Scale plan: `natps` is
+    derived once; the per-part agg is computed once and BOTH consumers
+    (the 1-row threshold agg and the filter) hang off the same
+    exchange (ReuseExchange), the threshold broadcasts as a 1-row
+    cross join, and the compare is a cheap post-agg filter. Decimal
+    sums exact → double conversion deterministic on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     supp = load_table(spark, sf_dir, "supplier").join(
@@ -837,8 +847,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("val")
     )
     per_part = natps.groupBy("l_partkey").agg(F.sum("val").alias("part_val"))
-    total = natps.agg(
-        (F.sum("val").cast("double") * 0.001).alias("__threshold")
+    total = per_part.agg(
+        (F.sum("part_val").cast("double") * 2.0 / F.count(F.lit(1))).alias("__threshold")
     )
     return (
         per_part.join(F.broadcast(total))
