@@ -1783,3 +1783,35 @@ def test_cross_corr_planted_lagged_series(spark, tmp_path):
         assert out[lag].n_days == n_ref, f"lag {lag}: n {out[lag].n_days} != {n_ref}"
         assert abs(out[lag].xcorr - r_ref) < 1e-9, f"lag {lag}: {out[lag].xcorr} != {r_ref}"
     assert out[2].xcorr == 1.0  # the planted shift
+
+
+# ------------------------------------------------------- tf-idf
+
+
+def test_tfidf_planted_exact_scores(spark, tmp_path):
+    """Hand-computable corpus (4 docs, 2 sources): every top-3 score is
+    tf * ln(N/df) of exact integers, so the output must match the
+    pure-Python values to the 6-dp rounding exactly — the non-mirrored
+    reference for the one formula-heavy webtext statistic that had only
+    a plan-shape test."""
+    docs = [
+        (1, "apple apple banana", "en", "a", 18),
+        (2, "apple cherry", "en", "a", 12),
+        (3, "dog dog dog banana", "en", "b", 18),
+        (4, "egg", "en", "b", 3),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = [
+        (r.source, r.rn, r.term, r.tfidf)
+        for r in QUERIES["q_text_tfidf"](spark, str(tmp_path)).collect()
+    ]
+    ln = math.log
+    want = [
+        ("a", 1, "apple", round(3 * ln(4 / 2), 6)),
+        ("a", 2, "cherry", round(1 * ln(4 / 1), 6)),
+        ("a", 3, "banana", round(1 * ln(4 / 2), 6)),
+        ("b", 1, "dog", round(3 * ln(4 / 1), 6)),
+        ("b", 2, "egg", round(1 * ln(4 / 1), 6)),
+        ("b", 3, "banana", round(1 * ln(4 / 2), 6)),
+    ]
+    assert out == want
