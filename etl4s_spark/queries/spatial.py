@@ -175,10 +175,22 @@ def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row explosion survives the map side, ties broken by the struct's
     lexicographic order (same rule the oracle states as min-over-
     argmin). The grid radius join (q_join_geo_radius) is the shape for
-    site lists too big to broadcast."""
+    site lists too big to broadcast.
+
+    The customer coords go through an explicit repartition BARRIER
+    before the broadcast fan-out: CollapseProject otherwise inlines the
+    md5/conv coordinate expressions into the post-join projection, so x
+    and y are recomputed once per (customer × site) PAIR instead of
+    once per customer — |sites|× redundant work that grows with the
+    site list (measured at sf0.1: 27.7 s collapsed vs 1.9 s behind the
+    barrier, 14×). One narrow shuffle of (key, x, y) is the price, and
+    it is the right trade at any scale where the per-row derivation is
+    non-trivial. (The count()-based r5 bench read 0.5 s for this query
+    because counting prunes the min-struct aggregate and the md5 work
+    with it — the noop-write bench measures the real plan.)"""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", _coord("cx:", "c_custkey").alias("x"), _coord("cy:", "c_custkey").alias("y")
-    )
+    ).repartition(F.col("c_custkey"))
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", _coord("sx:", "s_suppkey").alias("sx"), _coord("sy:", "s_suppkey").alias("sy")
     )
