@@ -153,7 +153,17 @@ def main() -> None:
             t0 = time.monotonic()
             try:
                 df = qs[name](spark, sf_dir)
-                if hasattr(df, "count"):
+                # Execute the FULL plan via a noop write, not count():
+                # counting lets Catalyst prune aggregate/projection
+                # expressions, so any query whose cost lives in the final
+                # aggregate or select under-measures — q_join_geo_nearest
+                # benched 0.5 s under count() for a plan whose real
+                # execution (what the driver's collect pays) was 28 s.
+                # The noop sink computes every output column and the
+                # final sort, like the driver's toPandas, minus transfer.
+                if hasattr(df, "write"):
+                    df.write.format("noop").mode("overwrite").save()
+                elif hasattr(df, "count"):
                     df.count()
                 samples.append(round(time.monotonic() - t0, 3))
             except Exception as e:  # noqa: BLE001
@@ -204,6 +214,11 @@ def main() -> None:
         "spread_rerun_threshold": spread_rerun,
         "spread_rerun_queries": respread,
         "median_rule": "warm runs only (run 0 = cold, excluded when >=2 runs)",
+        "measurement": (
+            "noop-write full-plan execution (r6 change: count() let Catalyst "
+            "prune aggregate/projection expressions — not comparable to r<=5 "
+            "count()-based medians; see BASELINE.md round-6 continuation)"
+        ),
         "medians": medians,
         "runs": runs,
         "loadavg_1min_at_run_start": loads,
