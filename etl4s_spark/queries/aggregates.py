@@ -244,7 +244,9 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p95_within_1pct"
             ),
         )
-        .orderBy("l_returnflag")
+        # no final sort: 3-row output, but the range sort's sampling pass
+        # re-runs the exact-percentile aggregation (order-insensitive
+        # compare makes the sort pure cost — measured 2x at sf0.1)
     )
 
 

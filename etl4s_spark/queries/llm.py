@@ -1026,7 +1026,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side shuffle; only the per-doc count aggregation shuffles on
     doc_id. Production would join on xxhash64(shingle) longs instead of
     strings (same plan, 8-byte keys); strings kept here for oracle
-    parity."""
+    parity. No final global sort: the compare is order-insensitive
+    (FIXTURES §C), and a cosmetic range sort re-executes the whole
+    shingle pipeline for partition-boundary sampling — measured ~2x
+    this query's cost at sf0.1."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split(normalize_text(F.col("text")), " ")
     shingles = F.when(
@@ -1066,7 +1069,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.coalesce("n_shingles", F.lit(0)) > 0)
             ).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 

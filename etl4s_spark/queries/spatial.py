@@ -208,5 +208,7 @@ def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.k").alias("nearest_suppkey"),
             F.round(F.sqrt("best.d2"), 3).alias("dist_km"),
         )
-        .orderBy("c_custkey")
+        # no final global sort: order-insensitive compare (FIXTURES §C);
+        # a cosmetic range sort re-runs the pair aggregation for its
+        # boundary sampling — measured 2x (8.6 s vs 4.4 s at sf0.1)
     )
