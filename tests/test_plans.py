@@ -301,3 +301,22 @@ def test_ts_grid_is_distributed_not_driver_side(spark, sf_dir):
     plan = plan_str(QUERIES["q_ts_resample"](spark, sf_dir))
     assert "explode(sequence(" in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_geo_nearest_coords_materialize_before_fanout(spark, sf_dir):
+    """The customer coordinate projection must sit behind an Exchange
+    BEFORE the broadcast site fan-out: CollapseProject otherwise inlines
+    the md5/conv derivation into the post-join projection, recomputing
+    it once per (customer x site) pair — |sites|x redundant (measured
+    14x at sf0.1). The barrier shows as a hashpartitioning exchange on
+    c_custkey below the BroadcastNestedLoopJoin/BroadcastHashJoin."""
+    from etl4s_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = plan_str(QUERIES["q_join_geo_nearest"](spark, sf_dir))
+    assert "REPARTITION_BY_COL" in plan, plan
+    # the pair-struct projection must reference plain coord attributes,
+    # not an inlined conv(md5(...)) recomputation
+    pair_lines = [ln for ln in plan.splitlines() if " AS p#" in ln]
+    assert pair_lines, plan
+    assert all("conv(" not in ln for ln in pair_lines), pair_lines
