@@ -229,7 +229,12 @@ def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note the oracle's coefficients are 31^j mod M — the Spark side
     reduces each term mod M the same way, and (a·(31^j mod M)) mod M =
-    (a·31^j) mod M, so the window hashes agree exactly."""
+    (a·31^j) mod M, so the window hashes agree exactly.
+
+    No final sort: the char-level hash sits directly under it (no
+    intermediate shuffle), so the range sort's sampling pass re-ran the
+    whole hash computation — measured ~1.5x at sf0.1; the compare is
+    order-insensitive."""
     from etl4s_spark.operators.text import rolling_fingerprint
 
     d = (
@@ -239,7 +244,7 @@ def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id", rolling_fingerprint(F.col("__norm")).alias("rolling_fp")
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -293,7 +298,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_hash.crossJoin(F.broadcast(first))
         .select("doc_id", "simhash64", hamming64(F.col("simhash64"), F.col("ref_hash")).alias("dist_to_first"))
-        .orderBy("doc_id")
+        # no final sort (the top-1 ref orderBy+limit stays: that is a
+        # TakeOrdered, not a range sort); sampling re-ran the simhash scan
     )
 
 
@@ -388,9 +394,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_cosine_similarity. At corpus scale the same operator runs on
     LSH bucket candidates instead of all pairs."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
+    # no final sort: the broadcast pair-cosine join has no shuffle under
+    # the sort, so range sampling re-ran the whole verify (order-insensitive)
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
 @query("q_dedup_embedding_lsh")  # xxhash64 signatures → rows-only; pytest proves
@@ -445,7 +451,8 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_ngram_fraction(F.col("__w"), F.col("__norm"), k=3), 6).alias(
             "dup_3gram_frac"
         ),
-    ).orderBy("doc_id")
+    )  # no final sort: scan-stage expressions sit directly under it and
+    # the range sampling re-ran them (order-insensitive compare)
 
 
 @query(
