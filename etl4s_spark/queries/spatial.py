@@ -177,20 +177,30 @@ def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin). The grid radius join (q_join_geo_radius) is the shape for
     site lists too big to broadcast.
 
-    The customer coords go through an explicit repartition BARRIER
-    before the broadcast fan-out: CollapseProject otherwise inlines the
-    md5/conv coordinate expressions into the post-join projection, so x
-    and y are recomputed once per (customer × site) PAIR instead of
-    once per customer — |sites|× redundant work that grows with the
-    site list (measured at sf0.1: 27.7 s collapsed vs 1.9 s behind the
-    barrier, 14×). One narrow shuffle of (key, x, y) is the price, and
-    it is the right trade at any scale where the per-row derivation is
-    non-trivial. (The count()-based r5 bench read 0.5 s for this query
-    because counting prunes the min-struct aggregate and the md5 work
-    with it — the noop-write bench measures the real plan.)"""
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", _coord("cx:", "c_custkey").alias("x"), _coord("cy:", "c_custkey").alias("y")
-    ).repartition(F.col("c_custkey"))
+    The customer side goes through the SCAN-WIDTH guard
+    (operators/parallelism.py widen): the broadcast join, the 15M
+    distance evaluations, and the partial min-aggregate all pipeline
+    into the scan stage, so their parallelism IS the scan's — and a
+    small parquet table arrives as ONE split, putting the entire
+    fan-out on one core (measured at sf0.1: 27.7 s on the 1-split scan
+    vs 1.9 s widened, ~the core count). widen() is a no-op at scale
+    where the scan is already thousands of splits, so no gratuitous
+    shuffle ships to the 100 TB plan. (An earlier revision mis-diagnosed
+    this as CollapseProject recomputing the coords per pair — the
+    formatted plan shows the coord Project intact below the join; the
+    14× was single-task execution. The count()-based r5 bench read
+    0.5 s for this query because counting prunes the min-struct
+    aggregate entirely — the noop-write bench measures the real plan.)"""
+    from etl4s_spark.operators.parallelism import widen
+
+    c = widen(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            _coord("cx:", "c_custkey").alias("x"),
+            _coord("cy:", "c_custkey").alias("y"),
+        ),
+        "c_custkey",
+    )
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", _coord("sx:", "s_suppkey").alias("sx"), _coord("sy:", "s_suppkey").alias("sy")
     )
