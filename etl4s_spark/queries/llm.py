@@ -1036,8 +1036,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity. No final global sort: the compare is order-insensitive
     (FIXTURES §C), and a cosmetic range sort re-executes the whole
     shingle pipeline for partition-boundary sampling — measured ~2x
-    this query's cost at sf0.1."""
-    d = load_table(spark, sf_dir, "documents")
+    this query's cost at sf0.1. The corpus goes through the scan-width
+    guard (widen): shingling pipelines into the scan stage and a small
+    parquet arrives as ONE split — 13.4 s single-core vs 9.0 s widened
+    at sf0.1; a no-op at scale (FIXTURES §C.6)."""
+    from etl4s_spark.operators.parallelism import widen
+
+    d = widen(load_table(spark, sf_dir, "documents"), "doc_id")
     w = F.split(normalize_text(F.col("text")), " ")
     shingles = F.when(
         F.size(w) >= 5,
