@@ -586,6 +586,12 @@ def _pq_seed_books(
         return [x / n for x in v] if n else list(v)
 
     seeds_norm = [_norm(r["v"]) for r in samples]
+    if not seeds_norm:
+        # EMPTY corpus: no quantizer can be trained, but a degenerate
+        # single-zero-codeword book keeps every downstream expression
+        # well-formed, so the query path flows empty-in -> empty-out
+        # instead of raising while unrolling the LUT
+        seeds_norm = [[0.0] * (sub * m_subspaces)]
     return [
         [seeds_norm[c][m * sub : (m + 1) * sub] for c in range(len(seeds_norm))]
         for m in range(m_subspaces)

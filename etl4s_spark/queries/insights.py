@@ -3318,7 +3318,9 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("reached_click").cast("long"),
             F.col("reached_purchase").cast("long"),
             F.round(
-                F.col("reached_click").cast("double") / F.col("reached_view"), 6
+                F.col("reached_click").cast("double")
+                / F.nullif(F.col("reached_view"), F.lit(0)).cast("double"),
+                6,
             ).alias("p_click_given_view"),
             F.round(
                 F.col("reached_purchase").cast("double")

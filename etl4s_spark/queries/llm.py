@@ -2422,7 +2422,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c"))
         .first()[0]
     )
-    kept = per_group_cap(e, "vec_id", "label", cap=int(k))
+    kept = per_group_cap(e, "vec_id", "label", cap=int(k) if k is not None else 0)
     return (
         kept.groupBy("label")
         .agg(
@@ -4173,7 +4173,9 @@ def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dup_rate(b):
         return b.agg(
             F.round(
-                1.0 - F.count_distinct("fp") / F.count(F.lit(1)).cast("double"), 6
+                1.0 - F.count_distinct("fp")
+                / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+                6,
             ).alias("value")
         ).select(F.lit("dup_rate").alias("metric"), "value")
 
@@ -4181,7 +4183,7 @@ def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return b.agg(
             F.round(
                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
+                / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
                 6,
             ).alias("value")
         ).select(F.lit("en_share").alias("metric"), "value")
@@ -4190,7 +4192,7 @@ def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return b.agg(
             F.round(
                 F.sum(F.when(F.col("lang") == F.col("pl"), 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
+                / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
                 6,
             ).alias("value")
         ).select(F.lit("langid_accuracy").alias("metric"), "value")

@@ -432,9 +432,17 @@ def q_agg_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = ev.groupBy("event_type").agg(
         F.theta_sketch_agg("user_id").alias("sk")
     )
-    est = sketches.agg(
-        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("__union"),
-        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("__inter"),
+    # groupBy a constant instead of a global agg: on an EMPTY corpus the
+    # global form still evaluates theta_union/intersection_agg over zero
+    # sketches and throws inside the aggregate; zero groups means the
+    # sketch aggs never run and the query returns 0 rows, schema intact
+    est = (
+        sketches.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("__union"),
+            F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("__inter"),
+        )
+        .drop("__g")
     )
     c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()

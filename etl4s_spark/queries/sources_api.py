@@ -189,12 +189,14 @@ def q_sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same aggregate from the unpartitioned source."""
     path = _sink_dir(sf_dir, "partitioned_prune")
     od = load_table(spark, sf_dir, "orders")
-    write_partitioned(
-        od.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
-        path,
-        partition_by=["o_orderpriority"],
+    frame = od.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    write_partitioned(frame, path, partition_by=["o_orderpriority"])
+    # explicit schema: no inference listing, and a zero-row write leaves
+    # an empty directory that schema inference cannot read at all
+    back = (
+        spark.read.schema(frame.schema).parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
     )
-    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
@@ -534,12 +536,11 @@ def q_join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
     viable; sums are exact cents."""
     path = _sink_dir(sf_dir, "dpp_fact")
     ev = load_table(spark, sf_dir, "events")
-    write_partitioned(
-        ev.select("event_id", "value", "event_type"),
-        path,
-        partition_by=["event_type"],
-    )
-    fact = spark.read.parquet(path)
+    frame = ev.select("event_id", "value", "event_type")
+    write_partitioned(frame, path, partition_by=["event_type"])
+    # explicit schema (see q_sink_partitioned_prune) — partition
+    # discovery and dynamic pruning still come from the directory layout
+    fact = spark.read.schema(frame.schema).parquet(path)
     dim = (
         ev.select("event_type")
         .distinct()

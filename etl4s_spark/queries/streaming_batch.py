@@ -255,7 +255,9 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (this is test-harness staging, not a data path)
     tbl = ev.toArrow()
     mx_scalar = pc.max(tbl["ts"])
-    mx_ts = mx_scalar.as_py()
+    # empty corpus: max is NULL — any fixed base works, the sentinel only
+    # advances the watermark past (nonexistent) data
+    mx_ts = mx_scalar.as_py() or datetime.datetime(2024, 1, 1)
     even_mask = pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0)
     sentinel = pa.table(
         {
@@ -458,7 +460,9 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
     replay_dir = tempfile.mkdtemp(prefix="etl4s_sess_replay_")
     tbl = ev.toArrow()
-    mx_ts = pc.max(tbl["ts"]).as_py()
+    # empty corpus: max is NULL — any fixed base works (see the
+    # watermark replay's sentinel note)
+    mx_ts = pc.max(tbl["ts"]).as_py() or datetime.datetime(2024, 1, 1)
     sentinel = pa.table(
         {
             "event_id": pa.array([-1], tbl.schema.field("event_id").type),
@@ -1111,7 +1115,7 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(target_base, ignore_errors=True)
     return (
-        spark.createDataFrame(final_tbl.to_pandas())
+        spark.createDataFrame(final_tbl)
         .select(
             F.col("user_id").cast("long"),
             F.col("n_events").cast("long"),
@@ -1671,7 +1675,7 @@ def q_stream_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(target_base, ignore_errors=True)
     return (
-        spark.createDataFrame(final_tbl.to_pandas())
+        spark.createDataFrame(final_tbl)
         .select(
             "event_type",
             F.col("n_users").cast("long"),

@@ -589,7 +589,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(target_base, ignore_errors=True)
     return (
-        spark.createDataFrame(tbl.to_pandas())
+        spark.createDataFrame(tbl)
         .select(
             F.col("user_id").cast("long"),
             F.col("n_events").cast("long"),
