@@ -208,6 +208,12 @@ def main() -> None:
     rnd = _next_round()
     detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
     detail = {
+        # schema_version 2 = noop-write full-plan measurement (r6+).
+        # Version 1 (implicit/absent) = count()-based medians (r<=5),
+        # which Catalyst partially pruned — cross-version diffs are
+        # meaningless; tooling must refuse mixed-version comparisons
+        # (tools/bench_compare.py does).
+        "schema_version": 2,
         "sf": sf,
         "runs_per_query": n_runs,
         "adaptive_repeat_below_sec": repeat_below_sec,
@@ -234,6 +240,7 @@ def main() -> None:
     line = json.dumps(
         {
             "metric": "declared_queries_total_wall",
+            "schema_version": 2,
             "value": total,
             "unit": "sec",
             # the declared surface grows per round — normalize via the mean

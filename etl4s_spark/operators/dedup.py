@@ -524,16 +524,24 @@ def min_neighbor_contract(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = _persist(
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).where(F.col("src") != F.col("dst"))
-    )  # one materialization of the (possibly expensive) upstream pair
-    #    plan — mapping AND contracted both read the persisted edges,
-    #    never the raw join again
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # symmetrize BEFORE the self-loop filter and persist THAT frame: the
+    # node set (mapping keys) must include nodes that appear only in
+    # self-pairs (a, a) — filtering first would drop them from the
+    # mapping and break the "same output rows as connected_components"
+    # contract (plain CC keeps them as singletons). One materialization
+    # of the (possibly expensive) upstream pair plan — mapping AND
+    # contracted both read the persisted frame, never the raw join again.
+    sym = _persist(
+        raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    edges = sym.where(F.col("src") != F.col("dst"))
+    # min over dst INCLUDING a possible self-loop is harmless:
+    # least(id, min(dst ∪ {id})) == least(id, min(dst \ {id})), and for a
+    # self-loop-only node min(dst) = id, so m = id — the isolated
+    # singleton survives with itself as representative.
     mapping = _persist(
-        edges.groupBy("src")
+        sym.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
         .select(F.col("src").alias("id"), F.least("id", "nbr_min").alias("m"))
     )

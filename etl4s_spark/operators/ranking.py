@@ -29,6 +29,17 @@ SHUFFLED EXACTLY ONCE:
    identically to (value, ties)); the offsets + total ride ONE broadcast
    hash join back onto the shuffled frame — no second data shuffle.
 
+PARTITION-SIZE ASSUMPTION: it is bucket GRANULARITY, not row count, that
+bounds each within-bucket sort — the guarantee holds when the ranking
+value has reasonable dispersion (heavy-tailed amounts under log_bucket,
+wide bounded domains under div-width). A degenerate low-dispersion
+domain (e.g. per-key counts where almost every key has c=1) collapses
+most rows into one bucket and recreates a near-single-task sort —
+correctness is unaffected, but callers ranking such domains should add a
+secondary sub-bucket split (value div width within the octave, or a salt
+folded into tie_cols' partition) if the degenerate shape is expected at
+scale.
+
 The results are bit-identical to the single-window formulation — the
 oracles of every rewritten query are untouched — only the physical plan
 changes. Exact ntile bucket arithmetic reuses the remainder-first rule
@@ -44,6 +55,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["log_bucket", "global_index", "global_cumsum", "exact_ntile"]
+
+# Sentinel every NULL bucket is coalesced to before the partitioned
+# window / offset join. Rows whose caller-supplied bucket expression
+# evaluates to NULL (e.g. `n_chars div 256` on a NULL column) must NOT
+# be dropped by the inner equi-join back onto the offset frame — the
+# single-window formulation this module replaces kept them, ordered
+# NULLS FIRST under asc and NULLS LAST under desc. Int-min sorts first
+# ascending and last descending, so one sentinel reproduces both
+# placements exactly (callers' real buckets are small non-negative
+# ints — log_bucket yields 0..504 — so no collision).
+_NULL_BUCKET = -2147483648
+
+
+def _safe_bucket(bucket: Column) -> Column:
+    return F.coalesce(bucket, F.lit(_NULL_BUCKET))
 
 
 def log_bucket(value: Column, eighths: int = 8) -> Column:
@@ -97,9 +123,13 @@ def global_index(
     the total order (value asc/desc, then tie_cols asc) — with one data
     shuffle (module docstring). ``bucket`` must be monotone in ``value``
     in the same direction. If ``total_name`` is given, the global row
-    count is attached too (it rides the same broadcast frame)."""
+    count is attached too (it rides the same broadcast frame). NULL
+    buckets are coalesced to ``_NULL_BUCKET`` so those rows keep the
+    nulls-first (asc) / nulls-last (desc) global position the replaced
+    single-window formulation gave them instead of being dropped by the
+    offset join."""
     b, v = f"__bkt_{idx_name}", f"__val_{idx_name}"
-    work = df.withColumn(v, value).withColumn(b, bucket)
+    work = df.withColumn(v, value).withColumn(b, _safe_bucket(bucket))
     order = [F.col(v).asc() if ascending else F.col(v).desc()] + [
         F.col(t) if isinstance(t, str) else t for t in tie_cols
     ]
@@ -135,9 +165,9 @@ def global_cumsum(
     shuffle decomposition: within-bucket running sum from the bucket-
     partitioned window, cross-bucket offsets from the bounded bucket
     frame (aggregated off the same shuffled exchange), one broadcast
-    join."""
+    join. NULL buckets coalesce to ``_NULL_BUCKET`` (see global_index)."""
     b, v = f"__bkt_{cum_name}", f"__val_{cum_name}"
-    work = df.withColumn(v, value).withColumn(b, bucket)
+    work = df.withColumn(v, value).withColumn(b, _safe_bucket(bucket))
     order = [F.col(v).asc() if ascending else F.col(v).desc()] + [
         F.col(t) if isinstance(t, str) else t for t in tie_cols
     ]

@@ -443,6 +443,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per node in the PAIR graph, tiny relative to the corpus)."""
     # _neardup_pairs arrives materialized; deg backs three consumers
     # (two broadcast build sides + the node count) so it gets the same
+    # localCheckpoint treatment — computed once, served from blocks.
     pairs = _neardup_pairs(spark, sf_dir)
     sym = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))

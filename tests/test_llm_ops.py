@@ -338,6 +338,19 @@ def test_connected_components_contracted(spark):
     }
     assert fixed == plain
 
+    # self-loop-only nodes (ADVICE r6): a node appearing only as (a, a)
+    # must survive as a singleton — plain CC keeps it, the contraction's
+    # node mapping must too (the self-loop filter used to drop it)
+    loops = spark.createDataFrame(
+        [(60, 61), (61, 62), (70, 70), (60, 60)], "id_a long, id_b long"
+    )
+    plain_l = {r.id: r.component for r in connected_components(loops).collect()}
+    contr_l = {
+        r.id: r.component for r in connected_components_contracted(loops).collect()
+    }
+    assert contr_l == plain_l
+    assert contr_l[70] == 70 and contr_l[60] == 60
+
 
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Fixed-seed random graphs across the density spectrum: plain

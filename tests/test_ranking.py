@@ -107,6 +107,45 @@ def test_global_cumsum_matches_window(spark):
         assert g == w
 
 
+def test_global_index_keeps_null_bucket_rows(spark):
+    """A caller bucket like `v div 3` goes NULL when v is NULL; those
+    rows must keep the nulls-first (asc) / nulls-last (desc) global
+    position the single-window formulation gives them, not vanish
+    through the offset join (ADVICE r6, medium)."""
+    rows = [(i, ((i * 7919) % 13) if i % 5 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for asc in (True, False):
+        got = global_index(
+            df, F.col("v"), (F.col("v") / F.lit(3)).cast("int"), ["k"], ascending=asc
+        )
+        assert got.count() == 60  # nothing dropped
+        order = [F.col("v").asc() if asc else F.col("v").desc(), F.col("k")]
+        want = df.withColumn("idx", F.row_number().over(Window.orderBy(*order)))
+        g = {r.k: r.idx for r in got.collect()}
+        w = {r.k: r.idx for r in want.collect()}
+        assert g == w, f"asc={asc}"
+
+
+def test_global_cumsum_keeps_null_bucket_rows(spark):
+    rows = [(i, ((i * 31) % 11) if i % 4 else None, i % 7 + 1) for i in range(48)]
+    df = spark.createDataFrame(rows, "k long, v long, amt long")
+    got = global_cumsum(
+        df, F.col("v"), (F.col("v") / F.lit(2)).cast("int"), ["k"], sum_col="amt"
+    )
+    assert got.count() == 48
+    want = df.withColumn(
+        "cum",
+        F.sum("amt").over(
+            Window.orderBy(F.col("v").asc(), "k").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert {r.k: r.cum for r in got.collect()} == {
+        r.k: r.cum for r in want.collect()
+    }
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     """The whole point: the physical plan must contain no WindowExec
     without partition keys (single-partition global sort)."""
