@@ -54,7 +54,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["log_bucket", "global_index", "global_cumsum", "exact_ntile"]
+__all__ = ["log_bucket", "global_index", "global_cumsum", "exact_ntile", "one_part"]
 
 # Sentinel every NULL bucket is coalesced to before the partitioned
 # window / offset join. Rows whose caller-supplied bucket expression
@@ -84,12 +84,22 @@ def log_bucket(value: Column, eighths: int = 8) -> Column:
     )
 
 
-def _one_part(bucket_col: str) -> Column:
+def one_part(col: Column | str) -> Column:
     """A constant partition key the optimizer cannot fold away:
     pmod(hash(col), 1) == 0 for every row, but hash of a non-literal is
     not foldable, so the window keeps an explicit (single, bounded)
-    partition instead of decaying to 'No Partition Defined'."""
-    return F.pmod(F.hash(F.col(bucket_col)), F.lit(1))
+    partition instead of decaying to 'No Partition Defined'. Use this
+    to BLESS a window over a frame that is provably bounded (an
+    already-aggregated histogram, a checkpointed contingency table):
+    the plan then declares the single partition explicitly, the
+    WindowExec single-partition WARN disappears, and the plan-audit
+    gate (tools/plan_audit.py count_unbounded_partitionless_windows)
+    stays at zero without per-site waivers. NEVER use it on a
+    data-scale frame — it is a real single partition."""
+    return F.pmod(F.hash(F.col(col) if isinstance(col, str) else col), F.lit(1))
+
+
+_one_part = one_part  # internal alias used by the offset helpers below
 
 
 def _offsets(tiny: DataFrame, b: str, c: str, ascending: bool) -> DataFrame:

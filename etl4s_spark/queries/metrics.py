@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.queries.analytics import _PAIRS_SQL, _neardup_pairs
 from etl4s_spark.sources.tables import load_table
@@ -767,7 +768,10 @@ def q_stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl = Window.partitionBy("lang")
     ws = Window.partitionBy("source")
-    wg = Window.partitionBy()
+    # grand total over the bounded O(langs*sources) cell frame: one_part
+    # declares the single bounded partition explicitly (plan-audit gate;
+    # a bare partitionBy() decays to 'No Partition Defined')
+    wg = Window.partitionBy(one_part("lang"))
     fr = cells.select(
         "lang",
         "source",

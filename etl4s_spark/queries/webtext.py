@@ -968,7 +968,17 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "nw", (F.col("c") * F.col("nw")).alias("tok"))
         .localCheckpoint(eager=True)  # count-class histogram (bounded); reused by cum window AND totals
     )
-    wo = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative window over the bounded frequency-class histogram:
+    # one_part declares the single bounded partition explicitly (the
+    # global order is unchanged — the key is constant 0 for every row;
+    # plan-audit gate, see operators/ranking.py one_part)
+    from etl4s_spark.operators.ranking import one_part
+
+    wo = (
+        Window.partitionBy(one_part("c"))
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = classes.select(
         "c",
         F.sum("nw").over(wo).alias("cw"),

@@ -322,3 +322,73 @@ def test_geo_nearest_coords_materialize_before_fanout(spark, sf_dir):
     pair_lines = [ln for ln in plan.splitlines() if " AS p#" in ln]
     assert pair_lines, plan
     assert all("conv(" not in ln for ln in pair_lines), pair_lines
+
+
+def test_unbounded_partitionless_window_gate(spark):
+    """The r5 scale-killer class, made mechanical (VERDICT r6 item 3):
+    a WindowExec with an empty partition spec whose input is not an
+    aggregate/limit/local relation funnels data-scale rows through ONE
+    task. The detector lives in tools/plan_audit.py; this pins (a) the
+    detector's verdict on the four canonical shapes and (b) the audit
+    artifact's repo-wide count at ZERO."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_audit import count_unbounded_partitionless_windows as gate
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl4s_spark.operators.ranking import global_index, log_bucket, one_part
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # the offender: global row_number over a data-scale frame
+    bad = spark.range(1000).withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert gate(plan(bad)) == 1
+    # unpartitioned AND unordered over raw data: still the offender
+    bad2 = spark.range(1000).withColumn("c", F.count("*").over(Window.partitionBy()))
+    assert gate(plan(bad2)) == 1
+    # partitioned (ordered or not): fine
+    part = spark.range(1000).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 5).orderBy("id"))
+    )
+    assert gate(plan(part)) == 0
+    part_unord = spark.range(1000).withColumn(
+        "c", F.count("*").over(Window.partitionBy(F.col("id") % 16))
+    )
+    assert gate(plan(part_unord)) == 0
+    # global window over an AGGREGATE output: bounded-domain, blessed
+    agg = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("g"))
+        .count()
+        .withColumn("rn", F.row_number().over(Window.orderBy("g")))
+    )
+    assert gate(plan(agg)) == 0
+    # the blessed explicit-single-partition form (one_part) never flags
+    blessed = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(one_part("id")).orderBy("id"))
+    )
+    assert gate(plan(blessed)) == 0
+    # the two-pass distributed rank keeps itself clean
+    gi = global_index(
+        spark.range(1000).withColumn("v", (F.col("id") * 7) % 97),
+        F.col("v"),
+        log_bucket(F.col("v")),
+        ["id"],
+    )
+    assert gate(plan(gi)) == 0
+
+    # repo-wide invariant: the committed audit says ZERO such windows
+    audit_path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    with open(audit_path) as f:
+        doc = json.load(f)
+    assert doc["totals"]["unbounded_partitionless_windows"] == 0, (
+        "plan audit found unbounded partition-less windows — rerun "
+        "tools/plan_audit.py and fix the flagged queries (bless bounded "
+        "frames with operators/ranking.py one_part)"
+    )

@@ -72,6 +72,67 @@ FEATURES = {
 }
 
 
+# Subtree nodes that bound the row count flowing into a window: an
+# aggregate output is one row per group over a bounded key domain, a
+# limit/top-k is explicitly bounded, and a local/one-row relation is a
+# plan constant. An unpartitioned WindowExec whose input passes through
+# none of these funnels DATA-SCALE rows into one task — the r5
+# scale-killer class; the gate exists so it cannot return silently.
+_BOUNDED_RE = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit|LocalLimit"
+    r"|TakeOrderedAndProject|CollectLimit|LocalTableScan|OneRowRelation"
+)
+_WINDOW_LINE_RE = re.compile(r"(?:^|[\s:+\-])(Window(?:GroupLimit)? \[)")
+
+
+def _node_indent(line: str) -> int:
+    """Depth of a node in the simple tree string = column where the node
+    name starts (after the ``   +- `` / ``:  +- `` scaffolding)."""
+    m = re.match(r"^[\s:+\-]*", line)
+    return m.end()
+
+
+def count_unbounded_partitionless_windows(simple_plan: str) -> int:
+    """Count WindowExec nodes with an EMPTY partition spec whose input
+    subtree contains no aggregate/limit/local-relation bound.
+
+    Window prints as ``Window [exprs], [partitionSpec], [orderSpec]`` in
+    the simple tree, and EMPTY specs are omitted rather than printed as
+    ``[]`` — so a 2-group line is ambiguous: partitioned-unordered
+    (``[exprs], [part]``) or unpartitioned-ordered (``[exprs], [order]``).
+    All ``[`` on the line belong to the top-level groups
+    (windowspecdefinition uses parens), so group count = ``], [`` count
+    + 1, and the tiebreak is that an order spec always carries
+    ``ASC``/``DESC`` sort directions while a partition spec is bare
+    expressions: 3 groups = partitioned; 2 groups = partitioned iff the
+    last group has no sort direction; 1 group = unpartitioned.
+    WindowGroupLimit is not gated (it is the bounded top-k rewrite)."""
+    lines = simple_plan.splitlines()
+    flagged = 0
+    for i, line in enumerate(lines):
+        m = _WINDOW_LINE_RE.search(line)
+        if not m or m.group(1).startswith("WindowGroupLimit"):
+            continue
+        n_seps = line.count("], [")
+        if n_seps >= 2:
+            continue  # three groups: has partition keys
+        if n_seps == 1:
+            last_group = line.rsplit("], [", 1)[1]
+            if " ASC" not in last_group and " DESC" not in last_group:
+                continue  # [exprs], [partitionSpec] — partitioned, unordered
+        indent = _node_indent(line)
+        subtree: list[str] = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                break
+            if _node_indent(nxt) <= indent:
+                break
+            subtree.append(nxt)
+        if not _BOUNDED_RE.search("\n".join(subtree)):
+            flagged += 1
+    return flagged
+
+
 def audit(sf_dir: str, names: list[str] | None = None) -> dict:
     from etl4s_spark.queries import QUERIES, load_all
     from etl4s_spark.session import get_spark
@@ -89,6 +150,7 @@ def audit(sf_dir: str, names: list[str] | None = None) -> dict:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
+            simple = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             continue
@@ -97,6 +159,9 @@ def audit(sf_dir: str, names: list[str] | None = None) -> dict:
             k: len(re.findall(pat, tree, flags=re.MULTILINE))
             for k, pat in FEATURES.items()
         }
+        row["unbounded_partitionless_windows"] = (
+            count_unbounded_partitionless_windows(simple)
+        )
         out[name] = row
     return out
 
@@ -117,6 +182,10 @@ def main() -> None:
         "n_nested_loop": sum(1 for v in audited.values() if v["nested_loop"]),
         "n_zero_shuffle": sum(1 for v in audited.values() if v["exchanges"] == 0),
         "max_exchanges": max((v["exchanges"] for v in audited.values()), default=0),
+        # the r5 scale-killer gate: MUST be zero (tests/test_plans.py pins it)
+        "unbounded_partitionless_windows": sum(
+            v["unbounded_partitionless_windows"] for v in audited.values()
+        ),
         "mean_exchanges": round(
             sum(v["exchanges"] for v in audited.values()) / max(1, len(audited)), 2
         ),
