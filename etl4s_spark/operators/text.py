@@ -328,17 +328,41 @@ def bpe_learn(
     docs: "DataFrame",
     text_col: str = "text",
     n_merges: int = 8,
+    batch_size: int = 8,
 ):
-    """LEARN a BPE merge list: n_merges sequential rounds, each one a
-    distributed pair-count over the current tokenization of the
-    DISTINCT-word frame (weighted by word frequency) with the top pair
-    — tie-broken (count DESC, x ASC, y ASC), so the learned list is
-    deterministic — collected to the driver and appended. This is
-    distributed BPE training's canonical shape (one Spark job per
-    merge; the driver holds only the merge list). Returns the ordered
-    list of (x, y) pairs."""
+    """LEARN a BPE merge list, MERGE-FOR-MERGE identical to sequential
+    BPE (Sennrich et al., ACL 2016) with the deterministic (count DESC,
+    x ASC, y ASC) tie-break, but with a BOUNDED driver loop: each
+    collect round counts pairs over the current tokenization of the
+    DISTINCT-word frame (frequency-weighted) and accepts up to
+    ``batch_size`` merges at once, so the round-trip complexity is
+    O(ceil(n_merges / m_eff)) Spark jobs (m_eff = accepted merges per
+    round, data-dependent, >= 1) instead of O(n_merges) — the driver
+    holds only the merge list, never data.
+
+    Why the batch is EXACTLY what sequential BPE would pick (the prefix
+    rule, pytest-proven against the in-memory reference trainer):
+    collect the top batch_size+1 pairs in global (c DESC, x, y) order
+    and accept a PREFIX p_1..p_m that is (a) mutually token-disjoint
+    and (b) for k >= 2, strictly above ``bound`` = max(count of the
+    first token-sharing candidate, count of the (batch_size+1)-th
+    collected pair — the ceiling on every unseen pair). Applying
+    disjoint merges never changes each other's counts (no shared
+    tokens to consume, and created pairs involve only the brand-new
+    symbol x_jy_j), every created pair's count is <= the old count of
+    some pair sharing a token with an accepted pair — which is <= bound
+    by construction — and every old pair ranked below the prefix is
+    also <= bound. So at sequential step k, p_k is still the STRICT
+    unique maximum: the batch replays the sequential choices without
+    re-counting between them. p_1 is always safe (it is the global
+    argmax of this round's exact counts). Ties collapse the batch
+    toward 1 rather than risk divergence.
+
+    Returns the ordered list of (x, y) pairs."""
     from pyspark.sql import functions as F
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     vocab = (
         docs.select(F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
@@ -351,8 +375,9 @@ def bpe_learn(
         "__arr",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
     )
-    for _ in range(n_merges):
-        pairs = (
+    while len(merges) < n_merges:
+        room = min(batch_size, n_merges - len(merges))
+        top = (
             cur.select(
                 "freq",
                 F.explode(
@@ -365,14 +390,33 @@ def bpe_learn(
             .groupBy("p.x", "p.y")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), "x", "y")
-            .limit(1)
+            .limit(room + 1)  # +1: exact ceiling on every unseen pair
             .collect()
         )
-        if not pairs:
+        if not top:
             break
-        x, y = pairs[0].x, pairs[0].y
-        merges.append((x, y))
-        cur = cur.withColumn(
-            "__arr", F.expr(bpe_merge_stage_sql("__arr", x, y))
-        ).localCheckpoint(eager=True)
+        # the prefix rule (docstring): mutually disjoint prefix, then
+        # truncate to counts strictly above the interference bound
+        used: set[str] = set()
+        accepted: list = []
+        conflict_c = None
+        for r in top[:room]:
+            if r.x in used or r.y in used:
+                conflict_c = r.c
+                break
+            accepted.append(r)
+            used.update((r.x, r.y))
+        bound = None
+        if conflict_c is not None:
+            bound = conflict_c
+        if len(top) == room + 1:
+            tail_c = top[room].c
+            bound = tail_c if bound is None else max(bound, tail_c)
+        batch = [accepted[0]] + [
+            r for r in accepted[1:] if bound is None or r.c > bound
+        ]
+        for r in batch:
+            merges.append((r.x, r.y))
+            cur = cur.withColumn("__arr", F.expr(bpe_merge_stage_sql("__arr", r.x, r.y)))
+        cur = cur.localCheckpoint(eager=True)
     return merges

@@ -414,6 +414,40 @@ def test_bpe_learn_matches_reference_trainer(spark):
     assert got == want
 
 
+def test_bpe_learn_batched_rounds_match_sequential_reference(spark):
+    """VERDICT r6 item 4: the trainer accepts up to batch_size merges
+    per collect round (prefix rule — mutually disjoint, strictly above
+    the interference bound), so the driver loop is O(ceil(n/m)) jobs.
+    The batch must replay sequential BPE EXACTLY, merge for merge, for
+    every batch size — including on corpora built to stress the rule:
+    overlapping pairs (ababab: merging (a,b) destroys (b,a)
+    occurrences), heavy count ties, and chained merges whose best pair
+    involves a previous round's new symbol."""
+    from etl4s_spark.operators.text import bpe_learn
+
+    corpora = {
+        "prose": [
+            "the theme thereof then the thin theme",
+            "and another thing entirely there",
+            "banana bandana and an anthem",
+            "thesis theory the thirty three",
+        ],
+        "overlap": ["ababab ababab abab", "babab ababa bab", "aaaa bbbb abab"],
+        "ties": ["ab cd ab cd", "ef gh ef gh", "ij kl ij kl", "ab cd ef gh ij kl"],
+        "chain": ["aaaaaaaa aaaa aa", "aaab aab ab", "baaa baa ba"],
+    }
+    for tag, corpus in corpora.items():
+        freqs: dict[str, int] = {}
+        for line in corpus:
+            for w in line.split():
+                freqs[w] = freqs.get(w, 0) + 1
+        want = _ref_bpe_learn(freqs, 12)
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        for bs in (1, 3, 8, 16):
+            got = bpe_learn(df, "text", n_merges=12, batch_size=bs)
+            assert got == want, f"{tag}: batch_size={bs}\n got {got}\nwant {want}"
+
+
 def test_bpe_apply_matches_reference_on_vocab(spark):
     from etl4s_spark.operators.text import BPE_MERGES_DEMO, bpe_apply
 
