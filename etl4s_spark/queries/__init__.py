@@ -102,19 +102,12 @@ def _registration_age() -> dict[str, int]:
 # Queries whose most recent driver proof predates a repair that changed
 # their behavior — forced to the front of the registration order so the
 # driver's ~50-query window re-proves them in the next round, then removed
-# once green rows land. Round 6: q_join_anti and q_window_rank_movers were
-# de-vacuified (their hash-green rows matched on EMPTY results — the
-# generator gives every customer orders, and no customer ordered in both
-# of the last two months; predicates changed to large-order anti-set /
-# quarterly periods), so their r1-era proofs no longer cover the shipped
-# behavior. Round-6 continuation: the sf0.1 sweep exposed the same vacuity
-# class one scale up — q_tpch_q11's fixed 0.001-of-total threshold and
-# q_dedup_containment's 250-doc slice both read 0 rows at sf0.1; the
-# threshold is now 2x the mean part value and the slice is 1000 docs
-# (non-empty at every SF), so their earlier proofs predate the predicates.
-_REPROVE_FIRST: frozenset = frozenset(
-    {"q_join_anti", "q_window_rank_movers", "q_tpch_q11", "q_dedup_containment"}
-)
+# once green rows land. Round 7: the round-6 set (q_join_anti,
+# q_window_rank_movers, q_tpch_q11, q_dedup_containment — all de-vacuified
+# in r6) landed green hash-match rows in CORRECTNESS_r06.json, so the set
+# is empty again. Re-add any query whose semantics change after its last
+# driver proof, then re-run tools/emit_verify_priority.py.
+_REPROVE_FIRST: frozenset = frozenset()
 
 
 def load_all() -> None:

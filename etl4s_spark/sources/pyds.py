@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LANGS = ("en", "de", "fr", "es", "pt")
 _WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
@@ -72,8 +77,48 @@ class SynthDocsReader(DataSourceReader):
             yield synth_row(i)
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING face of the same source (Spark 4
+    ``simpleStreamReader``): each micro-batch emits the next ``batch``
+    row ids until ``n`` are delivered, after which the offset stops
+    advancing and ``processAllAvailable`` drains. Offsets are plain
+    ``{"offset": i}`` dicts — exactly-once replay is free because rows
+    are pure functions of the id, so ``readBetweenOffsets`` (the
+    recovery path Spark calls when a batch must be re-read after
+    restart) regenerates bit-identical rows from arithmetic alone.
+
+    Scale posture: a SIMPLE stream reader generates rows driver-side by
+    contract (Spark prefetches each batch on the driver) — right for
+    control-rate feeds (API polls, change feeds); a partition-parallel
+    source would implement the full ``DataSourceStreamReader`` with
+    ``partitions(start, end)`` instead, splitting the id range like the
+    batch reader does."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = max(1, int(options.get("batch", 250)))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch, self.n)
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator when planning partitions —
+        # list iterators are picklable/copyable, generators are not
+        return iter([synth_row(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            [synth_row(i) for i in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("n", N).option("parts", P)``"""
+    """``spark.read.format("synthdocs").option("n", N).option("parts", P)``
+    for batch scans; ``spark.readStream.format("synthdocs").option("n",
+    N).option("batch", B)`` replays the same rows as B-row micro-batches."""
 
     @classmethod
     def name(cls) -> str:
@@ -84,6 +129,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark) -> None:

@@ -227,3 +227,32 @@ def test_python_datasource_partition_invariant_and_deterministic(spark):
     assert one == sorted(synth_row(i) for i in range(200))
     langs = {r[1] for r in one}
     assert langs == {"en", "de", "fr", "es", "pt"}  # LCG mixes all classes
+
+
+def test_python_stream_datasource_offsets_and_replay(spark):
+    """The streaming face of synthdocs (simpleStreamReader): offsets
+    advance by `batch` rows until `n` then freeze (so
+    processAllAvailable drains), read() returns a COPYABLE iterator
+    (Spark's prefetch cache copy.copy()s it), and readBetweenOffsets —
+    the restart-recovery path — regenerates the exact same rows from
+    the closed form."""
+    import copy
+
+    from etl4s_spark.sources.pyds import SynthDocsStreamReader, synth_row
+
+    r = SynthDocsStreamReader({"n": "10", "batch": "4"})
+    off = r.initialOffset()
+    assert off == {"offset": 0}
+    seen = []
+    for want_hi in (4, 8, 10, 10):
+        it, nxt = r.read(off)
+        copy.copy(it)  # must not raise (generator objects would)
+        rows = list(it)
+        seen.extend(rows)
+        assert nxt == {"offset": want_hi}
+        off = nxt
+    assert seen == [synth_row(i) for i in range(10)]
+    # recovery replay is bit-identical to the original batch
+    assert list(r.readBetweenOffsets({"offset": 4}, {"offset": 8})) == [
+        synth_row(i) for i in range(4, 8)
+    ]
