@@ -29,6 +29,8 @@ def vec_l2_normalize(v: pd.Series) -> pd.Series:
     import numpy as np
 
     def norm(a):
+        if a is None:  # NULL array in -> NULL array out, like built-ins
+            return None
         arr = np.asarray(a, dtype="float64")
         n = np.linalg.norm(arr)
         return (arr / n if n else arr).tolist()

@@ -149,7 +149,14 @@ def global_index(
     # per-bucket count = max within-bucket rank; aggregating the RANKED
     # frame (not the raw input) keeps the aggregate's exchange child
     # identical to the window's, so ReuseExchange serves both from one
-    # shuffle write — the input is scanned and shuffled exactly once
+    # shuffle write — the input is scanned and shuffled exactly once.
+    # Known constant-factor cost: each exchange CONSUMER re-applies its
+    # sort+window, so the within-bucket sort runs twice (never
+    # superlinear — SCALING.json stays sub-K). The alternatives are
+    # worse at scale: aggregating the raw input breaks exchange identity
+    # (partial-agg lands below the exchange) and re-executes the
+    # caller's upstream plan; checkpointing the ranked frame writes
+    # data-scale rows to executor disk.
     tiny = ranked.groupBy(b).agg(F.max("__rn").alias("__c"))
     off = _offsets(tiny, b, "__c", ascending)
     out = (

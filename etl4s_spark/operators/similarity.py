@@ -128,7 +128,11 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, s
     refinement sweep would be the same broadcast-assign + groupBy-avg
     pattern; the sample quantizer keeps the operator deterministic.)"""
     rows = (
-        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        # NULL vectors can't seed a centroid (ADVERSARIAL_r07 nulls
+        # sweep: list(None) crashed the collect); real corpora are
+        # unaffected — the filter is a no-op when embeddings are total
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
         .orderBy("__h", "id")
         .limit(n_cells)
@@ -574,7 +578,9 @@ def _pq_seed_books(
     vectors (xxhash64-ordered sample) sliced into subspaces."""
     sub = dim // m_subspaces
     samples = (
-        corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        # NULL vectors can't seed codewords (same guard as ivf_centroids)
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
         .orderBy("__h", "id")
         .limit(n_codes)

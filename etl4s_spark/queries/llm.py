@@ -1246,9 +1246,8 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = [
         list(r["v"])
-        for r in e.select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
-        )
+        for r in e.where(F.col("embedding").isNotNull())  # NULL can't seed
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .orderBy("vec_id")
         .limit(8)
         .collect()

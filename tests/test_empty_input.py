@@ -77,3 +77,35 @@ def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
     # empty-in -> empty-out, or a well-formed scalar/flag row (global
     # aggregates legitimately emit one row of zeros/NULLs)
     assert len(rows) <= 5, (name, rows[:5])
+
+
+def test_null_vector_rows_survive_model_seeding(spark):
+    """ADVERSARIAL_r07 nulls sweep: a corpus with NULL embedding arrays
+    crashed the model-parameter collects (IVF centroids, PQ codebook
+    seeds, semdedup cents: list(None)) and the vectorized L2-normalize
+    UDF. NULL vectors must be excluded from seeding (they cannot define
+    a centroid/codeword) and must pass through value UDFs as NULL."""
+    from pyspark.sql import functions as F
+
+    from etl4s_spark.functions.udfs import vec_l2_normalize
+    from etl4s_spark.operators.similarity import ivf_centroids, pq_train
+
+    rows = [
+        (i, None if i % 4 == 0 else [float(i + j) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = ivf_centroids(df, "vec_id", "embedding", n_cells=4)
+    assert len(cents) == 4 and all(c is not None and len(c) == 8 for c in cents)
+
+    books = pq_train(df, "vec_id", "embedding", dim=8, m_subspaces=2, n_codes=4)
+    assert len(books) == 2 and all(len(b[0]) == 4 for b in books)
+
+    out = df.select(
+        "vec_id", vec_l2_normalize(F.col("embedding")).alias("nv")
+    ).collect()
+    assert len(out) == 40
+    by_id = {r.vec_id: r.nv for r in out}
+    assert by_id[0] is None  # NULL in -> NULL out
+    assert by_id[1] is not None and abs(sum(x * x for x in by_id[1]) - 1.0) < 1e-9

@@ -1,0 +1,137 @@
+"""Two-decade scale-up probe (VERDICT r6 item 2): the 10× probe
+(tools/scaling_probe.py → SCALING.json) answers "survives 10×"; the
+brief's bar is 100×. This probe times the TOP-HEAVIEST uncapped queries
+at 1×, 10×, AND 100× replicated data IN ONE PROCESS (same box state, so
+decade ratios are internally consistent) and reports the PER-DECADE
+growth:
+
+    decade1 = t(10x) / t(1x)        decade2 = t(100x) / t(10x)
+
+Reading it: a linear query shows ≲10 per decade (usually much less
+locally, where constant overheads dominate at 1×); decade2 >> 10 flags
+superlinear work that the 10× probe was too small to expose (quadratic
+pair growth, rank buckets collapsing, state that scales with corpus).
+decade2 is the honest one — at 100× the job is compute-bound, not
+overhead-bound.
+
+The query list is the 20 heaviest by 10×-scaled wall from SCALING.json
+plus the round-6 watch items (q_sample_quality_decile 3.67×,
+q_pack_sequences / q_dedup_substring 2.58×). Replication reuses
+scaling_probe.build_scaled (key-shifted facts, fixed dims — referential
+integrity preserved).
+
+Usage:
+    python tools/scaling_probe_100x.py [--sf /root/testdata/sf0.1]
+        [-o SCALING_100X.json]   # ~30-45 min, run ALONE (timing-sensitive)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_probe import build_scaled, time_queries  # noqa: E402
+
+PROBE_QUERIES = [
+    # 20 heaviest by scaled_sec in SCALING.json (r6, k=10)
+    "q_dedup_substring",
+    "q_sample_bootstrap_se",
+    "q_market_basket",
+    "q_histogram_equidepth",
+    "q_sample_quality_decile",
+    "q_agg_median_exact",
+    "q_rfm_segmentation",
+    "q_anomaly_mad",
+    "q_agg_weighted_median",
+    "q_user_stickiness",
+    "q_growth_accounting",
+    "q_stat_spearman",
+    "q_agg_moments",
+    "q_lorenz_curve",
+    "q_grouped_regression",
+    "q_feature_woe",
+    "q_abc_classification",
+    "q_gini_concentration",
+    "q_join_inner_hash",
+    "q_corr_matrix",
+    # round-6 watch items not already above
+    "q_pack_sequences",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("-o", "--out", default=None)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("names", nargs="*", help="override the probe list")
+    args = ap.parse_args()
+
+    from etl4s_spark.queries import QUERIES, load_all
+    from etl4s_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("scaling_100x")
+    names = args.names or PROBE_QUERIES
+
+    dirs = {1: args.sf}
+    for k in (10, 100):
+        dst = f"/tmp/etl4s_scaling100_k{k}"
+        print(f"# building {k}x copy at {dst}", file=sys.stderr)
+        build_scaled(spark, args.sf, dst, k)
+        dirs[k] = dst
+
+    try:
+        times = {}
+        for k in (1, 10, 100):
+            print(f"# timing {len(names)} queries at {k}x", file=sys.stderr)
+            times[k] = time_queries(spark, QUERIES, names, dirs[k])
+    finally:
+        if not args.keep:
+            for k in (10, 100):
+                shutil.rmtree(dirs[k], ignore_errors=True)
+
+    rows = {}
+    for n in names:
+        t1, t10, t100 = times[1][n], times[10][n], times[100][n]
+        rows[n] = {
+            "t_1x_sec": t1,
+            "t_10x_sec": t10,
+            "t_100x_sec": t100,
+            "decade1_ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "decade2_ratio": round(t100 / t10, 2) if t10 > 0 else None,
+        }
+    d2 = sorted(v["decade2_ratio"] for v in rows.values() if v["decade2_ratio"])
+    doc = {
+        "sf_base": args.sf,
+        "scales": [1, 10, 100],
+        "note": "decadeN_ratio = wall growth per 10x data decade (best-of-2, "
+        "noop-write full plan); <=10 per decade is linear-or-better, "
+        ">10 on decade2 flags superlinear work the 10x probe missed",
+        "median_decade2": d2[len(d2) // 2],
+        "max_decade2": d2[-1],
+        "superlinear_decade2": sorted(
+            n for n, v in rows.items() if (v["decade2_ratio"] or 0) > 10
+        ),
+        "queries": rows,
+    }
+    text = json.dumps(doc, indent=1, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(
+            json.dumps(
+                {k: doc[k] for k in ("median_decade2", "max_decade2", "superlinear_decade2")}
+            )
+        )
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
