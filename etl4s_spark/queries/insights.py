@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.functions.exact import d38
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -643,17 +644,19 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = lagged.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        # daily sums are data-scale: products and corpus-wide sums run
+        # in the d38 lane (functions/exact.py, SCALING_100X class)
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
     )
     corr = F.round(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        (d38("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
         / (
-            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            F.sqrt((d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((d38("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
         ),
         6,
     )
@@ -1909,14 +1912,15 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = u.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("pre").alias("sx"),
-        F.sum("post").alias("sy"),
-        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
-        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        # per-user sums are data-scale: d38 lane (functions/exact.py)
+        F.sum(d38("pre")).alias("sx"),
+        F.sum(d38("post")).alias("sy"),
+        F.sum(d38("pre") * d38("post")).alias("sxy"),
+        F.sum(d38("pre") * d38("pre")).alias("sxx"),
     ).select(
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            (d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("theta"),
         (F.col("sx").cast("double") / F.col("n")).alias("mean_pre_all"),
     )
@@ -3222,7 +3226,7 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
         ).alias("sxx"),
     )
-    var = (F.col("n") * F.col("sxx") - F.col("sx").cast("decimal(24,0)") * F.col("sx").cast("decimal(24,0)")).cast(
+    var = (d38("n") * F.col("sxx") - d38("sx") * d38("sx")).cast(
         "double"
     ) / (F.col("n").cast("double") * (F.col("n") - 1))
     mde = (1.96 + 0.8416) * F.sqrt(2 * var / (F.col("n").cast("double") / 2))

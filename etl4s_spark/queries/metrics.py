@@ -19,16 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.functions.exact import d38
 from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.queries.analytics import _PAIRS_SQL, _neardup_pairs
 from etl4s_spark.sources.tables import load_table
 
 
-def _dsum(col, prec: int):
-    """Exact decimal sum, re-capped so downstream products stay in 38
-    digits (same helper shape as q_corr_matrix)."""
-    return F.sum(col.cast(f"decimal({prec},0)")).cast(f"decimal({prec},0)")
+def _dsum(col, prec: int = 38):
+    """Exact decimal(38,0) sum — the hugeint-equivalent lane
+    (functions/exact.py d38). The old per-site precision caps (16/24)
+    overflowed two decades up: per-row rank products alone exceed
+    decimal(24) once n passes ~2e9 (the SCALING_100X class). prec is
+    retained for call-site compatibility; every sum now runs at 38."""
+    return F.sum(d38(col))
 
 
 @query(
@@ -102,27 +106,27 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rank_map("t")), "t")
     )
     s = j.agg(
-        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
-        _dsum(F.col("r_q"), 16).alias("sx"),
-        _dsum(F.col("r_d"), 16).alias("sy"),
-        _dsum(F.col("r_t"), 16).alias("sz"),
-        _dsum(F.col("r_q") * F.col("r_d"), 24).alias("sxy"),
-        _dsum(F.col("r_q") * F.col("r_t"), 24).alias("sxz"),
-        _dsum(F.col("r_d") * F.col("r_t"), 24).alias("syz"),
-        _dsum(F.col("r_q") * F.col("r_q"), 24).alias("sxx"),
-        _dsum(F.col("r_d") * F.col("r_d"), 24).alias("syy"),
-        _dsum(F.col("r_t") * F.col("r_t"), 24).alias("szz"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("r_q")).alias("sx"),
+        _dsum(F.col("r_d")).alias("sy"),
+        _dsum(F.col("r_t")).alias("sz"),
+        _dsum(d38("r_q") * d38("r_d")).alias("sxy"),
+        _dsum(d38("r_q") * d38("r_t")).alias("sxz"),
+        _dsum(d38("r_d") * d38("r_t")).alias("syz"),
+        _dsum(d38("r_q") * d38("r_q")).alias("sxx"),
+        _dsum(d38("r_d") * d38("r_d")).alias("syy"),
+        _dsum(d38("r_t") * d38("r_t")).alias("szz"),
     )
 
     def rho(sab, sa, sb, saa, sbb):
         return F.round(
-            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
+            (d38("n") * F.col(sab) - F.col(sa) * F.col(sb))
             / (
                 F.sqrt(
-                    (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+                    (d38("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
                 )
                 * F.sqrt(
-                    (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+                    (d38("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
                 )
             ),
             6,
@@ -217,18 +221,20 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = lagged.groupBy("lag").agg(
         F.count(F.lit(1)).alias("nk"),
-        F.sum(F.col("xh") * F.col("xt")).alias("sxy"),
-        F.sum("xh").alias("sh"),
-        F.sum("xt").alias("st"),
+        # hourly sums are data-scale, so their per-row product needs the
+        # d38 lane (functions/exact.py — the SCALING_100X overflow class)
+        F.sum(d38("xh") * d38("xt")).alias("sxy"),
+        F.sum(d38("xh")).alias("sh"),
+        F.sum(d38("xt")).alias("st"),
     )
     num = (
-        F.col("n") * F.col("n") * F.col("sxy")
-        - F.col("n") * F.col("sx") * (F.col("sh") + F.col("st"))
-        + F.col("nk") * F.col("sx") * F.col("sx")
+        d38("n") * d38("n") * F.col("sxy")
+        - d38("n") * d38("sx") * (F.col("sh") + F.col("st"))
+        + d38("nk") * d38("sx") * d38("sx")
     ).cast("double")
     den = (
-        F.col("n") * F.col("n") * F.col("sxx")
-        - F.col("n") * F.col("sx") * F.col("sx")
+        d38("n") * d38("n") * F.col("sxx")
+        - d38("n") * d38("sx") * d38("sx")
     ).cast("double")
     return (
         m.join(F.broadcast(g))
@@ -385,12 +391,13 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.select("segment", "x", F.row_number().over(w).alias("i"))
     s = ranked.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum(d38("x")).alias("sx"),
+        # i runs to the segment row count: i*x is corpus-squared, d38
+        F.sum(d38("i") * d38("x")).alias("six"),
     )
     gini = F.round(
-        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
-        / (F.col("n") * F.col("sx")).cast("double"),
+        (2 * F.col("six") - (d38("n") + 1) * F.col("sx")).cast("double")
+        / (d38("n") * F.col("sx")).cast("double"),
         6,
     )
     return s.select(
@@ -462,14 +469,16 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = e.agg(
         F.count(F.lit(1)).alias("ne"),
-        F.sum(F.col("x") + F.col("y")).alias("sx"),
-        F.sum(2 * F.col("x") * F.col("y")).alias("sxy2"),
-        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("sxx"),
+        # degrees are data-scale (hub nodes): products and corpus-wide
+        # sums run in the d38 lane (functions/exact.py)
+        F.sum(d38(F.col("x") + F.col("y"))).alias("sx"),
+        F.sum(2 * d38("x") * d38("y")).alias("sxy2"),
+        F.sum(d38("x") * d38("x") + d38("y") * d38("y")).alias("sxx"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     assort = F.round(
-        (2 * F.col("ne") * F.col("sxy2") - F.col("sx") * F.col("sx")).cast("double")
-        / (2 * F.col("ne") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        (2 * d38("ne") * F.col("sxy2") - F.col("sx") * F.col("sx")).cast("double")
+        / (2 * d38("ne") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
         6,
     )
     return s.join(F.broadcast(n_nodes)).select(
@@ -582,14 +591,14 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ols = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("t") * d38("y")).alias("sxy"),
         F.sum(F.col("t") * F.col("t")).alias("sxx"),
     ).select(
         F.col("n").cast("long").alias("n_days"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            (d38("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("double")
+            / (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double"),
             6,
         ).alias("ols_slope"),
     )

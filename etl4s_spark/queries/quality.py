@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.functions.exact import d38
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -292,20 +293,23 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
 
-    def dsum(col, prec):
-        return F.sum(col.cast(f"decimal({prec},0)")).cast(f"decimal({prec},0)")
+    def dsum(col):
+        # d38 sum lane: per-row products fit int64, the corpus-wide sum
+        # and the n·Σ combination need the hugeint-equivalent headroom
+        # (functions/exact.py — the 100x probe's overflow class)
+        return F.sum(d38(col))
 
     m = f.agg(
-        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
-        dsum(F.col("x"), 16).alias("sx"),
-        dsum(F.col("y"), 16).alias("sy"),
-        dsum(F.col("x") * F.col("y"), 24).alias("sxy"),
-        dsum(F.col("x") * F.col("x"), 24).alias("sxx"),
-        dsum(F.col("y") * F.col("y"), 24).alias("syy"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
     )
-    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov_n = d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (d38("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     slope = cov_n / var_x
     return m.select(
         F.col("n").cast("long").alias("n"),
@@ -523,12 +527,12 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
         ).alias("syy"),
     )
-    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vary_n = (
-        F.col("n") * F.col("syy")
-        - F.col("sy").cast("decimal(24,0)") * F.col("sy").cast("decimal(24,0)")
-    ).cast("double")
+    # moment combination in d38 (decimal 38,0 = DuckDB hugeint headroom):
+    # n·Σxy reached 5.8e18 at 10x sf0.1 and OVERFLOWED int64 at 100x —
+    # the SCALING_100X probe's first find (functions/exact.py)
+    cov_n = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+    varx_n = (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double")
+    vary_n = (d38("n") * d38("syy") - d38("sy") * d38("sy")).cast("double")
     slope = F.when(varx_n == 0, F.lit(0.0)).otherwise(cov_n / varx_n)
     r2 = F.when((varx_n == 0) | (vary_n == 0), F.lit(0.0)).otherwise(
         cov_n * cov_n / (varx_n * vary_n)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.functions.exact import d38
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -1157,9 +1158,9 @@ def q_text_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
         F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+    slope = (d38("n") * d38("sxy") - d38("sx") * d38("sy")).cast(
         "double"
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / (d38("n") * d38("sxx") - d38("sx") * d38("sx")).cast("double")
     return s.select(
         F.col("n").cast("long").alias("n_points"),
         F.round(-slope, 6).alias("zipf_alpha"),
