@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.ranking import one_part
+
 
 def activity_streaks(
     df: DataFrame,
@@ -191,14 +193,20 @@ def exact_quartiles_cents(
     cnt = df.groupBy(F.col(group_col).alias("g"), F.col(cents_col).alias("p")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.partitionBy("g").orderBy("p")
+    # one_part("p") rides along in every partition spec: callers that
+    # pass a LITERAL group (F.lit(1).alias("g")) would otherwise have
+    # the g attribute constant-folded away by FoldablePropagation,
+    # decaying the window to 'No Partition Defined' — partitioning by
+    # (g, const-0) is semantically identical to (g) and non-foldable
+    # (operators/ranking.py one_part).
+    w = Window.partitionBy("g", one_part("p")).orderBy("p")
     hist = cnt.select(
         "g",
         "p",
         "c",
         (F.sum("c").over(w) - F.col("c")).alias("cum_start"),
         F.sum("c").over(w).alias("cum_end"),
-        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+        F.sum("c").over(Window.partitionBy("g", one_part("p"))).alias("n"),
     )
     quartile_cols = []
     for name, q4 in (("p25", 1), ("median", 2), ("p75", 3)):

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -1174,7 +1175,7 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
     )
-    wdom = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wdom = Window.partitionBy(one_part("p")).orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "p", "c", "c1", (F.sum("c").over(wdom) - F.col("c")).alias("cum_start")
     )
@@ -1318,13 +1319,13 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
     )
-    wdom = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wdom = Window.partitionBy(one_part("p")).orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         F.sum("c1").over(wdom).alias("f1"), F.sum("c2").over(wdom).alias("f2")
     )
     return (
-        cum.withColumn("n1", F.max("f1").over(Window.partitionBy()))
-        .withColumn("n2", F.max("f2").over(Window.partitionBy()))
+        cum.withColumn("n1", F.max("f1").over(Window.partitionBy(one_part("f1"))))
+        .withColumn("n2", F.max("f2").over(Window.partitionBy(one_part("f2"))))
         .groupBy("n1", "n2")
         .agg(
             F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
@@ -1386,7 +1387,7 @@ def q_stat_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o",
         F.sum("o").over(Window.partitionBy("event_type")).alias("row_n"),
         F.sum("o").over(Window.partitionBy("cohort")).alias("col_n"),
-        F.sum("o").over(Window.partitionBy()).alias("total"),
+        F.sum("o").over(Window.partitionBy(one_part("o"))).alias("total"),
     )
     e = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
     terms = margins.select(
@@ -1872,7 +1873,7 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = grid.join(counts, "day", "left").select(
         "day", F.coalesce("cx", F.lit(0)).alias("x")
     )
-    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w7 = Window.partitionBy(one_part("day")).orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
         "x",
@@ -1945,7 +1946,7 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
     )
     wr = Window.partitionBy("region")
-    wt = Window.partitionBy()
+    wt = Window.partitionBy(one_part("region"))
     return rev.select(
         "region",
         "nation",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl4s_spark.functions.exact import d38
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -1026,7 +1027,11 @@ def q_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     running = daily.select(
         "d",
         F.sum("net")
-        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .over(
+            W.partitionBy(one_part("d"))
+            .orderBy("d")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
         .alias("open_orders"),
     )
     return (
@@ -2008,7 +2013,7 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = grid.join(counts, "day", "left").select(
         "day", F.coalesce("cx", F.lit(0)).alias("x")
     )
-    w = Window.orderBy("day")
+    w = Window.partitionBy(one_part("day")).orderBy("day")
     lagged = daily.select(
         "x",
         F.lag("x", 1).over(w).alias("naive"),
@@ -2795,7 +2800,7 @@ def q_stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.coalesce("cy", F.lit(0)).alias("y")
     )
     idx = daily.select(
-        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+        (F.row_number().over(Window.partitionBy(one_part("day")).orderBy("day")) - 1).alias("t"), "y"
     ).localCheckpoint(eager=True)  # one row per day; reused by moments + residuals
     m = idx.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2821,7 +2826,7 @@ def q_stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,0)").alias("e_scaled"),
     )
     lagged = resid.select(
-        "e_scaled", F.lag("e_scaled").over(Window.orderBy("t")).alias("prev")
+        "e_scaled", F.lag("e_scaled").over(Window.partitionBy(one_part("t")).orderBy("t")).alias("prev")
     )
     return lagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
@@ -3156,7 +3161,7 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = ev.groupBy(F.date_trunc("DAY", "ts").cast("date").alias("day")).agg(
         F.count_distinct("user_id").alias("dau")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(one_part("day")).orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         dau.join(daily_new, "day", "left")
         .select(

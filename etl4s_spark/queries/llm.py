@@ -49,6 +49,7 @@ from etl4s_spark.operators.text import (
     word_count,
     words,
 )
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -3746,7 +3747,7 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum("y").alias("c1"),
     )
-    wdom = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wdom = Window.partitionBy(one_part("s")).orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "s", "c", "c1", (F.sum("c").over(wdom) - F.col("c")).alias("cum_start")
     )

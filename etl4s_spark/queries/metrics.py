@@ -95,7 +95,7 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_map(col: str) -> DataFrame:
         h = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy(col)
+        w = Window.partitionBy(one_part(col)).orderBy(col)
         return h.select(
             col, (2 * F.sum("c").over(w) - F.col("c") + 1).alias(f"r_{col}")
         )
@@ -561,7 +561,7 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and nothing stays cached in executor storage; n_pairs falls out of
     # the histogram's own total (tw) instead of a second slopes pass.
     idx = daily.select(
-        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+        (F.row_number().over(Window.partitionBy(one_part("day")).orderBy("day")) - 1).alias("t"), "y"
     ).localCheckpoint(eager=True)
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
@@ -574,8 +574,8 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_e6")
     )
     hist = slopes.groupBy("s_e6").agg(F.count(F.lit(1)).alias("cnt"))
-    wo = Window.orderBy("s_e6").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
+    wo = Window.partitionBy(one_part("s_e6")).orderBy("s_e6").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(one_part("s_e6"))
     cum = hist.select(
         "s_e6",
         F.sum("cnt").over(wo).alias("cw"),

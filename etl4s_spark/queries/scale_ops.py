@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.queries.analytics import _PAIRS_SQL, _neardup_pairs
 from etl4s_spark.sources.tables import load_table
@@ -209,7 +210,7 @@ def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set("user_id").alias("users"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = Window.orderBy(F.col("day").cast("long")).rangeBetween(-6 * 86400, 0)
+    w = Window.partitionBy(one_part("day")).orderBy(F.col("day").cast("long")).rangeBetween(-6 * 86400, 0)
     return (
         daily.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),

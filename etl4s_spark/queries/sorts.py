@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -108,9 +109,15 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = pts.groupBy("price_c").agg(F.max("sz").alias("max_sz"))
     wlt = (
-        Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+        Window.partitionBy(one_part("price_c"))
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    wle = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, 0)
+    wle = (
+        Window.partitionBy(one_part("price_c"))
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
     sky = (
         hist.select(
             "price_c",

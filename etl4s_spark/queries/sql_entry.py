@@ -316,9 +316,12 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist.createOrReplaceTempView(hv)
     idx = spark.sql(
         f"""
-        SELECT row_number() OVER (ORDER BY p)        AS rn,
+        -- pmod(hash(p),1) = the SQL form of ranking.one_part: a
+        -- non-foldable constant partition that declares the bounded
+        -- single partition explicitly (histogram rows, not fact rows)
+        SELECT row_number() OVER (PARTITION BY pmod(hash(p), 1) ORDER BY p) AS rn,
                p, c,
-               sum(c) OVER (ORDER BY p DESC)         AS n_ge
+               sum(c) OVER (PARTITION BY pmod(hash(p), 1) ORDER BY p DESC) AS n_ge
         FROM {hv}
         """
     ).coalesce(1).persist()
@@ -591,7 +594,7 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM grid g LEFT JOIN {ev} e ON date_trunc('WEEK', e.ts) = g.week
           GROUP BY g.week
         )
-        SELECT row_number() OVER (ORDER BY week) AS t, week, x FROM weekly
+        SELECT row_number() OVER (PARTITION BY pmod(hash(week), 1) ORDER BY week) AS t, week, x FROM weekly
     """).localCheckpoint(eager=True)
     import uuid
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl4s_spark.functions.exact import d38
+from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -157,7 +158,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     top = counts.orderBy(F.col("freq").desc(), "word").limit(25)
-    w = Window.orderBy(F.col("freq").desc(), "word")
+    w = Window.partitionBy(one_part("word")).orderBy(F.col("freq").desc(), "word")
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "word",
@@ -811,7 +812,7 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = firsts.groupBy(
         F.least(F.lit(9), F.expr(f"(first_doc * 10) div {nd}")).alias("decile")
     ).agg(F.count(F.lit(1)).alias("new_words"))
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(one_part("decile")).orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return bucketed.select(
         F.col("decile").cast("int").alias("corpus_decile"),
         F.col("new_words").cast("long").alias("new_words"),
@@ -1138,7 +1139,7 @@ def q_text_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             F.row_number()
-            .over(Window.orderBy(F.col("freq").desc(), "word"))
+            .over(Window.partitionBy(one_part("word")).orderBy(F.col("freq").desc(), "word"))
             .alias("rank"),
             "freq",
         )
