@@ -392,3 +392,36 @@ def test_unbounded_partitionless_window_gate(spark):
         "tools/plan_audit.py and fix the flagged queries (bless bounded "
         "frames with operators/ranking.py one_part)"
     )
+
+
+def test_literal_group_quartiles_window_stays_partitioned(spark, sf_dir):
+    """FoldablePropagation trap (round 7): callers pass exact_quartiles_
+    cents a LITERAL group (F.lit(1).alias('g')); Catalyst folds the
+    attribute out of the partition spec, silently decaying the window to
+    'No Partition Defined'. The operator rides one_part alongside g so
+    the spec survives — this pins the plan shape."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_audit import count_unbounded_partitionless_windows as gate
+
+    from pyspark.sql import functions as F
+
+    from etl4s_spark.operators.analytics import exact_quartiles_cents
+    from etl4s_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    df = exact_quartiles_cents(
+        li.select(
+            F.lit(1).alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        ),
+        "g",
+        "p",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert gate(plan) == 0, plan
+    # and the result is still the single-group quartile row
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n"] == 500
