@@ -898,8 +898,11 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cab").cast("long").alias("n_pair"),
             F.round(
                 F.log(
-                    (F.col("cab") * F.col("n") * F.col("n")).cast("double")
-                    / (F.col("m") * F.col("c_a") * F.col("c_b")).cast("double")
+                    # d38 lane: cab*N^2 reaches 1e18+ once the corpus
+                    # passes ~1e9 tokens (the SCALING_100X overflow
+                    # class; DuckDB's sums are already hugeint)
+                    (d38("cab") * d38("n") * d38("n")).cast("double")
+                    / (d38("m") * d38("c_a") * d38("c_b")).cast("double")
                 ),
                 6,
             ).alias("pmi"),
@@ -1290,7 +1293,8 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_sources")
     )
     simpson = cells.groupBy("lang").agg(
-        F.sum(F.col("c") * (F.col("c") - 1)).alias("num")
+        # d38 lane: c*(c-1) is corpus-squared per cell (functions/exact.py)
+        F.sum(d38("c") * (d38("c") - 1)).alias("num")
     )
     sh_term = (
         -(F.col("c").cast("double") / F.col("n"))
