@@ -120,6 +120,16 @@ def minhash_lsh_candidates(
     and then by the pair. Hot buckets (boilerplate docs) are the skew
     risk — max_bucket_size drops them, bounding per-task memory (dropping
     mega-buckets ≈ dropping boilerplate, usually desired).
+
+    OUTPUT CARDINALITY is the one inherently quadratic term: a dup group
+    of g members yields g(g-1)/2 candidate pairs, so corpora with large
+    duplicate groups produce pair sets (and wall time) that grow with
+    Σg² — the SCALING_100X probe measured exactly that on a k×-replicated
+    corpus (256 → 250,600 true pairs at 10×; output-bound, not a plan
+    defect). When the goal is dedup GROUPS rather than the pair list,
+    skip pair materialization pressure downstream by feeding pairs to
+    connected_components_contracted (one pass collapses cliques) and
+    keep max_bucket_size as the hard bound on per-bucket pair fan-out.
     """
     rows_per_band = num_perm // bands
     # Materialize words → shingles as real columns so each stage's
