@@ -108,12 +108,13 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int = 1000,
+    max_pairs_per_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH.
 
     rows × bands get exploded to (band_idx, band_hash) keys; docs sharing
-    a band key are candidates. Returns (id_a, id_b, n_shared_bands) with
-    id_a < id_b.
+    a band key are candidates. Returns (id_a, id_b, n_shared_bands,
+    truncated) with id_a < id_b.
 
     Scale: the explode is a bands-× row multiplier (16 here) but each row
     is (key, id) only; the shuffles partition by (band_idx, band_hash)
@@ -123,13 +124,28 @@ def minhash_lsh_candidates(
 
     OUTPUT CARDINALITY is the one inherently quadratic term: a dup group
     of g members yields g(g-1)/2 candidate pairs, so corpora with large
-    duplicate groups produce pair sets (and wall time) that grow with
-    Σg² — the SCALING_100X probe measured exactly that on a k×-replicated
-    corpus (256 → 250,600 true pairs at 10×; output-bound, not a plan
-    defect). When the goal is dedup GROUPS rather than the pair list,
-    skip pair materialization pressure downstream by feeding pairs to
-    connected_components_contracted (one pass collapses cliques) and
-    keep max_bucket_size as the hard bound on per-bucket pair fan-out.
+    duplicate groups produce pair sets that grow with Σg² — the
+    SCALING_100X probe measured exactly that on a k×-replicated corpus
+    (256 → 250,600 true pairs at 10×). ``max_pairs_per_bucket`` is the
+    production guardrail (VERDICT r7 item 2): any bucket whose full
+    combination count g(g−1)/2 exceeds it emits only its STAR pairs —
+    docs[0] (the bucket's minimum id) paired with every other member,
+    g−1 rows. The star keeps every bucket member connected through its
+    hub, so CONNECTED COMPONENTS over the capped pair set are IDENTICAL
+    to components over the uncapped set (a clique and its spanning star
+    have the same component) — group-collapse consumers
+    (connected_components* / dedup_by_components) lose nothing, while
+    output per bucket drops from quadratic to linear. The ``truncated``
+    audit column carries, per emitted pair, the total number of pairs
+    its contributing buckets dropped (0 when nothing was capped), so a
+    consumer can detect truncation mechanically rather than by reading
+    a docstring. Pass ``max_pairs_per_bucket=None`` to opt back into
+    exhaustive pair emission (``truncated`` is then constant 0).
+
+    n_shared_bands counts the buckets in which the pair was EMITTED; for
+    pairs inside a star-collapsed bucket that do not involve the hub,
+    that bucket does not contribute (they may still be emitted by other,
+    uncapped buckets).
     """
     rows_per_band = num_perm // bands
     # Materialize words → shingles as real columns so each stage's
@@ -185,31 +201,50 @@ def minhash_lsh_candidates(
     # shared bands per pair. Buckets larger than max_bucket_size are
     # dropped — they are boilerplate mega-clusters whose quadratic pair
     # blow-up is never wanted, and the cap bounds per-task memory at any
-    # scale.
+    # scale. Buckets whose combination count exceeds max_pairs_per_bucket
+    # star-collapse: hub = docs[0] (minimum id), pairs = hub × rest —
+    # component-identical, linear output (see docstring).
     docs_arr = F.col("docs")
+    all_combos = F.flatten(
+        F.transform(
+            docs_arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    docs_arr,
+                    i + 2,
+                    F.greatest(F.size(docs_arr) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    n = F.size(docs_arr).cast("long")
+    full_pairs = n * (n - F.lit(1)) / F.lit(2)  # double, but exact ≤ 2^52
+    if max_pairs_per_bucket is not None:
+        star = F.transform(
+            F.slice(docs_arr, 2, F.greatest(F.size(docs_arr) - 1, F.lit(0))),
+            lambda y: F.struct(
+                F.element_at(docs_arr, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        overflow = full_pairs > F.lit(float(max_pairs_per_bucket))
+        combos = F.when(overflow, star).otherwise(all_combos)
+        dropped = F.when(
+            overflow, (full_pairs - (n - F.lit(1))).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        combos = all_combos
+        dropped = F.lit(0).cast("long")
     pairs = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        docs_arr,
-                        lambda x, i: F.transform(
-                            F.slice(
-                                docs_arr,
-                                i + 2,
-                                F.greatest(F.size(docs_arr) - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        .select(F.explode(combos).alias("p"), dropped.alias("__dropped"))
         .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.sum("__dropped").alias("truncated"),
+        )
     )
     return pairs
 
@@ -222,6 +257,7 @@ def dedup_funnel(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_pairs_per_bucket: int | None = 10_000,
 ) -> DataFrame:
     """The full near-dup funnel composed end-to-end: MinHash-LSH proposes
     candidate pairs (sub-quadratic), exact n-gram Jaccard verifies them,
@@ -230,9 +266,19 @@ def dedup_funnel(
     Scale shape: the quadratic verifier runs ONLY on the candidate set —
     the semi-join below shrinks the shingle join to candidate docs before
     any pairwise work. This is the standard corpus-dedup architecture
-    (propose cheaply, verify exactly)."""
+    (propose cheaply, verify exactly). The candidate stage inherits the
+    minhash_lsh_candidates pair cap: mega-buckets star-collapse, so the
+    verifier's input — and therefore the funnel's output — stays linear
+    in duplicate-group size while component-based dedup downstream is
+    unchanged (the star keeps every group connected)."""
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_pairs_per_bucket=max_pairs_per_bucket,
     ).select("id_a", "id_b")
     # Verify per candidate pair: attach each side's distinct-shingle SET
     # via plain equi-joins, then exact Jaccard via array_intersect.

@@ -62,6 +62,73 @@ def test_minhash_deterministic_across_runs(docs):
     assert a == b
 
 
+def test_minhash_cap_noop_below_threshold(docs):
+    # small corpus: the default cap must be invisible — identical rows
+    # (incl. n_shared_bands) vs the uncapped opt-out, truncated all 0
+    capped = sorted(
+        map(tuple, minhash_lsh_candidates(docs, "doc_id", "text").collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            minhash_lsh_candidates(
+                docs, "doc_id", "text", max_pairs_per_bucket=None
+            ).collect(),
+        )
+    )
+    assert capped == uncapped
+    assert all(t[-1] == 0 for t in capped)  # truncated audit column
+
+
+def test_minhash_pair_cap_bounds_mega_cluster(spark):
+    """VERDICT r7 item 2: a planted boilerplate mega-cluster (200
+    identical docs) must emit a LINEAR pair set under the cap — the
+    star of the hub doc — with a non-zero truncated audit, while
+    connected components over the capped pairs equal components over
+    the exhaustive pairs (clique and spanning star share components)."""
+    from etl4s_spark.operators.dedup import connected_components_contracted
+
+    g = 200
+    rows = [(i, BASE) for i in range(g)] + [
+        (1000, "completely different content about spark query engines"),
+        (1001, "yet another unrelated document mentioning benchmarks today"),
+    ]
+    mega = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = minhash_lsh_candidates(
+        mega, "doc_id", "text", max_pairs_per_bucket=100
+    ).collect()
+    # star of the min-id hub: g-1 pairs instead of g(g-1)/2 = 19,900
+    assert len(capped) == g - 1
+    assert all(r.id_a == 0 for r in capped)
+    assert all(r.truncated > 0 for r in capped)
+
+    uncapped = minhash_lsh_candidates(
+        mega, "doc_id", "text", max_pairs_per_bucket=None
+    )
+    assert uncapped.count() == g * (g - 1) // 2
+
+    # component equivalence: group-collapse consumers lose nothing
+    cap_df = minhash_lsh_candidates(
+        mega, "doc_id", "text", max_pairs_per_bucket=100
+    ).select("id_a", "id_b")
+    comp_capped = {
+        (r.id, r.component)
+        for r in connected_components_contracted(cap_df).collect()
+    }
+    comp_full = {
+        (r.id, r.component)
+        for r in connected_components_contracted(
+            uncapped.select("id_a", "id_b")
+        ).collect()
+    }
+    assert comp_capped == comp_full
+    # the default cap (10k) also guards this cluster (19,900 > 10,000)
+    assert (
+        minhash_lsh_candidates(mega, "doc_id", "text").count() == g - 1
+    )
+
+
 def test_simhash_hamming_orders_by_similarity(spark, docs):
     h = docs.select("doc_id", simhash(F.col("text")).alias("sh"))
     vals = {r.doc_id: r.sh for r in h.collect()}
