@@ -56,20 +56,29 @@ from pyspark.sql.window import Window
 
 __all__ = ["log_bucket", "global_index", "global_cumsum", "exact_ntile", "one_part"]
 
-# Sentinel every NULL bucket is coalesced to before the partitioned
-# window / offset join. Rows whose caller-supplied bucket expression
-# evaluates to NULL (e.g. `n_chars div 256` on a NULL column) must NOT
-# be dropped by the inner equi-join back onto the offset frame — the
+# NULL-bucket handling (ADVICE r7): rows whose caller-supplied bucket
+# expression evaluates to NULL (e.g. `n_chars div 256` on a NULL column)
+# must NOT be dropped by the join back onto the offset frame — the
 # single-window formulation this module replaces kept them, ordered
-# NULLS FIRST under asc and NULLS LAST under desc. Int-min sorts first
-# ascending and last descending, so one sentinel reproduces both
-# placements exactly (callers' real buckets are small non-negative
-# ints — log_bucket yields 0..504 — so no collision).
-_NULL_BUCKET = -2147483648
+# NULLS FIRST under asc and NULLS LAST under desc. Earlier rounds
+# coalesced NULL to an int-min sentinel, which silently merged with any
+# caller bucket that legitimately evaluates to int-min (negative-domain
+# bucketing, overflowed casts). Now NULL stays NULL end-to-end: window
+# partitionBy treats NULL as its own group, Spark's default NULL
+# ordering (asc = NULLS FIRST, desc = NULLS LAST) reproduces both
+# placements exactly, and the offset join is null-safe (eqNullSafe) —
+# no sentinel, no collision domain restriction on caller buckets.
 
 
-def _safe_bucket(bucket: Column) -> Column:
-    return F.coalesce(bucket, F.lit(_NULL_BUCKET))
+def _join_offsets(ranked: DataFrame, off: DataFrame, b: str) -> DataFrame:
+    """Broadcast the bounded offset frame back onto the shuffled data
+    with a NULL-SAFE equi-join on the bucket (still a hash join key —
+    EqualNullSafe is broadcast-hash-joinable), so NULL-bucket rows keep
+    their offsets instead of vanishing through inner-join NULL rules."""
+    off = off.withColumnRenamed(b, "__ob")
+    return ranked.join(
+        F.broadcast(off), F.col(b).eqNullSafe(F.col("__ob"))
+    ).drop("__ob")
 
 
 def log_bucket(value: Column, eighths: int = 8) -> Column:
@@ -134,12 +143,12 @@ def global_index(
     shuffle (module docstring). ``bucket`` must be monotone in ``value``
     in the same direction. If ``total_name`` is given, the global row
     count is attached too (it rides the same broadcast frame). NULL
-    buckets are coalesced to ``_NULL_BUCKET`` so those rows keep the
-    nulls-first (asc) / nulls-last (desc) global position the replaced
-    single-window formulation gave them instead of being dropped by the
-    offset join."""
+    buckets stay NULL — the null-safe offset join and Spark's default
+    NULL ordering keep those rows at the nulls-first (asc) / nulls-last
+    (desc) global position the replaced single-window formulation gave
+    them instead of dropping them."""
     b, v = f"__bkt_{idx_name}", f"__val_{idx_name}"
-    work = df.withColumn(v, value).withColumn(b, _safe_bucket(bucket))
+    work = df.withColumn(v, value).withColumn(b, bucket)
     order = [F.col(v).asc() if ascending else F.col(v).desc()] + [
         F.col(t) if isinstance(t, str) else t for t in tie_cols
     ]
@@ -159,9 +168,8 @@ def global_index(
     # data-scale rows to executor disk.
     tiny = ranked.groupBy(b).agg(F.max("__rn").alias("__c"))
     off = _offsets(tiny, b, "__c", ascending)
-    out = (
-        ranked.join(F.broadcast(off), b)
-        .withColumn(idx_name, (F.col("__rn") + F.col("__off")).cast("long"))
+    out = _join_offsets(ranked, off, b).withColumn(
+        idx_name, (F.col("__rn") + F.col("__off")).cast("long")
     )
     if total_name is not None:
         out = out.withColumn(total_name, F.col("__tot").cast("long"))
@@ -182,9 +190,10 @@ def global_cumsum(
     shuffle decomposition: within-bucket running sum from the bucket-
     partitioned window, cross-bucket offsets from the bounded bucket
     frame (aggregated off the same shuffled exchange), one broadcast
-    join. NULL buckets coalesce to ``_NULL_BUCKET`` (see global_index)."""
+    join. NULL buckets stay NULL through the null-safe offset join
+    (see global_index)."""
     b, v = f"__bkt_{cum_name}", f"__val_{cum_name}"
-    work = df.withColumn(v, value).withColumn(b, _safe_bucket(bucket))
+    work = df.withColumn(v, value).withColumn(b, bucket)
     order = [F.col(v).asc() if ascending else F.col(v).desc()] + [
         F.col(t) if isinstance(t, str) else t for t in tie_cols
     ]
@@ -193,7 +202,7 @@ def global_cumsum(
     tiny = summed.groupBy(b).agg(F.sum(sum_col).alias("__s"))
     off = _offsets(tiny, b, "__s", ascending)
     return (
-        summed.join(F.broadcast(off), b)
+        _join_offsets(summed, off, b)
         .withColumn(cum_name, F.col("__cs") + F.col("__off"))
         .drop(b, v, "__cs", "__off", "__tot")
     )

@@ -146,6 +146,28 @@ def test_global_cumsum_keeps_null_bucket_rows(spark):
     }
 
 
+def test_global_index_intmin_bucket_distinct_from_null(spark):
+    """ADVICE r7: a caller bucket that legitimately evaluates to int-min
+    (negative-domain bucketing) must NOT merge with NULL-value rows —
+    the old int-min sentinel silently did; the null-safe join keeps the
+    two populations distinct and both correctly placed."""
+    INTMIN = -2147483648
+    # v None → NULL bucket; v negative → int-min bucket; v >= 0 → v div 3
+    rows = [(0, None), (1, None), (2, -5), (3, -1), (4, 0), (5, 4), (6, 9)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    bucket = F.when(F.col("v") < 0, F.lit(INTMIN)).otherwise(
+        (F.col("v") / F.lit(3)).cast("int")
+    )
+    for asc in (True, False):
+        got = global_index(df, F.col("v"), bucket, ["k"], ascending=asc)
+        assert got.count() == 7
+        order = [F.col("v").asc() if asc else F.col("v").desc(), F.col("k")]
+        want = df.withColumn("idx", F.row_number().over(Window.orderBy(*order)))
+        assert {r.k: r.idx for r in got.collect()} == {
+            r.k: r.idx for r in want.collect()
+        }, f"asc={asc}"
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     """The whole point: the physical plan must contain no WindowExec
     without partition keys (single-partition global sort)."""

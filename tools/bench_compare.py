@@ -18,7 +18,7 @@ Two gate rules encoded here (VERDICT r6 item 7 + ADVICE r6):
   count()-based, r<=5, partially pruned by Catalyst). Comparing across
   versions is meaningless — the tool REFUSES unless --allow-mixed.
 
-- SUB-SECOND NOISE RULE: a 2x-gate breach whose BOTH medians are below
+- SUB-SECOND NOISE RULE: a 2x-gate breach where EITHER median is below
   ``--noise-floor`` seconds (default 0.5) is NOT a confirmed regression
   — the warm-JVM run spread on this box is +-0.3-0.9 s, which alone
   produces 1.5-2x ratios on sub-second queries (r6 false alarms:
@@ -26,10 +26,22 @@ Two gate rules encoded here (VERDICT r6 item 7 + ADVICE r6):
   breaches are bucketed separately as ``needs_idle_remeasure`` and only
   count as regressions after an idle re-measure (re-run bench.py for
   just those queries on a quiet box) reproduces the ratio.
+  VERDICT r7 closed a coverage hole in the original BOTH-medians form:
+  contention can inflate a sub-second baseline median PAST the floor
+  (q_text_quality 0.30->1.71 s at loadavg 6.3; idle re-measure 0.33 s),
+  escaping the bucket exactly when it matters.
+
+- LOADAVG CONTENTION RULE (VERDICT r7 item 3): when either file records
+  ``loadavg_1min_at_run_start`` above ``--loadavg-threshold`` (default
+  2.0), ALL 2x breaches route to ``needs_idle_remeasure`` regardless of
+  median size — a loaded box cannot confirm a regression at any
+  magnitude (the r7 bench ran at loadavg 5.9-6.7 and produced three
+  false alarms, all idle-re-measured back to baseline).
 
 Usage:
     python tools/bench_compare.py OLD_DETAIL.json NEW_DETAIL.json \
-        [--outlier 2.0] [--noise-floor 0.5] [--allow-mixed]
+        [--outlier 2.0] [--noise-floor 0.5] [--loadavg-threshold 2.0] \
+        [--allow-mixed]
 """
 
 from __future__ import annotations
@@ -64,6 +76,13 @@ def main() -> None:
         default=0.5,
         help="both-medians-below-this 2x breaches are flagged for idle "
         "re-measure instead of counted as regressions",
+    )
+    ap.add_argument(
+        "--loadavg-threshold",
+        type=float,
+        default=2.0,
+        help="if either file's loadavg_1min_at_run_start exceeds this, "
+        "ALL 2x breaches route to idle re-measure (contended run)",
     )
     ap.add_argument(
         "--allow-mixed",
@@ -116,16 +135,57 @@ def main() -> None:
         for k in common
         if new[k] > 0.05 and old[k] / new[k] > args.outlier
     )
-    # sub-second noise rule: a breach where BOTH medians sit under the
-    # noise floor cannot be distinguished from run spread — route it to
-    # the idle-remeasure bucket, not the regression list
-    confirmed = [x for x in slower if not (x[2] < args.noise_floor and x[3] < args.noise_floor)]
-    remeasure = [x for x in slower if x[2] < args.noise_floor and x[3] < args.noise_floor]
+    # sub-second noise rule: a breach where EITHER median sits under the
+    # noise floor cannot be distinguished from run spread (contention can
+    # push the inflated side PAST the floor — VERDICT r7). Loadavg rule:
+    # a breach whose query ran at loadavg above the threshold (in either
+    # file; per-query lists, max over runs) routes to idle re-measure at
+    # ANY magnitude — a loaded box cannot confirm a regression.
+    def per_query_load(d: dict) -> dict[str, float]:
+        la = d.get("loadavg_1min_at_run_start")
+        if isinstance(la, (int, float)):  # file-level scalar (older files)
+            return {"__file__": float(la)}
+        if isinstance(la, dict):
+            return {
+                k: max(v) if isinstance(v, list) and v else float(v)
+                for k, v in la.items()
+                if isinstance(v, (int, float, list)) and v
+            }
+        return {}
+
+    lold, lnew = per_query_load(dold), per_query_load(dnew)
+    file_old = lold.get("__file__", max(lold.values(), default=None))
+    file_new = lnew.get("__file__", max(lnew.values(), default=None))
+    out["loadavg_max_old"] = round(file_old, 2) if file_old is not None else None
+    out["loadavg_max_new"] = round(file_new, 2) if file_new is not None else None
+
+    def query_load(k: str) -> float:
+        return max(
+            lold.get(k, lold.get("__file__", 0.0)),
+            lnew.get(k, lnew.get("__file__", 0.0)),
+        )
+
+    def needs_remeasure(x):
+        return (
+            x[2] < args.noise_floor
+            or x[3] < args.noise_floor
+            or query_load(x[1]) > args.loadavg_threshold
+        )
+
+    confirmed = [x for x in slower if not needs_remeasure(x)]
+    remeasure = [x for x in slower if needs_remeasure(x)]
     out["slower_than_%sx" % args.outlier] = [
         {"query": k, "old": o, "new": n, "x": r} for r, k, o, n in confirmed
     ]
-    out["needs_idle_remeasure_subsecond"] = [
-        {"query": k, "old": o, "new": n, "x": r} for r, k, o, n in remeasure
+    out["needs_idle_remeasure"] = [
+        {
+            "query": k,
+            "old": o,
+            "new": n,
+            "x": r,
+            "loadavg": round(query_load(k), 2),
+        }
+        for r, k, o, n in remeasure
     ]
     out["faster_than_%sx" % args.outlier] = [
         {"query": k, "old": o, "new": n, "x": r} for r, k, o, n in faster[::-1]

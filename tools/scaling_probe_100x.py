@@ -113,8 +113,10 @@ def main() -> None:
         "note": "decadeN_ratio = wall growth per 10x data decade (best-of-2, "
         "noop-write full plan); <=10 per decade is linear-or-better, "
         ">10 on decade2 flags superlinear work the 10x probe missed",
-        "median_decade2": d2[len(d2) // 2],
-        "max_decade2": d2[-1],
+        # guard: every query sub-resolution at 10x leaves d2 empty — the
+        # per-query rows must still be written (ADVICE r7)
+        "median_decade2": d2[len(d2) // 2] if d2 else None,
+        "max_decade2": d2[-1] if d2 else None,
         "superlinear_decade2": sorted(
             n for n, v in rows.items() if (v["decade2_ratio"] or 0) > 10
         ),
