@@ -1120,6 +1120,84 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted peel-cascade graph for q_graph_kcore_checkable (VERDICT r7
+# item 4). Designed so simultaneous-removal peeling needs FOUR genuine
+# rounds to reach the fixpoint — each round's removal is enabled only by
+# the previous round's:
+#   round 1: path 30-31-32, doomed-triangle wings 41/42, edge 50-51
+#   round 2: 40 (lost 41,42; keeps only 4,60)
+#   round 3: 60 (lost 40; keeps only 4,61)
+#   round 4: 61 (lost 60; keeps only 1,2)
+# Surviving 3-core: the 5-clique {1..5} plus satellite triangle
+# {20,21,22} stapled to it by one edge per node (each satellite node has
+# exactly 3 in-core neighbors). Closed-form core degrees:
+# 1,2,3 → 5; 4,5 → 4; 20,21,22 → 3.
+_KCORE_PLANTED_EDGES = [
+    # 5-clique
+    (1, 2), (1, 3), (1, 4), (1, 5), (2, 3),
+    (2, 4), (2, 5), (3, 4), (3, 5), (4, 5),
+    # satellite triangle, one staple each to 1/2/3
+    (20, 21), (20, 22), (21, 22), (1, 20), (2, 21), (3, 22),
+    # round-1 chaff: path, doomed triangle, isolated edge
+    (1, 30), (30, 31), (31, 32),
+    (40, 41), (40, 42), (41, 42), (4, 40),
+    (50, 51),
+    # rounds 2-4 cascade: 40 → 60 → 61
+    (4, 60), (40, 60), (1, 61), (2, 61), (60, 61),
+]
+
+_KCORE_VALUES = ", ".join(f"({a}, {b})" for a, b in _KCORE_PLANTED_EDGES)
+
+
+def _kcore_peel_round(n: int) -> str:
+    """One unrolled peel round as SQL CTEs: degree over the surviving
+    edge set, keep nodes with degree >= 3, restrict edges to kept."""
+    return (
+        f"d{n} AS (SELECT id, count(*) AS d FROM "
+        f"(SELECT a AS id FROM e{n - 1} UNION ALL SELECT b AS id FROM e{n - 1}) "
+        f"GROUP BY id), "
+        f"k{n} AS (SELECT id FROM d{n} WHERE d >= 3), "
+        f"e{n} AS (SELECT a, b FROM e{n - 1} "
+        f"WHERE a IN (SELECT id FROM k{n}) AND b IN (SELECT id FROM k{n}))"
+    )
+
+
+@query(
+    "q_graph_kcore_checkable",
+    oracle=f"""
+    WITH e0(a, b) AS (VALUES {_KCORE_VALUES}),
+    {_kcore_peel_round(1)},
+    {_kcore_peel_round(2)},
+    {_kcore_peel_round(3)},
+    {_kcore_peel_round(4)},
+    d5 AS (SELECT id, count(*) AS d FROM
+           (SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4)
+           GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS id, CAST(d AS BIGINT) AS core_degree
+    FROM d5 WHERE d >= 3
+    ORDER BY id
+    """,
+)
+def q_graph_kcore_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core peeling ALGORITHM inside the oracle gate (the pattern
+    the multimodal checkable twins proved out in r7): the real iterative
+    k_core operator (operators/graph.py — the same code q_graph_kcore
+    runs on the organic near-dup graph) peels a planted literal graph
+    whose fixpoint needs four genuine cascade rounds, while the DuckDB
+    oracle runs the SAME peel as four unrolled degree/filter rounds plus
+    a fifth degree pass whose WHERE d >= 3 is the in-band fixpoint proof
+    (it removes nothing iff round 4 converged). Any drift in the peeling
+    operator — degree counting, semi-join restriction, convergence test,
+    core-degree reporting — hash-mismatches. Twins q_graph_kcore, which
+    stays rows-only (its organic input is xxhash64/LSH-derived)."""
+    from etl4s_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        _KCORE_PLANTED_EDGES, "id_a bigint, id_b bigint"
+    )
+    return k_core(edges, k=3).orderBy("id")
+
+
 @query(
     "q_stat_mannwhitney",
     oracle="""
