@@ -168,6 +168,37 @@ def test_global_index_intmin_bucket_distinct_from_null(spark):
         }, f"asc={asc}"
 
 
+def test_global_index_low_dispersion_degenerate_domain(spark):
+    """The documented PARTITION-SIZE caveat (ranking.py module
+    docstring): a degenerate low-dispersion domain — here per-key counts
+    where almost every key has c=1 — collapses most rows into ONE bucket.
+    Documented behavior: correctness is unaffected AND the plan never
+    silently decays to an unpartitioned window (the skew is data-level;
+    the bucket partition stays declared). VERDICT r7 item 7."""
+    # 400 keys with count 1, 3 keys with bigger counts — the classic
+    # per-key-count ranking shape where log_bucket(1) == 0 for 99% of rows
+    rows = [(i, 1) for i in range(400)] + [(1000, 7), (1001, 19), (1002, 3)]
+    df = spark.createDataFrame(rows, "k long, c long")
+    got = global_index(
+        df, F.col("c"), log_bucket(F.col("c")), ["k"], total_name="n"
+    )
+    want = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy(F.col("c").asc(), "k"))
+    )
+    assert {r.k: r.idx for r in got.collect()} == {
+        r.k: r.idx for r in want.collect()
+    }
+    # no silent single-task regression: every Window in the executed plan
+    # still declares a partition spec (the degenerate shape is data skew,
+    # not plan decay — the documented caveat tells callers to sub-bucket
+    # if this shape is expected at scale). Same empty-partition-spec
+    # detector as test_no_unpartitioned_window_in_plan.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line.lower():
+            assert ", [], " not in line.replace("windowspecdefinition", ""), line
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     """The whole point: the physical plan must contain no WindowExec
     without partition keys (single-partition global sort)."""
