@@ -1,0 +1,153 @@
+"""Two-decade scale probe for the ITERATIVE GRAPH OPERATORS themselves
+(VERDICT r7 item 5's "iterative graph family"), decoupled from the
+declared graph queries — those are id-capped by construction
+(queries/analytics.py _neardup_pairs filters vec_id < 500, so the
+table-replication probe in scaling_probe_100x.py would time constant
+work and prove nothing).
+
+Instead this probe feeds the operators deterministic synthetic edge
+lists at 1x / 10x / 100x edge counts, built DISTRIBUTED (spark.range +
+multiplicative hashing — no driver-side materialization, no rand(), so
+re-runs time the identical graph) with constant average degree, i.e.
+node count grows with edge count exactly like a growing corpus'
+near-dup graph does.
+
+Operators probed (operators/graph.py + operators/dedup.py):
+  cc_contracted  — min-neighbor contraction components (the dense-graph
+                   default the dedup funnel routes group consumers to)
+  k_core         — iterative peeling at k=3
+  pagerank       — 3 integer-arithmetic iterations over the symmetrized
+                   distinct edge list (materialized once, as the
+                   operator docstring prescribes)
+  bfs_hops       — multi-source frontier BFS, 4 seeds, 6-hop budget
+
+Reading the output: decadeN_ratio = wall(10^N x) / wall(10^(N-1) x);
+<= 10 per decade is linear-or-better. Iterative operators have a
+log-ish round count on top (components' contraction depth), so a
+decade ratio slightly above 10 on decade 2 means "rounds grew", not
+"a quadratic appeared"; >> 10 flags real superlinear work.
+
+Usage:
+    python tools/graph_scaling_probe.py [-o GRAPH_SCALING.json]
+        [--base-edges 30000]   # ~10-20 min, run ALONE (timing-sensitive)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synthetic_edges(spark, n_edges: int):
+    """Deterministic pseudo-random multigraph: n_nodes = n_edges / 8
+    (constant average degree 16 after symmetrization), endpoints from
+    Knuth multiplicative hashes of the edge index. Self-loops land on a
+    few indices — both consumers (components, k_core) define behavior
+    for them, so they stay in. Returns (id_a, id_b) bigint."""
+    n_nodes = max(n_edges // 8, 16)
+    return (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") * 2654435761 % n_nodes).cast("long").alias("id_a"),
+            (F.col("id") * 2246822519 % n_nodes + 1).cast("long").alias("id_b"),
+        )
+        # spread across tasks the way a real shuffled pair list arrives
+        .repartition(32)
+    )
+
+
+def _time(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-edges", type=int, default=30_000)
+    ap.add_argument("-o", "--out", default=None)
+    args = ap.parse_args()
+
+    from etl4s_spark.operators.dedup import connected_components_contracted
+    from etl4s_spark.operators.graph import (
+        bfs_hops,
+        k_core,
+        pagerank_edges,
+        symmetrize,
+    )
+    from etl4s_spark.session import get_spark
+
+    spark = get_spark("graph_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[str, float]] = {}
+    scales = [1, 10, 100]
+    for k in scales:
+        n_edges = args.base_edges * k
+        print(f"# scale {k}x: {n_edges} edges", file=sys.stderr)
+        edges = synthetic_edges(spark, n_edges).localCheckpoint(eager=True)
+
+        def run_cc():
+            connected_components_contracted(edges).agg(
+                F.count_distinct("component")
+            ).collect()
+
+        def run_kcore():
+            k_core(edges, k=3).agg(F.count(F.lit(1))).collect()
+
+        def run_pagerank():
+            sym = symmetrize(edges).distinct().localCheckpoint(eager=True)
+            pagerank_edges(sym, iterations=3).agg(F.sum("rank_e6")).collect()
+
+        def run_bfs():
+            seeds = spark.createDataFrame([(1,), (2,), (3,), (5,)], "id long")
+            bfs_hops(edges, seeds, max_hops=6).agg(F.max("hops")).collect()
+
+        for name, fn in (
+            ("cc_contracted", run_cc),
+            ("k_core", run_kcore),
+            ("pagerank", run_pagerank),
+            ("bfs_hops", run_bfs),
+        ):
+            # warm once at 1x so plan-compile/Arrow-fork constants don't
+            # pollute the smallest scale's denominator
+            if k == 1:
+                fn()
+            t = _time(fn)
+            results.setdefault(name, {})[f"t_{k}x_sec"] = t
+            print(f"#   {name} @ {k}x: {t}s", file=sys.stderr)
+
+    for name, row in results.items():
+        t1, t10, t100 = row["t_1x_sec"], row["t_10x_sec"], row["t_100x_sec"]
+        row["decade1_ratio"] = round(t10 / t1, 2) if t1 > 0 else None
+        row["decade2_ratio"] = round(t100 / t10, 2) if t10 > 0 else None
+
+    doc = {
+        "base_edges": args.base_edges,
+        "scales": scales,
+        "avg_degree_sym": 16,
+        "note": "synthetic deterministic multigraph, node count grows with "
+        "edge count (constant avg degree); decadeN_ratio = wall per 10x "
+        "decade; iterative round-count growth adds a log factor on top "
+        "of linear work, so <=~12 on decade 2 is healthy, >>10 with "
+        "flat rounds flags superlinear work",
+        "operators": results,
+    }
+    text = json.dumps(doc, indent=1, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(json.dumps({n: r.get("decade2_ratio") for n, r in results.items()}))
+    else:
+        print(text)
+
+
+if __name__ == "__main__":
+    main()
