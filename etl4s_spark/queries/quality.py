@@ -268,12 +268,14 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
              AS slope_cents_per_unit,
-           round((CAST(sy AS DOUBLE) - ((n * sxy - sx * sy)
+           round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
                    / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4)
              AS intercept_cents,
-           round(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
                  / (CAST(n * sxx - sx * sx AS DOUBLE)
                     * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
     FROM m
@@ -307,7 +309,13 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x") * F.col("x")).alias("sxx"),
         dsum(F.col("y") * F.col("y")).alias("syy"),
     )
-    cov_n = d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # combination in d38, then to DOUBLE before any further product —
+    # cov_n² in the decimal lane needs twice the digits and blew
+    # Decimal(38,0) at 3.3e40 on the r8 100x probe; the square is a
+    # float ratio input anyway, and an IEEE double product of the same
+    # exactly-cast values is bit-identical across engines (the oracle
+    # squares the same CAST AS DOUBLE), so the hash gate is unaffected
+    cov_n = (d38("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     var_x = (d38("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     var_y = (d38("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     slope = cov_n / var_x
@@ -317,7 +325,7 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 4
         ).alias("intercept_cents"),
-        F.round((cov_n * cov_n).cast("double") / (var_x * var_y), 6).alias("r2"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
     )
 
 
