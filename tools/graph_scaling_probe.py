@@ -13,8 +13,16 @@ node count grows with edge count exactly like a growing corpus'
 near-dup graph does.
 
 Operators probed (operators/graph.py + operators/dedup.py):
-  cc_contracted  — min-neighbor contraction components (the dense-graph
-                   default the dedup funnel routes group consumers to)
+  cc_contracted  — min-neighbor contraction components with the
+                   on_nonconvergence="star" fallback: the synthetic
+                   graph's linear-congruential endpoints create
+                   long-diameter paths, exactly the shape where
+                   min-label sweeps exceed their budget and the
+                   O(log n)-round large-star/small-star variant is the
+                   production path (first probe run raised the
+                   documented non-convergence error without it)
+  cc_star        — the large-star/small-star variant directly (the
+                   100 TB high-diameter algorithm of record)
   k_core         — iterative peeling at k=3
   pagerank       — 3 integer-arithmetic iterations over the symmetrized
                    distinct edge list (materialized once, as the
@@ -75,7 +83,10 @@ def main() -> None:
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
 
-    from etl4s_spark.operators.dedup import connected_components_contracted
+    from etl4s_spark.operators.dedup import (
+        connected_components_contracted,
+        connected_components_star,
+    )
     from etl4s_spark.operators.graph import (
         bfs_hops,
         k_core,
@@ -95,7 +106,12 @@ def main() -> None:
         edges = synthetic_edges(spark, n_edges).localCheckpoint(eager=True)
 
         def run_cc():
-            connected_components_contracted(edges).agg(
+            connected_components_contracted(
+                edges, on_nonconvergence="star"
+            ).agg(F.count_distinct("component")).collect()
+
+        def run_cc_star():
+            connected_components_star(edges).agg(
                 F.count_distinct("component")
             ).collect()
 
@@ -112,6 +128,7 @@ def main() -> None:
 
         for name, fn in (
             ("cc_contracted", run_cc),
+            ("cc_star", run_cc_star),
             ("k_core", run_kcore),
             ("pagerank", run_pagerank),
             ("bfs_hops", run_bfs),
