@@ -46,29 +46,31 @@ def _dsum(col, prec: int = 38):
     ), hq AS (SELECT q, count(*) AS c FROM f GROUP BY q),
        hd AS (SELECT d, count(*) AS c FROM f GROUP BY d),
        ht AS (SELECT t, count(*) AS c FROM f GROUP BY t),
-    rq AS (SELECT q, 2 * sum(c) OVER (ORDER BY q) - c + 1 AS r2 FROM hq),
-    rd AS (SELECT d, 2 * sum(c) OVER (ORDER BY d) - c + 1 AS r2 FROM hd),
-    rt AS (SELECT t, 2 * sum(c) OVER (ORDER BY t) - c + 1 AS r2 FROM ht),
+    rq AS (SELECT q, 2 * sum(c) OVER (ORDER BY q) - c
+                     - sum(c) OVER () AS cx FROM hq),
+    rd AS (SELECT d, 2 * sum(c) OVER (ORDER BY d) - c
+                     - sum(c) OVER () AS cx FROM hd),
+    rt AS (SELECT t, 2 * sum(c) OVER (ORDER BY t) - c
+                     - sum(c) OVER () AS cx FROM ht),
     j AS (
-      SELECT rq.r2 AS rx, rd.r2 AS ry, rt.r2 AS rz
+      SELECT rq.cx AS rx, rd.cx AS ry, rt.cx AS rz
       FROM f JOIN rq USING (q) JOIN rd USING (d) JOIN rt USING (t)
     ), s AS (
       SELECT count(*) AS n,
-             sum(rx) AS sx, sum(ry) AS sy, sum(rz) AS sz,
              sum(rx * ry) AS sxy, sum(rx * rz) AS sxz, sum(ry * rz) AS syz,
              sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rz * rz) AS szz
       FROM j
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) /
-                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho_qty_disc,
-           round((n * sxz - sx * sz) /
-                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS rho_qty_tax,
-           round((n * syz - sy * sz) /
-                 (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
-                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))), 6) AS rho_disc_tax
+           round(CAST(sxy AS DOUBLE) /
+                 (sqrt(CAST(sxx AS DOUBLE))
+                  * sqrt(CAST(syy AS DOUBLE))), 6) AS rho_qty_disc,
+           round(CAST(sxz AS DOUBLE) /
+                 (sqrt(CAST(sxx AS DOUBLE))
+                  * sqrt(CAST(szz AS DOUBLE))), 6) AS rho_qty_tax,
+           round(CAST(syz AS DOUBLE) /
+                 (sqrt(CAST(syy AS DOUBLE))
+                  * sqrt(CAST(szz AS DOUBLE))), 6) AS rho_disc_tax
     FROM s
     """,
 )
@@ -81,11 +83,22 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank comes from the value HISTOGRAM — cumulative count over ≤50
     rows gives the doubled average rank r2 = 2·cumsum(c) − c + 1
     (doubling keeps half-integer tie ranks exact in bigint; scaling
-    both variables by ½ leaves the correlation unchanged). The rank
-    maps broadcast back onto the fact rows, then one aggregate of exact
-    decimal moment sums feeds the Pearson-on-ranks formula, rounded to
-    6 dp. At 100 TB: the histograms are the only tiny state, the fact
-    table is scanned once, and the rank attach is a broadcast join."""
+    both variables by ½ leaves the correlation unchanged). Ranks are
+    CENTERED at the histogram (mean doubled rank is EXACTLY n+1, so
+    cx = r2 − (n+1) is exact integer centering): the moment sums are
+    then Σcx·cy ≤ n³ instead of the uncentered combination's
+    n·Σxy − Σx·Σy ~ n⁴, which pushed Decimal(38,0) past its ceiling
+    near n ≈ 2e9 rows — centered, the exact lane survives to n ≈ 4e12,
+    i.e. genuine 100 TB row counts (r8; mathematically identical ρ —
+    the uncentered numerator equals n·Σcx·cy and the denominator
+    carries the same factor n). n rides the SAME tiny histogram window
+    as the cumulative count (a total-sum frame over the one_part
+    partition — the _offsets pattern), so the whole query stays ONE
+    lazy plan: no driver collect, no checkpoint barrier. The centered
+    rank maps broadcast back onto the fact rows, then one aggregate of
+    exact decimal moment sums feeds the Pearson-on-ranks formula,
+    rounded to 6 dp. At 100 TB: the histograms are the only tiny
+    state, and the rank attach is a broadcast join."""
     li = load_table(spark, sf_dir, "lineitem")
     f = li.select(
         F.round("l_quantity").cast("long").alias("q"),
@@ -96,8 +109,12 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_map(col: str) -> DataFrame:
         h = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
         w = Window.partitionBy(one_part(col)).orderBy(col)
+        wt = Window.partitionBy(one_part(col))
         return h.select(
-            col, (2 * F.sum("c").over(w) - F.col("c") + 1).alias(f"r_{col}")
+            col,
+            (
+                2 * F.sum("c").over(w) - F.col("c") - F.sum("c").over(wt)
+            ).alias(f"r_{col}"),
         )
 
     j = (
@@ -107,9 +124,6 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = j.agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("r_q")).alias("sx"),
-        _dsum(F.col("r_d")).alias("sy"),
-        _dsum(F.col("r_t")).alias("sz"),
         _dsum(d38("r_q") * d38("r_d")).alias("sxy"),
         _dsum(d38("r_q") * d38("r_t")).alias("sxz"),
         _dsum(d38("r_d") * d38("r_t")).alias("syz"),
@@ -118,25 +132,21 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(d38("r_t") * d38("r_t")).alias("szz"),
     )
 
-    def rho(sab, sa, sb, saa, sbb):
+    def rho(sab, saa, sbb):
         return F.round(
-            (d38("n") * F.col(sab) - F.col(sa) * F.col(sb))
+            F.col(sab).cast("double")
             / (
-                F.sqrt(
-                    (d38("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
-                )
-                * F.sqrt(
-                    (d38("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
-                )
+                F.sqrt(F.col(saa).cast("double"))
+                * F.sqrt(F.col(sbb).cast("double"))
             ),
             6,
         )
 
     return s.select(
         F.col("n").cast("long").alias("n"),
-        rho("sxy", "sx", "sy", "sxx", "syy").alias("rho_qty_disc"),
-        rho("sxz", "sx", "sz", "sxx", "szz").alias("rho_qty_tax"),
-        rho("syz", "sy", "sz", "syy", "szz").alias("rho_disc_tax"),
+        rho("sxy", "sxx", "syy").alias("rho_qty_disc"),
+        rho("sxz", "sxx", "szz").alias("rho_qty_tax"),
+        rho("syz", "syy", "szz").alias("rho_disc_tax"),
     )
 
 
@@ -621,10 +631,10 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN b.d < a.d THEN a.c * b.c ELSE 0 END) AS disc
       FROM cells a JOIN cells b ON b.q > a.q
     ), tq AS (
-      SELECT sum(tc * (tc - 1) / 2) AS n1
+      SELECT sum(tc * (tc - 1)) AS m1
       FROM (SELECT sum(c) AS tc FROM cells GROUP BY q)
     ), td AS (
-      SELECT sum(tc * (tc - 1) / 2) AS n2
+      SELECT sum(tc * (tc - 1)) AS m2
       FROM (SELECT sum(c) AS tc FROM cells GROUP BY d)
     ), tot AS (
       SELECT sum(c) AS n, count(*) AS n_cells FROM cells
@@ -633,9 +643,9 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tot.n_cells AS BIGINT) AS n_cells,
            CAST(pairs.conc AS BIGINT)  AS concordant,
            CAST(pairs.disc AS BIGINT)  AS discordant,
-           round((pairs.conc - pairs.disc) /
-                 (sqrt(CAST(tot.n * (tot.n - 1) / 2 - tq.n1 AS DOUBLE))
-                  * sqrt(CAST(tot.n * (tot.n - 1) / 2 - td.n2 AS DOUBLE))), 6)
+           round(CAST(2 * (pairs.conc - pairs.disc) AS DOUBLE) /
+                 (sqrt(CAST(tot.n * (tot.n - 1) - tq.m1 AS DOUBLE))
+                  * sqrt(CAST(tot.n * (tot.n - 1) - td.m2 AS DOUBLE))), 6)
              AS tau_b
     FROM pairs, tq, td, tot
     """,
@@ -666,40 +676,51 @@ def q_stat_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a, b = cells.alias("a"), cells.alias("b")
+    # d38 internal lane (r8): cell-count products c_i·c_j and the
+    # conc/disc sums are n²-magnitude — int64 accumulation caps the
+    # statistic at n ≈ 4e9 rows; the decimal lane carries it to
+    # n ≈ 1.4e19 (√(2·10³⁸)). Output columns stay bigint (exact far
+    # beyond every test SF); the τ formula divides doubles cast from
+    # the same exact decimals on both engines (DuckDB sums bigint into
+    # hugeint natively, so the oracle always had the wide lane).
     pairs = (
         a.join(F.broadcast(b), F.col("b.q") > F.col("a.q"))
         .agg(
             F.sum(
                 F.when(
-                    F.col("b.d") > F.col("a.d"), F.col("a.c") * F.col("b.c")
-                ).otherwise(0)
+                    F.col("b.d") > F.col("a.d"), d38(F.col("a.c")) * d38(F.col("b.c"))
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             ).alias("conc"),
             F.sum(
                 F.when(
-                    F.col("b.d") < F.col("a.d"), F.col("a.c") * F.col("b.c")
-                ).otherwise(0)
+                    F.col("b.d") < F.col("a.d"), d38(F.col("a.c")) * d38(F.col("b.c"))
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             ).alias("disc"),
         )
     )
+    # DOUBLED tie terms keep the lane integral: m0 = n(n−1),
+    # m1/m2 = Σ tc(tc−1) (a decimal /2 would introduce scale), and
+    # τ = 2(C−D)/(√(m0−m1)·√(m0−m2)) — algebraically identical to
+    # (C−D)/(√(n0−n1)·√(n0−n2)) with n0−nk = (m0−mk)/2.
     tq = (
         cells.groupBy("q")
         .agg(F.sum("c").alias("tc"))
-        .agg(F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("n1"))
+        .agg(F.sum(d38("tc") * (d38("tc") - 1)).alias("m1"))
     )
     td = (
         cells.groupBy("d")
         .agg(F.sum("c").alias("tc"))
-        .agg(F.sum(F.col("tc") * (F.col("tc") - 1) / 2).cast("long").alias("n2"))
+        .agg(F.sum(d38("tc") * (d38("tc") - 1)).alias("m2"))
     )
     tot = cells.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
     )
-    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    m0 = d38("n") * (d38("n") - 1)
     tau = F.round(
-        (F.col("conc") - F.col("disc"))
+        ((F.col("conc") - F.col("disc")) * 2).cast("double")
         / (
-            F.sqrt((n0 - F.col("n1")).cast("double"))
-            * F.sqrt((n0 - F.col("n2")).cast("double"))
+            F.sqrt((m0 - F.col("m1")).cast("double"))
+            * F.sqrt((m0 - F.col("m2")).cast("double"))
         ),
         6,
     )
