@@ -287,12 +287,18 @@ def salted_join(
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    # Pin a SHUFFLE_HASH join (build = the replicated right). Left to its
-    # stats Catalyst may instead BROADCAST the replicated side — a plan
-    # where salting is pure overhead (a broadcast join has no shuffle and
-    # thus no partition skew; building a salt_buckets× hashed relation per
-    # executor just burns memory and build time, measured 3.6× slower on
-    # the driver gate). The hinted plan shuffles both sides on
-    # (keys, salt) — the distribution the operator exists to create.
-    out = l_salted.join(r_salted.hint("shuffle_hash"), on=[*on, "__salt"], how=how)
+    # Pin a SORT-MERGE join. Left to its stats Catalyst may instead
+    # BROADCAST the replicated side — a plan where salting is pure
+    # overhead (a broadcast join has no shuffle and thus no partition
+    # skew; building a salt_buckets× hashed relation per executor just
+    # burns memory and build time, measured 3.6× slower on the driver
+    # gate). The hinted plan shuffles both sides on (keys, salt) — the
+    # distribution the operator exists to create. MERGE rather than
+    # SHUFFLE_HASH (r8): both produce the identical exchange, but the
+    # hash variant must hold the whole per-partition build side
+    # (salt_buckets × right) in one in-memory map — the r8 TPC-H scale
+    # probe OOM'd it at 10× data ("not enough memory to build hash
+    # map"); sort-merge spills and is the big×big join of record at
+    # 100 TB.
+    out = l_salted.join(r_salted.hint("merge"), on=[*on, "__salt"], how=how)
     return out.drop("__salt")
