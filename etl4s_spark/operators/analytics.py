@@ -89,13 +89,19 @@ def lorenz_deciles(df: DataFrame, key: str, amount: Column) -> DataFrame:
     eighth-octave log amount buckets → broadcast prefix offsets →
     per-bucket rank → exact integer ntile arithmetic, bit-identical to
     ntile(10) with the key tie-break, no unpartitioned window. The share
-    is integer division — engine-exact."""
+    is integer division — engine-exact. The share numerator runs in the
+    d38 lane: decile_cents × 10⁶ crossed int64 at 100× sf0.1 (the r8
+    scale probe's find — a long `amount_total * 1000000` ANSI-crashed);
+    decimal × literal div decimal is IntegralDivide → long, exact to
+    ~10²² total cents. DuckDB's oracle always summed into hugeint, so
+    only the Spark lane needed widening."""
+    from etl4s_spark.functions.exact import d38
     from etl4s_spark.operators.ranking import exact_ntile, global_index, log_bucket
 
     # one row per key; materialized once so the fact table is scanned
     # exactly once — the rank pass, its bucket histogram, and the total
     # all read the checkpoint
-    per_key = df.groupBy(key).agg(F.sum(amount).alias("__amt")).localCheckpoint(
+    per_key = df.groupBy(key).agg(F.sum(d38(amount)).alias("__amt")).localCheckpoint(
         eager=True
     )
     total = per_key.agg(F.sum("__amt").alias("__total"))
@@ -111,14 +117,14 @@ def lorenz_deciles(df: DataFrame, key: str, amount: Column) -> DataFrame:
         ranked.groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum("__amt").cast("long").alias("amount_total"),
+            F.sum("__amt").alias("__amt_total"),
         )
         .join(F.broadcast(total))
         .select(
             F.col("decile").cast("int"),
             "n_keys",
-            "amount_total",
-            F.expr("(amount_total * 1000000) div __total").alias("share_e6"),
+            F.col("__amt_total").cast("long").alias("amount_total"),
+            F.expr("(__amt_total * 1000000) div __total").alias("share_e6"),
         )
     )
 
@@ -146,13 +152,20 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         per_key, F.col("c"), log_bucket(F.col("c")), [key],
         idx_name="i", total_name="nk",
     )
+    # d38 lane (r8, same class as lorenz_deciles): Σ i·c is
+    # keys×rows-magnitude (~10²⁰ at 100 TB) and the Gini numerator
+    # multiplies it by 10⁶ — int64 accumulation dies near 10⁹ rows;
+    # decimal sums keep every term exact and `div` on decimals is
+    # IntegralDivide → long outputs, unchanged schema.
+    from etl4s_spark.functions.exact import d38
+
     s = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum("c").alias("n_rows"),
+        F.sum(d38("c")).alias("n_rows"),
         F.max("c").alias("max_cnt"),
         F.min("c").alias("min_cnt"),
-        F.sum(F.col("i") * F.col("c")).alias("weighted"),
-        F.sum(F.when(F.col("i") > F.col("nk") - top_n, F.col("c"))).alias("topn"),
+        F.sum(d38("i") * d38("c")).alias("weighted"),
+        F.sum(F.when(F.col("i") > F.col("nk") - top_n, d38("c"))).alias("topn"),
     )
     return s.select(
         F.col("n_keys").cast("long"),
