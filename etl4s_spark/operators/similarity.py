@@ -378,6 +378,8 @@ def embedding_neardup_lsh(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    max_pairs_per_bucket: int | None = None,
+    pair_cap_factor: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at corpus scale: hyperplane-LSH buckets
     PROPOSE candidate pairs (sub-quadratic), exact cosine VERIFIES them —
@@ -394,40 +396,79 @@ def embedding_neardup_lsh(
     unbounded; AQE broadcasts when genuinely small) and exact cosine
     filters at ``threshold`` with the same rounding as
     embedding_neardup_pairs, so surviving scores are identical to the
-    exact operator's.
+    exact operator's. Output: (id_a, id_b, cos_sim, truncated).
 
     Recall: a true pair is missed only if it collides in NO table —
     P(miss) = (1 − p^n_planes)^n_tables, p = 1 − angle/π. Exactly
     identical (or positively-scaled) vectors share every signature, so
-    true duplicates are always found."""
+    true duplicates are always found — PROVIDED no pair cap binds.
+
+    Pair-emission cap (VERDICT r8 item 6): the propose stage has the
+    same Σg² output shape as the text funnel on duplicate-heavy corpora.
+    ``max_bucket_size`` already bounds any ONE bucket's pairs at
+    max_bucket_size²/2 (dropping boilerplate mega-buckets outright), but
+    many mid-size duplicate groups still emit quadratically. The
+    ``max_pairs_per_bucket`` / ``pair_cap_factor`` knobs apply the same
+    star-collapse as minhash_lsh_candidates (overflowing buckets emit
+    hub×rest, g−1 rows, with a ``truncated`` audit column carrying the
+    largest single-bucket drop count the pair witnessed). They default
+    to None — OFF — unlike the text candidates, deliberately: this
+    operator's contract is pairwise (exact cosine scores, guaranteed
+    recall on signature-identical duplicates, pinned by
+    test_embedding_neardup_lsh_sound_and_finds_true_dups), and
+    star-collapse breaks pairwise recall (a planted pair in a capped
+    bucket survives only if one side is the hub). Opt in for
+    component-collapse consumers; output then becomes a truncated-
+    flagged lower bound with the same accounting as dedup_funnel."""
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
     buckets = hyperplane_buckets(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
     )
     ids_arr = F.col("ids")
+    all_combos = F.flatten(
+        F.transform(
+            ids_arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids_arr,
+                    i + 2,
+                    F.greatest(F.size(ids_arr) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    g = F.size(ids_arr).cast("long")
+    full_pairs = g * (g - F.lit(1)) / F.lit(2)
+    cap_terms = []
+    if max_pairs_per_bucket is not None:
+        cap_terms.append(F.lit(float(max_pairs_per_bucket)))
+    if pair_cap_factor is not None:
+        cap_terms.append(F.lit(float(pair_cap_factor)) * g)
+    if cap_terms:
+        star = F.transform(
+            F.slice(ids_arr, 2, F.greatest(F.size(ids_arr) - 1, F.lit(0))),
+            lambda y: F.struct(
+                F.element_at(ids_arr, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        overflow = full_pairs > (
+            cap_terms[0] if len(cap_terms) == 1 else F.least(*cap_terms)
+        )
+        combos = F.when(overflow, star).otherwise(all_combos)
+        dropped = F.when(
+            overflow, (full_pairs - (g - F.lit(1))).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        combos = all_combos
+        dropped = F.lit(0).cast("long")
     cands = (
         buckets.groupBy("table", "sig")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ids_arr,
-                        lambda x, i: F.transform(
-                            F.slice(
-                                ids_arr,
-                                i + 2,
-                                F.greatest(F.size(ids_arr) - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .select(F.explode(combos).alias("p"), dropped.alias("__dropped"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.max("__dropped").alias("truncated"))
     )
     # AQE coalesces the distinct's exchange by BYTES, but the verify
     # stage downstream (vectors broadcast in, exact cosine per pair) is
@@ -451,6 +492,7 @@ def embedding_neardup_lsh(
             F.round(
                 dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
             ).alias("cos_sim"),
+            "truncated",
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -271,10 +271,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (64 perms, 16 bands).
 
-    Production-capped by default: buckets past 10k combination pairs
-    star-collapse (component-identical, linear output) and the
-    `truncated` audit column reports dropped-pair counts — 0 at every
-    test SF (verified sf0.01/sf0.1), so results here are exhaustive."""
+    Production-capped by default: buckets past the effective pair cap
+    (least of 10k absolute and 8·g size-relative — the size term binds
+    at g>17, VERDICT r8 item 2) star-collapse (candidate-component-
+    identical, linear output) and the `truncated` audit column flags
+    affected pairs — 0 at every test SF (documents' LSH buckets max at
+    g=4), so results here are exhaustive."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, "doc_id", "text", num_perm=64, bands=16).orderBy(
         "id_a", "id_b"
@@ -285,7 +287,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup funnel: MinHash-LSH candidates verified by
     exact 3-gram Jaccard ≥ 0.8 — the production corpus-dedup pipeline as
-    one composed operator."""
+    one composed operator. Output carries the `truncated` audit column:
+    when a pair's LSH bucket was star-collapsed by the pair cap the
+    verified pair set is a documented lower bound (dedup_funnel's recall
+    accounting); constant 0 at every test SF, where results are exact."""
     from etl4s_spark.operators.dedup import dedup_funnel
 
     d = load_table(spark, sf_dir, "documents")

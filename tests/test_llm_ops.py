@@ -72,7 +72,7 @@ def test_minhash_cap_noop_below_threshold(docs):
         map(
             tuple,
             minhash_lsh_candidates(
-                docs, "doc_id", "text", max_pairs_per_bucket=None
+                docs, "doc_id", "text", max_pairs_per_bucket=None, pair_cap_factor=None
             ).collect(),
         )
     )
@@ -104,7 +104,7 @@ def test_minhash_pair_cap_bounds_mega_cluster(spark):
     assert all(r.truncated > 0 for r in capped)
 
     uncapped = minhash_lsh_candidates(
-        mega, "doc_id", "text", max_pairs_per_bucket=None
+        mega, "doc_id", "text", max_pairs_per_bucket=None, pair_cap_factor=None
     )
     assert uncapped.count() == g * (g - 1) // 2
 
@@ -123,10 +123,102 @@ def test_minhash_pair_cap_bounds_mega_cluster(spark):
         ).collect()
     }
     assert comp_capped == comp_full
-    # the default cap (10k) also guards this cluster (19,900 > 10,000)
+    # the default cap also guards this cluster (19,900 > min(10k, 8*200))
     assert (
         minhash_lsh_candidates(mega, "doc_id", "text").count() == g - 1
     )
+
+
+def test_capped_funnel_semantics(spark):
+    """VERDICT r9 item 3 / ADVICE r8: pin what a consumer may conclude
+    from dedup_funnel output when the pair cap BINDS. Planted mega
+    cluster: 30 identical docs (full pairs 435 > the default effective
+    cap min(10k, 8·30) = 240 → star-collapse) plus two unrelated docs.
+
+    (a) candidate-graph invariant: connected components over DEFAULT-
+        capped candidate pairs == components over uncapped pairs;
+    (b) funnel recall accounting: every surviving capped-funnel pair is
+        flagged truncated > 0, the capped pair set is a strict SUBSET of
+        the uncapped funnel's (a documented lower bound, never a wrong
+        pair), and surviving scores equal the uncapped scores exactly.
+    """
+    from etl4s_spark.operators.dedup import (
+        connected_components_contracted,
+        dedup_funnel,
+    )
+
+    g = 30
+    rows = [(i, BASE) for i in range(g)] + [
+        (1000, "completely different content about spark query engines"),
+        (1001, "yet another unrelated document mentioning benchmarks today"),
+    ]
+    mega = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # (a) components over DEFAULT-capped candidates == over uncapped
+    capped_cands = minhash_lsh_candidates(mega, "doc_id", "text")
+    uncapped_cands = minhash_lsh_candidates(
+        mega, "doc_id", "text", max_pairs_per_bucket=None, pair_cap_factor=None
+    )
+    assert capped_cands.count() == g - 1  # star, not clique
+    assert uncapped_cands.count() == g * (g - 1) // 2
+    comp = lambda df: {  # noqa: E731
+        (r.id, r.component)
+        for r in connected_components_contracted(df.select("id_a", "id_b")).collect()
+    }
+    assert comp(capped_cands) == comp(uncapped_cands)
+
+    # (b) funnel under the binding DEFAULT cap: lower bound + audit flag
+    capped = {
+        (r.id_a, r.id_b): (r.jaccard, r.truncated)
+        for r in dedup_funnel(mega, "doc_id", "text", min_jaccard=0.8).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_funnel(
+            mega,
+            "doc_id",
+            "text",
+            min_jaccard=0.8,
+            max_pairs_per_bucket=None,
+            pair_cap_factor=None,
+        ).collect()
+    }
+    assert len(uncapped) == g * (g - 1) // 2  # identical docs: all pairs pass
+    assert set(capped) < set(uncapped)  # strict subset — lower bound
+    for pair, (j, trunc) in capped.items():
+        assert uncapped[pair] == j  # never a wrong score
+        assert trunc > 0  # every surviving pair carries the audit flag
+    # the consumer-facing conclusion the docstring documents: with
+    # truncated > 0 the pair list under-counts; component-collapse must
+    # use the candidate graph (asserted equal above), not funnel pairs.
+
+
+def test_embedding_lsh_pair_cap_opt_in(spark):
+    """VERDICT r9 item 6: the embedding propose stage has the same Σg²
+    output shape; the star-collapse cap is OPT-IN there (the operator's
+    contract is pairwise recall — see docstring). Planted cluster of 24
+    identical vectors: default emits all pairs with truncated = 0; with
+    pair_cap_factor=8 (binds: 276 > 192) only the hub star survives,
+    flagged truncated > 0."""
+    from etl4s_spark.operators.similarity import embedding_neardup_lsh
+
+    k = 24
+    vec = [1.0, -2.0, 0.5, 3.0] * 16  # dim 64
+    other = [(-1.0) ** i * (i + 1.0) for i in range(64)]
+    rows = [(i, vec) for i in range(k)] + [(500, other)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    full = embedding_neardup_lsh(e, "vec_id", "embedding", dim=64, threshold=0.99)
+    got = full.collect()
+    assert len(got) == k * (k - 1) // 2
+    assert all(r.truncated == 0 for r in got)
+
+    capped = embedding_neardup_lsh(
+        e, "vec_id", "embedding", dim=64, threshold=0.99, pair_cap_factor=8
+    ).collect()
+    assert len(capped) == k - 1
+    assert all(r.id_a == 0 and r.truncated > 0 for r in capped)
+    assert all(r.cos_sim == 1.0 for r in capped)
 
 
 def test_simhash_hamming_orders_by_similarity(spark, docs):
