@@ -195,7 +195,11 @@ def test_global_index_low_dispersion_degenerate_domain(spark):
     # detector as test_no_unpartitioned_window_in_plan.
     plan = got._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
-        if "Window" in line and "partitionBy" not in line.lower():
+        # the ", [], " empty-partition-spec detector is the whole guard
+        # (ADVICE r8: the old '"partitionBy" not in line.lower()' clause
+        # was vacuously true — a lowercased string never contains a
+        # capital B — so it filtered nothing; dropped)
+        if "Window" in line:
             assert ", [], " not in line.replace("windowspecdefinition", ""), line
 
 
@@ -208,7 +212,9 @@ def test_no_unpartitioned_window_in_plan(spark):
     ).withColumn("tile", exact_ntile(5))
     plan = got._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
-        if "Window" in line and "partitionBy" not in line.lower():
+        if "Window" in line:
             # Spark prints: Window [...], [partition spec], [order spec]
             # an unpartitioned window shows an EMPTY partition spec: ", [], "
+            # (the former '"partitionBy" not in line.lower()' clause was
+            # vacuous — ADVICE r8 — the spec detector alone is the guard)
             assert ", [], " not in line.replace("windowspecdefinition", ""), line

@@ -160,9 +160,13 @@ def main() -> None:
     out["loadavg_max_new"] = round(file_new, 2) if file_new is not None else None
 
     def query_load(k: str) -> float:
+        # fallback for a query missing from a per-query dict is the FILE
+        # level max (per-query dicts never contain "__file__" — ADVICE
+        # r8: a 0.0 fallback let unrecorded queries dodge the
+        # contention re-measure routing)
         return max(
-            lold.get(k, lold.get("__file__", 0.0)),
-            lnew.get(k, lnew.get("__file__", 0.0)),
+            lold.get(k, lold.get("__file__", file_old or 0.0)),
+            lnew.get(k, lnew.get("__file__", file_new or 0.0)),
         )
 
     def needs_remeasure(x):

@@ -1,31 +1,48 @@
-"""Pair-cap engagement probe (VERDICT r7 item 2 Done criterion): show
-that the CAPPED MinHash-LSH path is bounded per decade once the cap
-binds, on the same duplicate-heavy replication the 100x probe uses.
+"""Pair-cap engagement probe (VERDICT r7 item 2, r8 items 2+6 Done
+criteria): show that the CAPPED propose paths — text MinHash-LSH and
+embedding hyperplane-LSH — are bounded per decade once the cap binds,
+on the same duplicate-heavy replication the 100x probe uses.
 
-Why the general probe can't show this: table replication at 100x sf0.1
-gives every document ~100 identical copies, i.e. LSH buckets of ~100
-members = 4,950 combination pairs — UNDER the 10k production default,
-so the default-capped query legitimately emits the full (quadratically
-growing) true pair set and its decade ratio stays output-bound
-(SCALING_100X r8: minhash 14.4, funnel 33.0 on decade 2). The cap is a
-guardrail for mega-clusters (boilerplate), not a rewrite of correct
-output. This probe therefore times THREE lanes per scale k in
-{1, 10, 100} on in-memory k x-replicated documents:
+Why the general probe can't show this: table replication at 100x gives
+every document ~100 identical copies, i.e. LSH buckets of ~100 members
+= 4,950 combination pairs — UNDER a fixed 10k cap, so the r7 default
+legitimately emitted the full (quadratically growing) true pair set and
+its decade ratio stayed output-bound (the r8 verdict's calibration nit:
+14.21x/decade with 24.07M of 27.31M pairs still emitted). Round 9 made
+the default SIZE-RELATIVE — effective cap = least(10k, 8·g) binds at
+g>17 — so the default lane itself must now show ~linear pairs and a
+bounded decade. Text lanes per scale k in {1, 10, 100} on in-memory
+k x-replicated documents:
 
-  uncapped   max_pairs_per_bucket=None   — the quadratic baseline
-  default    max_pairs_per_bucket=10k    — binds only past ~142 copies
-  tight      max_pairs_per_bucket=1000   — binds at >=46 copies, i.e.
-                                           AT the probe's 100x point
+  uncapped     abs=None,   factor=None — the quadratic baseline
+  abs_10k_only abs=10_000, factor=None — the r7/r8 default; binds only
+                                         past ~142 copies, i.e. NOT on
+                                         this corpus (the verdict nit)
+  default      abs=10_000, factor=8    — the r9 default; binds at g>17,
+                                         i.e. AT the 100x (and 10x at
+                                         g~=100... no: g~=k) point
 
-and records wall, emitted pairs, and the truncated-audit sum. Expected
-shape (asserted by the judge from the artifact): the tight lane's 100x
-pair count collapses to ~linear (star emission) with truncated > 0,
-and its decade-2 wall ratio lands <= 10 while the uncapped lane's
-output (and wall) keeps growing quadratically.
+Truncation accounting (ADVICE r8): the operator's per-pair `truncated`
+column is the MAX single-bucket drop the pair witnessed — an audit
+signal, NOT additive across pairs (every star pair of a capped bucket
+repeats that bucket's drop count). The probe therefore records
+`pairs_with_truncation` (how many emitted pairs are flagged) and
+`truncated_max` (the largest single-bucket drop seen), never a sum.
+
+Embedding section (VERDICT r8 item 6): embedding_neardup_lsh's propose
+stage has the same Σg² output shape. Its cap is OPT-IN (the operator's
+contract is pairwise exact-score recall, which star-collapse breaks —
+see the operator docstring), so the probe runs the default-uncapped
+lane as the output-bound baseline and a capped_factor8 lane proving the
+opt-in path bounded. semdedup needs no pair cap — ADJUDICATION: its
+OUTPUT is linear (one (id, cell, keep) row per input row; the pairwise
+work is an intermediate bounded by the quantizer k, the documented
+scale knob), so there is no quadratic emission to cap.
 
 Usage:
     python tools/dedup_cap_probe.py [--sf /root/testdata/sf0.1]
-        [-o DEDUP_CAP_PROBE.json]    # ~5-10 min, run ALONE
+        [--emb-sf /root/testdata/sf0.01] [-o DEDUP_CAP_PROBE.json]
+        # ~5-10 min, run ALONE
 """
 
 from __future__ import annotations
@@ -41,75 +58,141 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def replicated_docs(spark, sf_dir: str, k: int):
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    unit = base.agg(F.max("doc_id")).first()[0] + 1
+def replicated(spark, sf_dir: str, table: str, id_col: str, payload: str, k: int):
+    base = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(id_col, payload)
+    unit = base.agg(F.max(id_col)).first()[0] + 1
     out = None
     for i in range(k):
-        part = base.select((F.col("doc_id") + i * unit).alias("doc_id"), "text")
+        part = base.select((F.col(id_col) + i * unit).alias(id_col), payload)
         out = part if out is None else out.unionByName(part)
     return out.localCheckpoint(eager=True)
+
+
+def _trunc_stats(df) -> dict:
+    agg = df.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum((F.col("truncated") > 0).cast("long")).alias("flagged"),
+        F.max("truncated").alias("tmax"),
+    ).first()
+    return {
+        "pairs": int(agg["pairs"]),
+        "pairs_with_truncation": int(agg["flagged"] or 0),
+        "truncated_max": int(agg["tmax"] or 0),
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--emb-sf",
+        default="/root/testdata/sf0.01",
+        help="embedding lanes replicate a smaller base: the uncapped "
+        "baseline is output-bound quadratic by design",
+    )
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
 
     from etl4s_spark.operators.dedup import minhash_lsh_candidates
+    from etl4s_spark.operators.similarity import embedding_neardup_lsh
     from etl4s_spark.session import get_spark
 
     spark = get_spark("dedup_cap_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    lanes = {"uncapped": None, "default_10k": 10_000, "tight_1k": 1_000}
+    # lane -> (max_pairs_per_bucket, pair_cap_factor)
+    lanes = {
+        "uncapped": (None, None),
+        "abs_10k_only": (10_000, None),
+        "default": (10_000, 8),
+    }
     rows: dict[str, dict] = {lane: {} for lane in lanes}
     for k in (1, 10, 100):
-        docs = replicated_docs(spark, args.sf, k)
-        print(f"# scale {k}x: {docs.count()} docs", file=sys.stderr)
-        for lane, cap in lanes.items():
+        docs = replicated(spark, args.sf, "documents", "doc_id", "text", k)
+        print(f"# text scale {k}x: {docs.count()} docs", file=sys.stderr)
+        for lane, (cap, factor) in lanes.items():
             t0 = time.monotonic()
-            agg = (
+            stats = _trunc_stats(
                 minhash_lsh_candidates(
-                    docs, "doc_id", "text", max_pairs_per_bucket=cap
+                    docs,
+                    "doc_id",
+                    "text",
+                    max_pairs_per_bucket=cap,
+                    pair_cap_factor=factor,
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("pairs"),
-                    F.sum("truncated").alias("truncated_sum"),
-                )
-                .first()
             )
-            wall = round(time.monotonic() - t0, 3)
-            rows[lane][f"{k}x"] = {
-                "wall_sec": wall,
-                "pairs": int(agg["pairs"]),
-                "truncated_sum": int(agg["truncated_sum"] or 0),
-            }
-            print(f"#   {lane} @ {k}x: {wall}s, {agg['pairs']} pairs, "
-                  f"truncated={agg['truncated_sum']}", file=sys.stderr)
+            stats["wall_sec"] = round(time.monotonic() - t0, 3)
+            rows[lane][f"{k}x"] = stats
+            print(f"#   {lane} @ {k}x: {stats}", file=sys.stderr)
 
-    for lane, r in rows.items():
+    emb_lanes = {
+        "emb_default_uncapped": (None, None),
+        "emb_capped_factor8": (None, 8),
+    }
+    emb_rows: dict[str, dict] = {lane: {} for lane in emb_lanes}
+    for k in (1, 10, 100):
+        vecs = replicated(spark, args.emb_sf, "embeddings", "vec_id", "embedding", k)
+        print(f"# emb scale {k}x: {vecs.count()} vecs", file=sys.stderr)
+        for lane, (cap, factor) in emb_lanes.items():
+            t0 = time.monotonic()
+            stats = _trunc_stats(
+                embedding_neardup_lsh(
+                    vecs,
+                    "vec_id",
+                    "embedding",
+                    dim=64,
+                    threshold=0.99,
+                    max_pairs_per_bucket=cap,
+                    pair_cap_factor=factor,
+                )
+            )
+            stats["wall_sec"] = round(time.monotonic() - t0, 3)
+            emb_rows[lane][f"{k}x"] = stats
+            print(f"#   {lane} @ {k}x: {stats}", file=sys.stderr)
+
+    for r in list(rows.values()) + list(emb_rows.values()):
         t1, t10, t100 = (r[s]["wall_sec"] for s in ("1x", "10x", "100x"))
         r["decade1_ratio"] = round(t10 / t1, 2) if t1 > 0 else None
         r["decade2_ratio"] = round(t100 / t10, 2) if t10 > 0 else None
 
     doc = {
         "sf_base": args.sf,
+        "emb_sf_base": args.emb_sf,
         "scales": [1, 10, 100],
-        "note": "three cap lanes over k x-replicated documents; the cap "
-        "binds when a bucket's g(g-1)/2 exceeds it (g ~= k copies per "
-        "doc). A bound lane must show truncated_sum > 0, ~linear pairs, "
-        "and decade-2 wall <= 10; the uncapped lane is the output-bound "
-        "quadratic baseline the r7/r8 SCALING_100X adjudications "
-        "describe.",
+        "note": "text: three cap lanes over k x-replicated documents; the "
+        "effective cap least(abs, factor*g) binds when a bucket's g(g-1)/2 "
+        "exceeds it (g ~= k copies per doc). A bound lane must show "
+        "pairs_with_truncation > 0, ~linear pairs, and decade-2 wall <= 10; "
+        "the uncapped lane is the output-bound quadratic baseline the "
+        "r7/r8 SCALING_100X adjudications describe. abs_10k_only is the "
+        "retired r8 default, kept to show WHY it was retired (it never "
+        "binds at g~=100). Embedding: the cap is opt-in (pairwise-recall "
+        "contract); emb_default_uncapped is the output-bound baseline, "
+        "emb_capped_factor8 the bounded opt-in lane. semdedup adjudication: "
+        "linear output (one row per input), pairwise work bounded by the "
+        "quantizer k — nothing to cap. truncated_* fields are audit "
+        "signals (max per-bucket drop / flagged-pair count), not "
+        "dropped-pair totals (ADVICE r8).",
         "lanes": rows,
+        "embedding_lanes": emb_rows,
+        "semdedup_adjudication": "no pair emission: output is (id, cell, "
+        "keep) — linear in rows; the within-cell pair join is an "
+        "intermediate whose size is bounded by the quantizer granularity "
+        "k (operators/similarity.py semdedup docstring), the same posture "
+        "as max_bucket_size on the LSH funnels.",
     }
     text = json.dumps(doc, indent=1, sort_keys=True)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
-        print(json.dumps({ln: r.get("decade2_ratio") for ln, r in rows.items()}))
+        print(
+            json.dumps(
+                {
+                    ln: r.get("decade2_ratio")
+                    for ln, r in list(rows.items()) + list(emb_rows.items())
+                }
+            )
+        )
     else:
         print(text)
 
