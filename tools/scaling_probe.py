@@ -155,6 +155,7 @@ def time_queries(spark, qs, names, sf_dir: str, runs: int = 2) -> dict[str, floa
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+        print(f"#   {name}: {out[name]}s", file=sys.stderr)
     return out
 
 

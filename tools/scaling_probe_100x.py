@@ -69,21 +69,34 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("-o", "--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip rebuilding a scaled copy whose dir already has every table "
+        "(implies --keep; amortizes the build across probe batches)",
+    )
     ap.add_argument("names", nargs="*", help="override the probe list")
     args = ap.parse_args()
 
     from etl4s_spark.queries import QUERIES, load_all
     from etl4s_spark.session import get_spark
+    from tools.scaling_probe import FIXED, SHIFT
 
     load_all()
     spark = get_spark("scaling_100x")
     names = args.names or PROBE_QUERIES
 
+    all_tables = list(SHIFT) + FIXED
     dirs = {1: args.sf}
     for k in (10, 100):
         dst = f"/tmp/etl4s_scaling100_k{k}"
-        print(f"# building {k}x copy at {dst}", file=sys.stderr)
-        build_scaled(spark, args.sf, dst, k)
+        if args.reuse and all(
+            os.path.exists(f"{dst}/{t}.parquet/_SUCCESS") for t in all_tables
+        ):
+            print(f"# reusing existing {k}x copy at {dst}", file=sys.stderr)
+        else:
+            print(f"# building {k}x copy at {dst}", file=sys.stderr)
+            build_scaled(spark, args.sf, dst, k)
         dirs[k] = dst
 
     try:
@@ -92,7 +105,7 @@ def main() -> None:
             print(f"# timing {len(names)} queries at {k}x", file=sys.stderr)
             times[k] = time_queries(spark, QUERIES, names, dirs[k])
     finally:
-        if not args.keep:
+        if not (args.keep or args.reuse):
             for k in (10, 100):
                 shutil.rmtree(dirs[k], ignore_errors=True)
 
