@@ -75,6 +75,15 @@ def main() -> None:
         help="skip rebuilding a scaled copy whose dir already has every table "
         "(implies --keep; amortizes the build across probe batches)",
     )
+    ap.add_argument(
+        "--decades",
+        type=int,
+        default=2,
+        choices=(2, 3),
+        help="2 = 1x/10x/100x (default); 3 adds a 1000x copy (~17 GB at "
+        "sf0.1 — events at 100M rows, lineitem at 600M) built by composing "
+        "another 10x of the 100x dir",
+    )
     ap.add_argument("names", nargs="*", help="override the probe list")
     args = ap.parse_args()
 
@@ -86,43 +95,46 @@ def main() -> None:
     spark = get_spark("scaling_100x")
     names = args.names or PROBE_QUERIES
 
+    scales = [1] + [10**i for i in range(1, args.decades + 1)]
     all_tables = list(SHIFT) + FIXED
     dirs = {1: args.sf}
-    for k in (10, 100):
+    for k in scales[1:]:
         dst = f"/tmp/etl4s_scaling100_k{k}"
         if args.reuse and all(
             os.path.exists(f"{dst}/{t}.parquet/_SUCCESS") for t in all_tables
         ):
             print(f"# reusing existing {k}x copy at {dst}", file=sys.stderr)
         else:
-            print(f"# building {k}x copy at {dst}", file=sys.stderr)
-            build_scaled(spark, args.sf, dst, k)
+            # compose from the previous decade's dir (10 unions of 10x is
+            # the same replication as 100 unions of 1x, with a shallower
+            # plan) — key shifts recompute from the source dir's maxes, so
+            # referential integrity is preserved through composition
+            src = dirs[k // 10]
+            print(f"# building {k}x copy at {dst} (10x of {src})", file=sys.stderr)
+            build_scaled(spark, src, dst, 10)
         dirs[k] = dst
 
     try:
         times = {}
-        for k in (1, 10, 100):
+        for k in scales:
             print(f"# timing {len(names)} queries at {k}x", file=sys.stderr)
             times[k] = time_queries(spark, QUERIES, names, dirs[k])
     finally:
         if not (args.keep or args.reuse):
-            for k in (10, 100):
+            for k in scales[1:]:
                 shutil.rmtree(dirs[k], ignore_errors=True)
 
     rows = {}
     for n in names:
-        t1, t10, t100 = times[1][n], times[10][n], times[100][n]
-        rows[n] = {
-            "t_1x_sec": t1,
-            "t_10x_sec": t10,
-            "t_100x_sec": t100,
-            "decade1_ratio": round(t10 / t1, 2) if t1 > 0 else None,
-            "decade2_ratio": round(t100 / t10, 2) if t10 > 0 else None,
-        }
-    d2 = sorted(v["decade2_ratio"] for v in rows.values() if v["decade2_ratio"])
+        r = {f"t_{k}x_sec": times[k][n] for k in scales}
+        for i in range(1, len(scales)):
+            lo, hi = times[scales[i - 1]][n], times[scales[i]][n]
+            r[f"decade{i}_ratio"] = round(hi / lo, 2) if lo > 0 else None
+        rows[n] = r
+    d2 = sorted(v["decade2_ratio"] for v in rows.values() if v.get("decade2_ratio"))
     doc = {
         "sf_base": args.sf,
-        "scales": [1, 10, 100],
+        "scales": scales,
         "note": "decadeN_ratio = wall growth per 10x data decade (best-of-2, "
         "noop-write full plan); <=10 per decade is linear-or-better, "
         ">10 on decade2 flags superlinear work the 10x probe missed",
@@ -131,10 +143,19 @@ def main() -> None:
         "median_decade2": d2[len(d2) // 2] if d2 else None,
         "max_decade2": d2[-1] if d2 else None,
         "superlinear_decade2": sorted(
-            n for n, v in rows.items() if (v["decade2_ratio"] or 0) > 10
+            n for n, v in rows.items() if (v.get("decade2_ratio") or 0) > 10
         ),
         "queries": rows,
     }
+    if args.decades >= 3:
+        d3 = sorted(
+            v["decade3_ratio"] for v in rows.values() if v.get("decade3_ratio")
+        )
+        doc["median_decade3"] = d3[len(d3) // 2] if d3 else None
+        doc["max_decade3"] = d3[-1] if d3 else None
+        doc["superlinear_decade3"] = sorted(
+            n for n, v in rows.items() if (v.get("decade3_ratio") or 0) > 10
+        )
     text = json.dumps(doc, indent=1, sort_keys=True)
     if args.out:
         with open(args.out, "w") as f:
