@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from etl4s_spark.operators.dedup import (
     exact_dedup,
@@ -3936,11 +3937,15 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     # the shingle explosion feeds three consumers (sizes + both sides of
-    # the self-join) — materialize once instead of re-exploding per ref
+    # the self-join) — materialize once instead of re-exploding per ref.
+    # DISK_ONLY: the explosion is docs×shingles-sized, and deserialized
+    # MEMORY_AND_DISK block *construction* needs each partition resident
+    # in heap — at 100x corpus (~750M rows) 32 concurrent tasks OOM'd the
+    # local JVM; serialized disk blocks stream, keeping memory bounded
     sh = (
         widen(d.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(shingles).alias("s"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -4252,11 +4257,14 @@ def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # sh feeds sizes + both verify joins — materialize the explosion once
+    # sh feeds sizes + both verify joins — materialize the explosion
+    # once. DISK_ONLY for the same reason as q_audit_lsh_recall: the
+    # docs×shingles explosion OOMs deserialized in-heap block builds at
+    # 100x; serialized disk blocks keep the materialization bounded
     sh = (
         widen(d.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(shingles).alias("s"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
