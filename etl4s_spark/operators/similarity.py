@@ -21,6 +21,8 @@ DuckDB's list_cosine_similarity, which computes in double).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -957,7 +959,7 @@ def semdedup(
     id_col: str,
     vec_col: str,
     centroids: list[list[float]] | None = None,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -980,6 +982,19 @@ def semdedup(
       the quantizer: k is the scale knob (SemDeDup at web scale runs
       k ≈ 10⁴-10⁵ so clusters stay ~10³-10⁴ rows; same posture as
       max_bucket_size on the LSH funnels).
+    - SCALING LAW (r9 probe finding): with a FIXED k, cells grow with
+      the corpus and the pair stage is O(n²/k) — the two-decade probe
+      measured 27×/decade at k=8. A flat quantizer can't be linear:
+      assignment costs n·k dots and pairs cost n²/k, so total work is
+      minimized at k ≈ √n giving O(n^1.5). ``n_clusters=None`` (the
+      default) therefore picks k = max(8, ⌈√n⌉) from one count() —
+      the usable default at any corpus size. Callers needing strict
+      linearity at 100 TB should route to ``embedding_neardup_lsh``
+      (hyperplane buckets: log-cost assignment, bounded buckets,
+      probe-proven ~linear) and reserve semdedup's exact within-cluster
+      sweep for the k they can afford; beyond k ≈ 10⁵, pre-train
+      centroids offline and pass them in rather than collecting the
+      hash-sample seed.
     - the keep rule is a distinct-then-anti-join on the duplicate ids —
       no window, no collect.
 
@@ -987,7 +1002,14 @@ def semdedup(
     src-3/Etl4s.scala) this is engine surface; cosine/round(6) semantics
     match embedding_neardup_pairs so the two dedup tiers agree."""
     if centroids is None:
+        if n_clusters is None:
+            # one count() — model-parameter sizing, same class as the
+            # centroid-seed collect below; √n balances n·k assignment
+            # dots against n²/k within-cell pairs (see docstring)
+            n_clusters = max(8, math.isqrt(max(df.count(), 1) - 1) + 1)
         centroids = ivf_centroids(df, id_col, vec_col, n_cells=n_clusters)
+    elif n_clusters is None:
+        n_clusters = len(centroids)
     spark = df.sparkSession
     cmat = centroid_matrix_frame(spark, centroids)
     assigned = (

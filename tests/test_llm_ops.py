@@ -4,6 +4,8 @@ detection, recall vs brute force, multimodal batch plumbing."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1069,6 +1071,34 @@ def test_semdedup_drops_planted_twins_keeps_lowest_id(spark, sf_dir):
     assert {(r.id, r.cell, r.keep) for r in out2.collect()} == {
         (i, c, k) for i, (c, k) in rows.items()
     }
+
+
+def test_semdedup_auto_k_default(spark, sf_dir):
+    """n_clusters=None sizes the quantizer at k = max(8, ceil(sqrt(n)))
+    (the r9 scale fix: a FIXED default k makes the within-cell pair
+    stage O(n²/k) as the corpus grows). The default must (a) equal the
+    explicit-k run at that k, and (b) still drop planted twins."""
+    from etl4s_spark.operators.similarity import semdedup
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(dup)
+    n = corpus.count()
+    k = max(8, math.isqrt(n - 1) + 1)
+    auto = {(r.id, r.cell, r.keep) for r in semdedup(
+        corpus, "vec_id", "embedding", threshold=0.99
+    ).collect()}
+    explicit = {(r.id, r.cell, r.keep) for r in semdedup(
+        corpus, "vec_id", "embedding", n_clusters=k, threshold=0.99
+    ).collect()}
+    assert auto == explicit
+    kept = {i for i, _, keep in auto if keep}
+    orig_n = e.count()
+    assert all(i + 1000 not in kept for i in range(orig_n) if i in kept)
 
 
 def test_incremental_dedup_semantics(spark):
