@@ -34,10 +34,11 @@ stage has the same Σg² output shape. Its cap is OPT-IN (the operator's
 contract is pairwise exact-score recall, which star-collapse breaks —
 see the operator docstring), so the probe runs the default-uncapped
 lane as the output-bound baseline and a capped_factor8 lane proving the
-opt-in path bounded. semdedup needs no pair cap — ADJUDICATION: its
-OUTPUT is linear (one (id, cell, keep) row per input row; the pairwise
-work is an intermediate bounded by the quantizer k, the documented
-scale knob), so there is no quadratic emission to cap.
+opt-in path bounded. semdedup section (r9): its OUTPUT is linear but
+its WALL at a fixed k is O(n²/k) — the wide two-decade probe measured
+27x/decade at k=8 — so two lanes compare the retired fixed-k8 default
+against the r9 auto default k = ceil(sqrt(n)) (O(n^1.5), the flat-
+quantizer optimum; strict linearity = the embedding-LSH route).
 
 Usage:
     python tools/dedup_cap_probe.py [--sf /root/testdata/sf0.1]
@@ -150,7 +151,44 @@ def main() -> None:
             emb_rows[lane][f"{k}x"] = stats
             print(f"#   {lane} @ {k}x: {stats}", file=sys.stderr)
 
-    for r in list(rows.values()) + list(emb_rows.values()):
+    # semdedup lanes (r9 wide-probe finding: q_dedup_semdedup read
+    # 27x/decade at 10x — the within-cell pair stage is O(n²/k) at fixed
+    # k even though the OUTPUT is linear, so the old "nothing to cap"
+    # adjudication was a claim about emission, not wall). Two lanes over
+    # the same replicated embeddings: the retired fixed default (k=8,
+    # quadratic wall) and the new auto default (k = ceil(sqrt(n)),
+    # O(n^1.5) wall — the flat-quantizer optimum; strict linearity needs
+    # the hyperplane-LSH route measured above).
+    from etl4s_spark.operators.similarity import semdedup
+
+    sem_lanes = {"semdedup_fixed_k8": 8, "semdedup_auto_sqrtk": None}
+    sem_rows: dict[str, dict] = {lane: {} for lane in sem_lanes}
+    for k in (1, 10, 100):
+        vecs = replicated(spark, args.emb_sf, "embeddings", "vec_id", "embedding", k)
+        n = vecs.count()
+        print(f"# semdedup scale {k}x: {n} vecs", file=sys.stderr)
+        for lane, n_clusters in sem_lanes.items():
+            t0 = time.monotonic()
+            agg = (
+                semdedup(
+                    vecs, "vec_id", "embedding",
+                    n_clusters=n_clusters, threshold=0.99,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+                )
+                .first()
+            )
+            stats = {
+                "rows": int(agg["rows"]),
+                "dropped": int(agg["dropped"] or 0),
+                "wall_sec": round(time.monotonic() - t0, 3),
+            }
+            sem_rows[lane][f"{k}x"] = stats
+            print(f"#   {lane} @ {k}x: {stats}", file=sys.stderr)
+
+    for r in list(rows.values()) + list(emb_rows.values()) + list(sem_rows.values()):
         t1, t10, t100 = (r[s]["wall_sec"] for s in ("1x", "10x", "100x"))
         r["decade1_ratio"] = round(t10 / t1, 2) if t1 > 0 else None
         r["decade2_ratio"] = round(t100 / t10, 2) if t10 > 0 else None
@@ -168,18 +206,25 @@ def main() -> None:
         "retired r8 default, kept to show WHY it was retired (it never "
         "binds at g~=100). Embedding: the cap is opt-in (pairwise-recall "
         "contract); emb_default_uncapped is the output-bound baseline, "
-        "emb_capped_factor8 the bounded opt-in lane. semdedup adjudication: "
-        "linear output (one row per input), pairwise work bounded by the "
-        "quantizer k — nothing to cap. truncated_* fields are audit "
+        "emb_capped_factor8 the bounded opt-in lane. semdedup lanes: see "
+        "semdedup_adjudication. truncated_* fields are audit "
         "signals (max per-bucket drop / flagged-pair count), not "
         "dropped-pair totals (ADVICE r8).",
         "lanes": rows,
         "embedding_lanes": emb_rows,
-        "semdedup_adjudication": "no pair emission: output is (id, cell, "
-        "keep) — linear in rows; the within-cell pair join is an "
-        "intermediate whose size is bounded by the quantizer granularity "
-        "k (operators/similarity.py semdedup docstring), the same posture "
-        "as max_bucket_size on the LSH funnels.",
+        "semdedup_lanes": sem_rows,
+        "semdedup_adjudication": "OUTPUT is linear (one (id, cell, keep) "
+        "row per input), but the r9 wide probe showed WALL is O(n²/k) at "
+        "a fixed k (q_dedup_semdedup: 27x/decade at k=8) — the old "
+        "'nothing to cap' note conflated the two. The semdedup_lanes "
+        "measure the retired fixed-k8 default (quadratic) against the r9 "
+        "auto default k = ceil(sqrt(n)) (O(n^1.5), the flat-quantizer "
+        "assignment-vs-pairs balance point). n^1.5 is the best a flat "
+        "quantizer can do; strict-linear 100 TB dedup routes to "
+        "embedding_neardup_lsh (emb lanes above). The oracle query "
+        "q_dedup_semdedup stays pinned at k=8 first-8 centroids for "
+        "cross-engine exactness — it is a correctness instrument, "
+        "adjudicated in SCALING_100X.json.",
     }
     text = json.dumps(doc, indent=1, sort_keys=True)
     if args.out:
@@ -189,7 +234,9 @@ def main() -> None:
             json.dumps(
                 {
                     ln: r.get("decade2_ratio")
-                    for ln, r in list(rows.items()) + list(emb_rows.items())
+                    for ln, r in list(rows.items())
+                    + list(emb_rows.items())
+                    + list(sem_rows.items())
                 }
             )
         )
