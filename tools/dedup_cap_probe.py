@@ -126,9 +126,17 @@ def main() -> None:
             rows[lane][f"{k}x"] = stats
             print(f"#   {lane} @ {k}x: {stats}", file=sys.stderr)
 
+    # r10: the operator default flipped ON — least(10k, 64·g), binding
+    # at g>129 (VERDICT r9 item 1). emb_default_capped64 is what ships;
+    # emb_uncapped_optout is the explicit (None, None) opt-out baseline
+    # whose decade-2 47x is WHY the default flipped; emb_capped_factor8
+    # stays as the text-funnel-factor comparison lane (it would bind at
+    # the test SFs' g=74 propose buckets — too aggressive for angular
+    # regions, see embedding_neardup_lsh docstring).
     emb_lanes = {
-        "emb_default_uncapped": (None, None),
+        "emb_uncapped_optout": (None, None),
         "emb_capped_factor8": (None, 8),
+        "emb_default_capped64": (10_000, 64),
     }
     emb_rows: dict[str, dict] = {lane: {} for lane in emb_lanes}
     for k in (1, 10, 100):
@@ -204,9 +212,14 @@ def main() -> None:
         "the uncapped lane is the output-bound quadratic baseline the "
         "r7/r8 SCALING_100X adjudications describe. abs_10k_only is the "
         "retired r8 default, kept to show WHY it was retired (it never "
-        "binds at g~=100). Embedding: the cap is opt-in (pairwise-recall "
-        "contract); emb_default_uncapped is the output-bound baseline, "
-        "emb_capped_factor8 the bounded opt-in lane. semdedup lanes: see "
+        "binds at g~=100). Embedding (r10): the SHIPPED default is "
+        "emb_default_capped64 — least(10k, 64*g), binding at g>129, above "
+        "every test-SF propose bucket (max g=74) so oracle rows stay "
+        "exhaustive; emb_uncapped_optout is the explicit (None, None) "
+        "opt-out whose decade-2 blow-up is why the default flipped "
+        "(VERDICT r9 item 1); emb_capped_factor8 shows the text funnel's "
+        "factor would bind on ordinary angular-region buckets — too "
+        "aggressive for a propose tier. semdedup lanes: see "
         "semdedup_adjudication. truncated_* fields are audit "
         "signals (max per-bucket drop / flagged-pair count), not "
         "dropped-pair totals (ADVICE r8).",
