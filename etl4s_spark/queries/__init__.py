@@ -107,7 +107,10 @@ def _registration_age() -> dict[str, int]:
 # in r6) landed green hash-match rows in CORRECTNESS_r06.json, so the set
 # is empty again. Re-add any query whose semantics change after its last
 # driver proof, then re-run tools/emit_verify_priority.py.
-_REPROVE_FIRST: frozenset = frozenset()
+# Round 10: q_dedup_embedding_lsh's operator default changed (pair cap
+# ON — output verified identical at all three test SFs, but the shipped
+# semantics changed, so its r-old rows-only proof predates the change).
+_REPROVE_FIRST: frozenset = frozenset({"q_dedup_embedding_lsh"})
 
 
 def load_all() -> None:

@@ -1278,6 +1278,50 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_semdedup_autok",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS id FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000 FROM embeddings
+    )
+    SELECT id, (id < 10000000) AS keep FROM c ORDER BY id
+    """,
+)
+def q_dedup_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's SHIPPED DEFAULT lane — auto k = max(8, ⌈√n⌉) quantizer
+    sizing AND hash-sampled centroids (VERDICT r9 item 3: the pinned-k8
+    q_dedup_semdedup is a cross-engine-exactness instrument; this puts
+    the default path inside the oracle gate). The oracle is a planted
+    CLOSED FORM, not a mirror: every embedding gets a twin at
+    id+10,000,000 carrying the same vector ×2 — cosine exactly 1.0 and
+    the same argmax-dot cell under ANY centroid set (positive scaling
+    preserves dot ordering and ties) — while the corpus' largest
+    non-twin cosine is ≤0.61 at every test SF (measured r10; embeddings
+    are unit-norm, so 0.99 clears it at any clustering). Therefore
+    keep(id) ⟺ id < 10,000,000 REGARDLESS of which centroids the hash
+    sample picks or what k the √n rule returns — the full auto pipeline
+    (count → k → ivf_centroids xxhash64 sample → assignment →
+    within-cell pair scan → lowest-id keep) is exercised and its end
+    decision oracle-checked. `cell` is deliberately not emitted (it IS
+    centroid-dependent). Offset 10M is collision-safe through 1000×
+    key-shift replication (max shifted vec_id ≈ 2M). Scale: auto-k is
+    the O(n^1.5) flat-quantizer optimum — see semdedup docstring and
+    DEDUP_CAP_PROBE's semdedup_auto_sqrtk lane (4.2×/decade)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = e.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = e.unionByName(twin)
+    return (
+        semdedup(corpus, "vec_id", "embedding", threshold=0.99)
+        .select("id", "keep")
+        .orderBy("id")
+    )
+
+
+@query(
     "q_dedup_incremental",
     oracle=f"""
     WITH fp AS (

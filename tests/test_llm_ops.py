@@ -1147,6 +1147,30 @@ def test_semdedup_auto_k_default(spark, sf_dir):
     assert all(i in kept and i + 1000 not in kept for i in range(orig_n))
 
 
+def test_semdedup_autok_query_closed_form(spark, sf_dir):
+    """q_dedup_semdedup_autok's oracle is a planted closed form, not a
+    computation mirror (VERDICT r9 item 6: mirrored oracles alone let
+    shared-formula bugs through). Pin the closed form here directly —
+    keep(id) ⟺ id < 10,000,000 — AND its data precondition: the
+    corpus' largest non-twin cosine must sit clearly below the 0.99
+    threshold, so the keep decision is centroid-independent. If testdata
+    regeneration ever plants ≥0.99 non-twin pairs, this fails loudly
+    instead of the oracle going intermittently red."""
+    from etl4s_spark.operators.similarity import embedding_neardup_pairs
+    from etl4s_spark.queries.llm import q_dedup_semdedup_autok
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    # precondition: no non-twin pair can reach the threshold
+    hot = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.99)
+    assert hot.count() == 0, "testdata now has >=0.99 non-twin pairs"
+
+    rows = {r.id: r.keep for r in q_dedup_semdedup_autok(spark, sf_dir).collect()}
+    assert len(rows) == 2 * n
+    assert all(keep == (i < 10_000_000) for i, keep in rows.items())
+
+
 def test_incremental_dedup_semantics(spark):
     """In-batch first-wins + history-wins, and the returned fingerprint
     column matches what the history index stores."""
