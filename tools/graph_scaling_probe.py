@@ -38,6 +38,9 @@ decade ratio slightly above 10 on decade 2 means "rounds grew", not
 Usage:
     python tools/graph_scaling_probe.py [-o GRAPH_SCALING.json]
         [--base-edges 30000]   # ~10-20 min, run ALONE (timing-sensitive)
+        [--decades 3]          # adds a 1000x scale (30M edges) — VERDICT
+                               # r9 item 4's third decade for the
+                               # iterative graph family; ~45-90 min
 """
 
 from __future__ import annotations
@@ -81,6 +84,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-edges", type=int, default=30_000)
     ap.add_argument("-o", "--out", default=None)
+    ap.add_argument(
+        "--decades",
+        type=int,
+        default=2,
+        choices=(2, 3),
+        help="2 = 1x/10x/100x (default); 3 adds a 1000x scale — 30M edges "
+        "/ 3.75M nodes at the default base (VERDICT r9 item 4: the 1000x "
+        "panel had no graph operator; iterative round counts grow with "
+        "log(diameter), so the third decade is where they show)",
+    )
     args = ap.parse_args()
 
     from etl4s_spark.operators.dedup import (
@@ -99,7 +112,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[str, float]] = {}
-    scales = [1, 10, 100]
+    scales = [10**i for i in range(args.decades + 1)]
     for k in scales:
         n_edges = args.base_edges * k
         print(f"# scale {k}x: {n_edges} edges", file=sys.stderr)
@@ -142,9 +155,9 @@ def main() -> None:
             print(f"#   {name} @ {k}x: {t}s", file=sys.stderr)
 
     for name, row in results.items():
-        t1, t10, t100 = row["t_1x_sec"], row["t_10x_sec"], row["t_100x_sec"]
-        row["decade1_ratio"] = round(t10 / t1, 2) if t1 > 0 else None
-        row["decade2_ratio"] = round(t100 / t10, 2) if t10 > 0 else None
+        for i in range(1, len(scales)):
+            lo, hi = row[f"t_{scales[i - 1]}x_sec"], row[f"t_{scales[i]}x_sec"]
+            row[f"decade{i}_ratio"] = round(hi / lo, 2) if lo > 0 else None
 
     doc = {
         "base_edges": args.base_edges,
@@ -161,7 +174,12 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
-        print(json.dumps({n: r.get("decade2_ratio") for n, r in results.items()}))
+        last = len(scales) - 1
+        print(
+            json.dumps(
+                {n: r.get(f"decade{last}_ratio") for n, r in results.items()}
+            )
+        )
     else:
         print(text)
 

@@ -100,18 +100,40 @@ def main() -> None:
     dirs = {1: args.sf}
     for k in scales[1:]:
         dst = f"/tmp/etl4s_scaling100_k{k}"
-        if args.reuse and all(
+        # provenance manifest (ADVICE r9): --reuse must not silently
+        # accept a stale dir built from a DIFFERENT --sf base or
+        # composition chain — that would skew committed probe evidence.
+        manifest_path = f"{dst}/_etl4s_manifest.json"
+        manifest = {"base_sf": os.path.abspath(args.sf), "scale_k": k}
+        have_all = all(
             os.path.exists(f"{dst}/{t}.parquet/_SUCCESS") for t in all_tables
-        ):
+        )
+        have_provenance = False
+        if have_all and os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    have_provenance = json.load(f) == manifest
+            except (OSError, ValueError):
+                have_provenance = False
+        if args.reuse and have_all and have_provenance:
             print(f"# reusing existing {k}x copy at {dst}", file=sys.stderr)
         else:
+            if args.reuse and have_all:
+                print(
+                    f"# NOT reusing {dst}: manifest missing or built from a "
+                    f"different base — rebuilding",
+                    file=sys.stderr,
+                )
             # compose from the previous decade's dir (10 unions of 10x is
             # the same replication as 100 unions of 1x, with a shallower
             # plan) — key shifts recompute from the source dir's maxes, so
             # referential integrity is preserved through composition
             src = dirs[k // 10]
             print(f"# building {k}x copy at {dst} (10x of {src})", file=sys.stderr)
+            shutil.rmtree(dst, ignore_errors=True)
             build_scaled(spark, src, dst, 10)
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f)
         dirs[k] = dst
 
     try:
@@ -160,11 +182,16 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             f.write(text + "\n")
-        print(
-            json.dumps(
-                {k: doc[k] for k in ("median_decade2", "max_decade2", "superlinear_decade2")}
-            )
-        )
+        summary_keys = ["median_decade2", "max_decade2", "superlinear_decade2"]
+        if args.decades >= 3:
+            # ADVICE r9: the decade-3 headline keys were written to the
+            # file but omitted from the console line batch logs capture
+            summary_keys += [
+                "median_decade3",
+                "max_decade3",
+                "superlinear_decade3",
+            ]
+        print(json.dumps({k: doc[k] for k in summary_keys}))
     else:
         print(text)
 
