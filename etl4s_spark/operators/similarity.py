@@ -376,7 +376,7 @@ def embedding_neardup_lsh(
     vec_col: str,
     dim: int,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1000,
@@ -423,6 +423,22 @@ def embedding_neardup_lsh(
     audit column (0 = that pair saw no capping; max-not-sum across
     buckets, an audit magnitude, not a count).
 
+    Angular resolution (``n_planes``) auto-sizes with the corpus when
+    None (the default, r10 — same pattern as semdedup's auto-k):
+    n_planes = max(8, ⌈log₂(n/256)⌉) from one count(), keeping the
+    EXPECTED bucket near 256 members as the corpus grows. A fixed plane
+    count has a recall CLIFF at scale: buckets are angular regions of
+    size ≈ n/2^planes, so once n exceeds max_bucket_size·2^planes every
+    bucket overflows and is dropped — recall silently goes to ZERO
+    (measured: the registry's pinned 6-plane config drops all buckets
+    at 100× of sf0.1). Auto-sizing binds only above n = 256·2⁸ ≈ 65k
+    vectors, so every test-SF default call is byte-identical to the old
+    fixed-8 behavior. Identical (or positively-scaled) duplicates share
+    every signature at ANY plane count, so true-duplicate recall is
+    plane-count-invariant; weakly-similar recall per table falls as
+    planes grow — compensate with ``n_tables`` (the recall knob that
+    does not grow buckets), or pin ``n_planes`` explicitly.
+
     The default factor is 64, NOT the text funnel's 8, deliberately:
     hyperplane buckets are angular REGIONS (2^n_planes of them per
     table), so large buckets of merely-similar vectors are the propose
@@ -443,6 +459,11 @@ def embedding_neardup_lsh(
     bucket) but not guaranteed pairwise emission. Pass
     ``max_pairs_per_bucket=None, pair_cap_factor=None`` to opt back
     into exhaustive pairwise emission for bounded slices."""
+    if n_planes is None:
+        # one count() — model-parameter sizing, same class as semdedup's
+        # auto-k; keeps expected bucket ≈ 256 so buckets neither explode
+        # quadratically nor overflow max_bucket_size into zero recall
+        n_planes = max(8, math.ceil(math.log2(max(df.count(), 1) / 256)))
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
     buckets = hyperplane_buckets(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed

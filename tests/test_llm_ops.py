@@ -1147,6 +1147,32 @@ def test_semdedup_auto_k_default(spark, sf_dir):
     assert all(i in kept and i + 1000 not in kept for i in range(orig_n))
 
 
+def test_embedding_lsh_auto_planes_default(spark, sf_dir):
+    """n_planes=None auto-sizes angular resolution at
+    max(8, ceil(log2(n/256))) — binding only above ~65k vectors, so on
+    any test corpus the default must be BYTE-IDENTICAL to the old
+    fixed-8 behavior (the scale rationale: a fixed plane count drops
+    every bucket once n > max_bucket_size·2^planes — zero recall; see
+    operator docstring)."""
+    from etl4s_spark.operators.similarity import embedding_neardup_lsh
+    from etl4s_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    auto = {
+        (r.id_a, r.id_b, r.cos_sim, r.truncated)
+        for r in embedding_neardup_lsh(
+            e, "vec_id", "embedding", dim=64, threshold=0.9
+        ).collect()
+    }
+    fixed = {
+        (r.id_a, r.id_b, r.cos_sim, r.truncated)
+        for r in embedding_neardup_lsh(
+            e, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=8
+        ).collect()
+    }
+    assert auto == fixed
+
+
 def test_semdedup_autok_query_closed_form(spark, sf_dir):
     """q_dedup_semdedup_autok's oracle is a planted closed form, not a
     computation mirror (VERDICT r9 item 6: mirrored oracles alone let
