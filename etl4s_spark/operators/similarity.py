@@ -370,6 +370,17 @@ def hyperplane_buckets(
     )
 
 
+def auto_planes(n: int, target_bucket: int = 256) -> int:
+    """Angular-resolution sizing for hyperplane LSH: the plane count
+    that keeps the EXPECTED bucket near ``target_bucket`` members —
+    max(8, ⌈log₂(n/target_bucket)⌉). Floor 8 keeps small corpora on the
+    historical fixed-8 behavior (binds only above n ≈ 65k at the
+    default target); see embedding_neardup_lsh's docstring for the
+    recall-cliff rationale. Pure function so the boundary is unit-
+    testable without building a 65k-vector corpus."""
+    return max(8, math.ceil(math.log2(max(n, 1) / target_bucket)))
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str,
@@ -463,7 +474,7 @@ def embedding_neardup_lsh(
         # one count() — model-parameter sizing, same class as semdedup's
         # auto-k; keeps expected bucket ≈ 256 so buckets neither explode
         # quadratically nor overflow max_bucket_size into zero recall
-        n_planes = max(8, math.ceil(math.log2(max(df.count(), 1) / 256)))
+        n_planes = auto_planes(df.count())
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("__v"))
     buckets = hyperplane_buckets(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed

@@ -1173,6 +1173,23 @@ def test_embedding_lsh_auto_planes_default(spark, sf_dir):
     assert auto == fixed
 
 
+def test_auto_planes_boundaries():
+    """The auto angular-resolution formula's exact boundaries, pinned
+    without building a 65k-vector corpus (the sizing is a pure
+    function): floor 8 up to n = 256·2⁸ = 65,536, then one plane per
+    doubling — the probe-measured regime (EMB_DEFAULT_SCALING.json)."""
+    from etl4s_spark.operators.similarity import auto_planes
+
+    assert auto_planes(0) == 8
+    assert auto_planes(1) == 8
+    assert auto_planes(2_000) == 8  # every test SF stays on fixed-8
+    assert auto_planes(65_536) == 8  # exact boundary
+    assert auto_planes(65_537) == 9  # first binding corpus size
+    assert auto_planes(200_000) == 10
+    assert auto_planes(2_000_000) == 13
+    assert auto_planes(10**9) == 22  # 1B vectors → ~256-member buckets
+
+
 def test_semdedup_autok_query_closed_form(spark, sf_dir):
     """q_dedup_semdedup_autok's oracle is a planted closed form, not a
     computation mirror (VERDICT r9 item 6: mirrored oracles alone let
