@@ -29,12 +29,16 @@ repeats that bucket's drop count). The probe therefore records
 `pairs_with_truncation` (how many emitted pairs are flagged) and
 `truncated_max` (the largest single-bucket drop seen), never a sum.
 
-Embedding section (VERDICT r8 item 6): embedding_neardup_lsh's propose
-stage has the same Σg² output shape. Its cap is OPT-IN (the operator's
-contract is pairwise exact-score recall, which star-collapse breaks —
-see the operator docstring), so the probe runs the default-uncapped
-lane as the output-bound baseline and a capped_factor8 lane proving the
-opt-in path bounded. semdedup section (r9): its OUTPUT is linear but
+Embedding section (VERDICT r8 item 6, default flipped ON in r10 —
+VERDICT r9 item 1): embedding_neardup_lsh's propose stage has the same
+Σg² output shape. The probe runs the SHIPPED default lane
+(emb_default_capped64: least(10k, 64·g), binding at g>129 — above the
+angular propose buckets the test SFs produce), the explicit
+(None, None) opt-out as the output-bound baseline, and a factor-8 lane
+showing the text funnel's factor is too aggressive for angular-region
+buckets. EMB_DEFAULT_SCALING.json extends the default lane to 2M
+vectors where auto-plane sizing engages. semdedup section (r9): its
+OUTPUT is linear but
 its WALL at a fixed k is O(n²/k) — the wide two-decade probe measured
 27x/decade at k=8 — so two lanes compare the retired fixed-k8 default
 against the r9 auto default k = ceil(sqrt(n)) (O(n^1.5), the flat-
