@@ -323,24 +323,47 @@ def dedup_funnel(
     ``max_pairs_per_bucket=None, pair_cap_factor=None``. Both behaviors
     are pinned by tests/test_llm_ops.py::test_capped_funnel_semantics.
     No test SF binds the default cap, so oracle results are exact."""
-    cands = minhash_lsh_candidates(
-        df,
-        id_col,
-        text_col,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_k=shingle_k,
-        max_pairs_per_bucket=max_pairs_per_bucket,
-        pair_cap_factor=pair_cap_factor,
-    ).select("id_a", "id_b", "truncated")
+    # Materialize the candidate pairs ONCE: they are read three times
+    # below (the needed-doc derivation and the two verify joins), they
+    # are pair-sized — LINEAR under the default cap — and without the
+    # checkpoint each reference would re-run the whole minhash pipeline
+    # (the r5 shared-subplan lesson; Spark shares no common subplans).
+    cands = (
+        minhash_lsh_candidates(
+            df,
+            id_col,
+            text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            max_pairs_per_bucket=max_pairs_per_bucket,
+            pair_cap_factor=pair_cap_factor,
+        )
+        .select("id_a", "id_b", "truncated")
+        .localCheckpoint(eager=True)
+    )
     # Verify per candidate pair: attach each side's distinct-shingle SET
     # via plain equi-joins, then exact Jaccard via array_intersect.
     # |A∪B| = |A|+|B|−|A∩B|. No broadcast hint on the candidate set: at
     # corpus scale the candidate pairs are an unbounded intermediate, so
     # pinning them to driver/executor memory is a scale-killer — AQE
     # broadcasts automatically when the set is genuinely small.
+    #
+    # Shingle ONLY the docs that appear in a candidate pair (r10): the
+    # shingle derivation is the funnel's dominant scan-stage cost and
+    # candidates are typically a small fraction of the corpus, so the
+    # semi-join shrink BELOW the shingle projection cuts the funnel's
+    # corpus-wide shingling passes from 3 (minhash + both verify sides)
+    # to 1 + ε. AQE broadcasts the distinct candidate-id set when small,
+    # pushing the filter into the doc scan — no text bytes shuffle.
+    need = (
+        cands.select(F.col("id_a").alias("doc"))
+        .unionByName(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
     sh_df = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .join(need, "doc", "semi")
         .withColumn("__norm", normalize_text(F.col("__text")))
         .withColumn("__w", F.split(F.col("__norm"), " "))
         .select(
