@@ -323,25 +323,28 @@ def dedup_funnel(
     ``max_pairs_per_bucket=None, pair_cap_factor=None``. Both behaviors
     are pinned by tests/test_llm_ops.py::test_capped_funnel_semantics.
     No test SF binds the default cap, so oracle results are exact."""
-    # Materialize the candidate pairs ONCE: they are read three times
-    # below (the needed-doc derivation and the two verify joins), they
-    # are pair-sized — LINEAR under the default cap — and without the
-    # checkpoint each reference would re-run the whole minhash pipeline
-    # (the r5 shared-subplan lesson; Spark shares no common subplans).
-    cands = (
-        minhash_lsh_candidates(
-            df,
-            id_col,
-            text_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            max_pairs_per_bucket=max_pairs_per_bucket,
-            pair_cap_factor=pair_cap_factor,
-        )
-        .select("id_a", "id_b", "truncated")
-        .localCheckpoint(eager=True)
-    )
+    capped = max_pairs_per_bucket is not None or pair_cap_factor is not None
+    cands = minhash_lsh_candidates(
+        df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_pairs_per_bucket=max_pairs_per_bucket,
+        pair_cap_factor=pair_cap_factor,
+    ).select("id_a", "id_b", "truncated")
+    if capped:
+        # Materialize the candidate pairs ONCE: they are read three
+        # times below (the needed-doc derivation and the two verify
+        # joins), they are pair-sized — LINEAR under the cap — and
+        # without it each reference would re-run the whole minhash
+        # pipeline (the r5 shared-subplan lesson). persist, NOT
+        # localCheckpoint: lineage is kept, so an executor loss on a
+        # real cluster recomputes the lost blocks instead of failing
+        # the job; the driver-side ContextCleaner unpersists when the
+        # plan is garbage-collected.
+        cands = cands.persist()
     # Verify per candidate pair: attach each side's distinct-shingle SET
     # via plain equi-joins, then exact Jaccard via array_intersect.
     # |A∪B| = |A|+|B|−|A∩B|. No broadcast hint on the candidate set: at
@@ -355,16 +358,22 @@ def dedup_funnel(
     # semi-join shrink BELOW the shingle projection cuts the funnel's
     # corpus-wide shingling passes from 3 (minhash + both verify sides)
     # to 1 + ε. AQE broadcasts the distinct candidate-id set when small,
-    # pushing the filter into the doc scan — no text bytes shuffle.
-    need = (
-        cands.select(F.col("id_a").alias("doc"))
-        .unionByName(cands.select(F.col("id_b").alias("doc")))
-        .distinct()
-    )
+    # pushing the filter into the doc scan — no text bytes shuffle. On
+    # the explicit OPT-OUT path (both cap knobs None) the candidate set
+    # is Σg²-sized, so neither the persist above nor this shrink's third
+    # reference to it is safe — keep the pre-r10 single-reference shape
+    # (shingle the whole corpus per side) there instead of pinning a
+    # quadratic intermediate.
+    base_docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    if capped:
+        need = (
+            cands.select(F.col("id_a").alias("doc"))
+            .unionByName(cands.select(F.col("id_b").alias("doc")))
+            .distinct()
+        )
+        base_docs = base_docs.join(need, "doc", "semi")
     sh_df = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
-        .join(need, "doc", "semi")
-        .withColumn("__norm", normalize_text(F.col("__text")))
+        base_docs.withColumn("__norm", normalize_text(F.col("__text")))
         .withColumn("__w", F.split(F.col("__norm"), " "))
         .select(
             "doc",

@@ -1076,13 +1076,16 @@ def semdedup(
         )
         .withColumn("__n", l2_norm(F.col("__v")))
         # materialize ONCE: the pair stage reads this relation twice and
-        # the keep join a third time — without the checkpoint Spark
+        # the keep join a third time — without the materialization Spark
         # shares no common subplans and re-runs the n·k assignment dots
         # per branch (r10 measurement: 140s → 85s at a 200k-vector 100×,
         # 2.36 → 1.58s at sf0.1; the r5 shared-subplan lesson, BASELINE).
         # Input-row-sized (id, cell, vec, norm — no explosion), so the
         # default storage level is fine per the FIXTURES DISK_ONLY rule.
-        .localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: lineage is kept, so an executor
+        # loss on a real cluster recomputes lost blocks instead of
+        # failing the job; ContextCleaner unpersists on plan GC.
+        .persist()
     )
     a = assigned.select(
         F.col("cell").alias("__ca"),

@@ -11,11 +11,15 @@ dup-heavy regime that makes the PAIR CAP bind too) and runs the
 operator with EVERY knob at its default:
 
   n_planes=None        → auto: 8 / 8 / 10 / 13 planes
-  pair cap (10k, 64·g) → star-collapse on overflowing buckets
-  max_bucket_size=1000 → replication groups of 1000 (the 1000× lane)
-                         are boilerplate mega-buckets and get dropped
-                         BY CONTRACT — the probe records pair counts so
-                         that behavior is visible, not hidden
+  pair cap (10k, 64·g) → star-collapse on overflowing buckets — at
+                         1000× this is what bounds the g=1000 dup
+                         groups (size(ids) <= max_bucket_size KEEPS
+                         exactly-1000 buckets; they star-collapse to
+                         999 flagged hub pairs each)
+  max_bucket_size=1000 → would drop only buckets STRICTLY larger —
+                         none in these compositions; the probe records
+                         pair counts so the binding mechanism is
+                         visible, not assumed
 
 Reading the output: decadeN_ratio ≤ 10 per decade is linear-or-better;
 `n_planes_used` shows the auto-sizer's choice; `pairs` vs
@@ -80,23 +84,20 @@ def main() -> None:
         n = vecs.count()
         planes = auto_planes(n)
         t0 = time.monotonic()
-        agg = (
+        # same pairs/pairs_with_truncation/truncated_max triple as every
+        # other cap probe — shared helper so the audit-column semantics
+        # can't drift between probes (r10 review finding)
+        from tools.dedup_cap_probe import _trunc_stats
+
+        stats = _trunc_stats(
             embedding_neardup_lsh(
                 vecs, "vec_id", "embedding", dim=64, threshold=0.99
             )
-            .agg(
-                F.count(F.lit(1)).alias("pairs"),
-                F.sum((F.col("truncated") > 0).cast("long")).alias("flagged"),
-                F.max("truncated").alias("truncated_max"),
-            )
-            .first()
         )
         rows[f"{k}x"] = {
             "n_vectors": n,
             "n_planes_used": planes,
-            "pairs": int(agg["pairs"]),
-            "pairs_with_truncation": int(agg["flagged"] or 0),
-            "truncated_max": int(agg["truncated_max"] or 0),
+            **stats,
             "wall_sec": round(time.monotonic() - t0, 3),
         }
         print(f"# {k}x: {rows[f'{k}x']}", file=sys.stderr)
@@ -112,12 +113,14 @@ def main() -> None:
         "note": "embedding_neardup_lsh with EVERY knob at its shipped r10 "
         "default over k x-replicated sf0.1 embeddings (each vector gains k "
         "signature-identical copies). n_planes_used records the auto-sizer's "
-        "choice — the ≥100x lanes are the first probes above the 65k "
-        "auto-plane boundary. Replication groups of size ≥ max_bucket_size "
-        "(the 1000x lane's g=1000 groups) are dropped as boilerplate "
-        "mega-buckets BY CONTRACT, so that lane times the non-dup propose "
-        "fabric at 2M vectors rather than quadratic dup emission; mid-size "
-        "groups star-collapse under the least(10k, 64g) cap "
+        "choice — the >=100x lanes are the first probes above the 65k "
+        "auto-plane boundary. Measured binding mechanism at 1000x: each "
+        "distinct vector's 1000 copies share one signature and, at 13 "
+        "planes, rarely collide with anything else, so buckets are exactly "
+        "the g=1000 dup groups — INSIDE max_bucket_size (the <= filter "
+        "keeps them; only strictly-larger buckets drop), star-collapsed by "
+        "the least(10k, 64g) cap to 999 flagged hub pairs per group: the "
+        "cap, not the bucket-drop, bounds the dup-heavy regime "
         "(pairs_with_truncation counts the flagged survivors).",
         "lanes": rows,
     }

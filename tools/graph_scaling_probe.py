@@ -167,7 +167,13 @@ def main() -> None:
         "edge count (constant avg degree); decadeN_ratio = wall per 10x "
         "decade; iterative round-count growth adds a log factor on top "
         "of linear work, so <=~12 on decade 2 is healthy, >>10 with "
-        "flat rounds flags superlinear work",
+        "flat rounds flags superlinear work. Decade 3 (--decades 3) is "
+        "where round growth actually shows: apply the same <=~12 bound "
+        "PER DECADE but read it against measured round counts — a >10 "
+        "decade-3 ratio with FLAT rounds over an overhead-bound "
+        "denominator is a timing artifact (adjudicate with the round "
+        "count, as GRAPH_SCALING's k_core entry does), while >10 with "
+        "GROWING rounds is the log factor and >>12 is superlinear work",
         "operators": results,
     }
     text = json.dumps(doc, indent=1, sort_keys=True)
