@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.pair_emission import locality_chain_combos
 from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.operators.pinning import pin_slot
 from etl4s_spark.operators.text import (
@@ -130,31 +131,41 @@ def minhash_lsh_candidates(
     SCALING_100X probe measured exactly that on a k×-replicated corpus
     (256 → 250,600 true pairs at 10×). The pair cap is the production
     guardrail (VERDICT r7 item 2): any bucket whose full combination
-    count g(g−1)/2 exceeds its effective cap emits only its STAR pairs —
-    docs[0] (the bucket's minimum id) paired with every other member,
-    g−1 rows. The effective per-bucket cap is
+    count g(g−1)/2 exceeds its effective cap emits the HUB-ANCHORED
+    LOCALITY CHAIN instead (r11, operators/pair_emission.py —
+    previously the pure hub star, which spent only g−1 of a ~cap
+    budget): members sort by (the NEXT band's hash, doc id), each pairs
+    with its next c−1 neighbors (c = max(1, ⌊cap/g⌋)) and the hub pairs
+    with every member beyond its window — c·g − c(c+1)/2 ≤ cap pairs,
+    diameter ≤ 2.
+    The effective per-bucket cap is
     ``least(max_pairs_per_bucket, pair_cap_factor·g)`` (whichever knobs
     are non-None): the SIZE-RELATIVE term is what makes the cap bind
     where it matters (VERDICT r8 item 2 — a fixed 10k cap only binds on
     buckets of g>141, letting a corpus of g≈100 dup groups emit ~24M of
     27M quadratic pairs; ``pair_cap_factor=8`` bounds every bucket to at
     most 8× linear output, binding at g>17), while the absolute term
-    backstops pathological factor choices. The star keeps every bucket
-    member connected through its hub, so CONNECTED COMPONENTS over the
-    capped CANDIDATE pair set are IDENTICAL to components over the
-    uncapped set (a clique and its spanning star have the same
-    component; pinned by test_minhash_pair_cap_bounds_mega_cluster and
+    backstops pathological factor choices. Every member stays adjacent
+    to the hub (via its chain window or the hub's star tail), so the
+    capped bucket subgraph has diameter ≤ 2 and CONNECTED COMPONENTS
+    over the capped CANDIDATE pair set are IDENTICAL to components
+    over the uncapped set (the invariant the star gave;
+    pinned by test_minhash_pair_cap_bounds_mega_cluster and
     test_capped_funnel_semantics) — group-collapse consumers
     (connected_components* / dedup_by_components) lose nothing, while
-    output per bucket drops from quadratic to linear. NOTE this identity
-    is a property of the candidate graph only: a downstream PAIRWISE
-    verifier (dedup_funnel) scores hub pairs it would otherwise never
-    see and misses member–member pairs it would — see dedup_funnel's
-    recall accounting. The ``truncated`` audit column carries, per
-    emitted pair, the LARGEST single-bucket dropped-pair count among the
+    output per bucket drops from quadratic to ≤ cap. The locality key
+    costs nothing (the next band's hash is already computed) and puts
+    Jaccard-similar docs adjacent with probability sim^rows_per_band
+    per fine band, so a true pair inside a capped bucket usually lands
+    within the emission window — pairwise recall far above the hub
+    star's, though still a LOWER BOUND: a downstream PAIRWISE verifier
+    (dedup_funnel) can miss member–member pairs whose rank distance
+    exceeds c in every emitting bucket — see dedup_funnel's recall
+    accounting. The ``truncated`` audit column carries, per emitted
+    pair, the LARGEST single-bucket dropped-pair count among the
     buckets that emitted it (0 when nothing was capped) — a per-pair
     audit signal, NOT additive: summing it across pairs over-counts
-    (every star pair of a capped bucket repeats that bucket's drop
+    (every chain pair of a capped bucket repeats that bucket's drop
     count). ``truncated > 0`` is the mechanical "this pair's bucket was
     capped" test. Pass ``max_pairs_per_bucket=None, pair_cap_factor=None``
     to opt back into exhaustive pair emission (``truncated`` is then
@@ -163,7 +174,7 @@ def minhash_lsh_candidates(
     are exhaustive.
 
     n_shared_bands counts the buckets in which the pair was EMITTED; for
-    pairs inside a star-collapsed bucket that do not involve the hub,
+    pairs inside a capped bucket that fall outside its emission window,
     that bucket does not contribute (they may still be emitted by other,
     uncapped buckets).
     """
@@ -200,73 +211,59 @@ def minhash_lsh_candidates(
         "doc", *[f"xxhash64(s, {p}) AS h{p}" for p in range(num_perm)]
     ).groupBy("doc").agg(*[F.expr(f"min(h{p}) AS h{p}") for p in range(num_perm)])
     # Band b's key = hash of its rows_per_band signature columns — a
-    # plain codegen'd projection; explode to (doc, band_idx, band_hash).
-    band_structs = ", ".join(
-        "named_struct('band_idx', {b}, 'band_hash', xxhash64(concat_ws(',', {cols})))".format(
+    # plain codegen'd projection computed ONCE per band (bh{b}), then
+    # exploded to (doc, band_idx, band_hash, fine). ``fine`` is the NEXT
+    # band's hash — the free locality key for hub-anchored chain emission
+    # (operators/pair_emission.py): Jaccard-similar docs share any one
+    # band's hash w.p. sim^rows_per_band, so within a capped bucket
+    # they sort adjacent and stay inside the emission window.
+    bh_cols = [
+        "xxhash64(concat_ws(',', {cols})) AS bh{b}".format(
             b=b,
             cols=", ".join(
                 f"CAST(h{b * rows_per_band + r} AS STRING)" for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
+    ]
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_hash', bh{b}, "
+        f"'fine', bh{(b + 1) % bands})"
+        for b in range(bands)
     )
-    banded = sig_df.select(
-        "doc", F.expr(f"explode(array({band_structs}))").alias("band")
-    ).select("doc", "band.band_idx", "band.band_hash")
+    banded = (
+        sig_df.selectExpr("doc", *bh_cols)
+        .select("doc", F.expr(f"explode(array({band_structs}))").alias("band"))
+        .select("doc", "band.band_idx", "band.band_hash", "band.fine")
+    )
 
     # Pairs via bucket grouping, NOT a self-join: a self-join would
     # recompute the whole signature pipeline for both sides. One shuffle
-    # groups docs per band key; each bucket emits its doc-pair
-    # combinations (docs sorted, so id_a < id_b); a final shuffle counts
-    # shared bands per pair. Buckets larger than max_bucket_size are
-    # dropped — they are boilerplate mega-clusters whose quadratic pair
-    # blow-up is never wanted, and the cap bounds per-task memory at any
-    # scale. Buckets whose combination count exceeds the effective pair
-    # cap (least of the absolute and size-relative terms) star-collapse:
-    # hub = docs[0] (minimum id), pairs = hub × rest —
-    # candidate-component-identical, linear output (see docstring).
-    docs_arr = F.col("docs")
-    all_combos = F.flatten(
-        F.transform(
-            docs_arr,
-            lambda x, i: F.transform(
-                F.slice(
-                    docs_arr,
-                    i + 2,
-                    F.greatest(F.size(docs_arr) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # groups docs per band key; each bucket emits its pair combinations
+    # (canonical id_a < id_b); a final shuffle counts shared bands per
+    # pair. Buckets larger than max_bucket_size are dropped — they are
+    # boilerplate mega-clusters whose quadratic pair blow-up is never
+    # wanted, and the cap bounds per-task memory at any scale. Buckets
+    # whose combination count exceeds the effective pair cap emit the
+    # hub-anchored locality chain instead (pair_emission.py): members
+    # sort by (next band's hash, doc id), each pairs with its next c−1
+    # neighbors (c = max(1, cap//g)) and the hub with everything beyond
+    # its window — candidate-component-identical, diameter ≤ 2, ≤ cap
+    # output, far higher pairwise recall than the pre-r11 pure star
+    # (see module docstring of pair_emission).
+    combos, dropped = locality_chain_combos(
+        F.col("members"), max_pairs_per_bucket, pair_cap_factor
     )
-    n = F.size(docs_arr).cast("long")
-    full_pairs = n * (n - F.lit(1)) / F.lit(2)  # double, but exact ≤ 2^52
-    cap_terms = []
-    if max_pairs_per_bucket is not None:
-        cap_terms.append(F.lit(float(max_pairs_per_bucket)))
-    if pair_cap_factor is not None:
-        cap_terms.append(F.lit(float(pair_cap_factor)) * n)
-    if cap_terms:
-        star = F.transform(
-            F.slice(docs_arr, 2, F.greatest(F.size(docs_arr) - 1, F.lit(0))),
-            lambda y: F.struct(
-                F.element_at(docs_arr, 1).alias("id_a"), y.alias("id_b")
-            ),
-        )
-        overflow = full_pairs > (
-            cap_terms[0] if len(cap_terms) == 1 else F.least(*cap_terms)
-        )
-        combos = F.when(overflow, star).otherwise(all_combos)
-        dropped = F.when(
-            overflow, (full_pairs - (n - F.lit(1))).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        combos = all_combos
-        dropped = F.lit(0).cast("long")
     pairs = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("fine").alias("fine"), F.col("doc").alias("id"))
+                )
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
         .select(F.explode(combos).alias("p"), dropped.alias("__dropped"))
         .groupBy("p.id_a", "p.id_b")
         .agg(
@@ -305,17 +302,19 @@ def dedup_funnel(
     Σg²-sized there, and shingles the whole corpus per verify side
     instead). This is the standard corpus-dedup architecture
     (propose cheaply, verify exactly). The candidate stage inherits the
-    minhash_lsh_candidates pair cap: mega-buckets star-collapse, so the
-    verifier's input — and therefore the funnel's output — stays linear
-    in duplicate-group size.
+    minhash_lsh_candidates pair cap: overflowing buckets emit the
+    hub-anchored locality chain (r11, pair_emission.py — ≤ cap pairs), so
+    the verifier's input — and therefore the funnel's output — stays
+    bounded at cap × buckets regardless of duplicate-group size.
 
     RECALL ACCOUNTING UNDER A BINDING CAP (VERDICT r8 item 3 / ADVICE
-    r8): star-collapse preserves connected COMPONENTS of the raw
+    r8): hub-anchored chain emission preserves connected COMPONENTS of the raw
     candidate graph, but this funnel verifies PAIRWISE — so when a
-    bucket was capped, (a) member–member pairs that only co-occurred in
-    capped buckets are never scored, and (b) a member whose hub-Jaccard
-    falls below ``min_jaccard`` loses its only link even if some
-    member–member Jaccard is above it. The output is therefore a LOWER
+    bucket was capped, non-hub pairs whose locality-order rank distance
+    exceeds c−1 in every emitting bucket are never scored (the
+    locality key makes this rare for truly similar pairs — they share
+    band hashes and sort adjacent — but not impossible). The output is
+    therefore a LOWER
     BOUND of the true ≥ min_jaccard pair set whenever any surviving
     pair carries ``truncated > 0`` (the audit column is propagated from
     the candidate stage precisely so consumers can detect this

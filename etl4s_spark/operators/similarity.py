@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.pair_emission import locality_chain_combos
 from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.operators.pinning import pin_slot
 
@@ -475,13 +476,18 @@ def embedding_neardup_lsh(
     bucket's pairs at max_bucket_size²/2 (dropping boilerplate
     mega-buckets outright), but mid-size duplicate groups still emit
     quadratically. The ``max_pairs_per_bucket`` / ``pair_cap_factor``
-    knobs apply the same star-collapse as minhash_lsh_candidates: a
-    bucket whose full combination count g(g−1)/2 exceeds its effective
-    cap ``least(max_pairs_per_bucket, pair_cap_factor·g)`` emits only
-    hub×rest (g−1 rows), every emitted pair carrying the largest
-    single-bucket dropped-pair count it witnessed in the ``truncated``
-    audit column (0 = that pair saw no capping; max-not-sum across
-    buckets, an audit magnitude, not a count).
+    knobs apply the same hub-anchored chain emission as minhash_lsh_candidates
+    (r11, operators/pair_emission.py — previously the hub star, which
+    spent only g−1 of a ~cap budget and measured 0.209 pairwise
+    emission of planted cosine-0.95 pairs on a noisy corpus): a bucket
+    whose full combination count g(g−1)/2 exceeds its effective cap
+    ``least(max_pairs_per_bucket, pair_cap_factor·g)`` sorts members by
+    (next two tables' signatures, id) — locality keys that are already
+    computed — and each member pairs with its next c = max(1, ⌊cap/g⌋)
+    neighbors: c·g − c(c+1)/2 ≤ cap pairs, every emitted pair carrying
+    the largest single-bucket dropped-pair count it witnessed in the
+    ``truncated`` audit column (0 = that pair saw no capping;
+    max-not-sum across buckets, an audit magnitude, not a count).
 
     Angular resolution (``n_planes``) auto-sizes with the corpus when
     None (the default, r10 — same pattern as semdedup's auto-k):
@@ -511,17 +517,25 @@ def embedding_neardup_lsh(
     invariant; the near-threshold operating curve under shipped
     defaults is measured with planted cosine-0.95/0.92 pairs above the
     boundary (EMB_DEFAULT_SCALING `recall` lanes; probe
-    tools/emb_default_scale_probe.py):
+    tools/emb_default_scale_probe.py; measured == formula within the
+    1024-pair sampling error at every lane):
 
-        n        planes  tables  P(propose) @.95  measured @.95  @.92
-        ≤65k     8       4       0.89             ~0.89          ~0.75
-        200k     10      6       0.92             see artifact
-        2M       13      8       0.90             see artifact
+        n     planes tables | @.95 pred/meas | @.92 pred/meas | fixed-4 @.95
+        50k   8      4      | 0.89 / 0.90    | 0.80 / 0.82    | 0.90 (same)
+        200k  10     6      | 0.92 / 0.92    | 0.83 / 0.83    | 0.82
+        2M    13     8      | 0.90 / 0.92    | 0.77 / 0.79    | 0.72
 
     Weaker-than-design pairs (cosine < 0.95) propose with lower
     probability — the formula and the artifact's 0.92 column quantify
     it; callers needing higher weak-pair recall pin ``n_tables`` up
-    (propose cost grows linearly with it, buckets do not grow).
+    (propose cost grows linearly with it, buckets do not grow). The
+    wall price of flat recall + spent emission budget is measured in
+    the same artifact's wall lanes: the 2M dup-heavy lane reads 726s
+    (8 auto tables, 19.9M chain-emitted capped pairs) vs r10's 309s
+    (fixed 4 tables, 1.98M star pairs) — decade ratios stay under the
+    planes×tables design envelope. Full-operator pairwise emission of
+    planted cosine-0.95 pairs under the binding cap: 0.81 (r11 chain)
+    vs 0.21 (r10 star), same budget (`pair_emitted_95`).
 
     The default factor is 64, NOT the text funnel's 8, deliberately:
     hyperplane buckets are angular REGIONS (2^n_planes of them per
@@ -532,15 +546,18 @@ def embedding_neardup_lsh(
     (``truncated`` constant 0) while corpus-scale output is bounded at
     64·n pairs per table — linear. CONTRACT when the cap binds
     (mirrors dedup_funnel): connected components over the capped
-    CANDIDATE graph equal components over the uncapped one (a clique
-    and its spanning star share components — pinned by
+    CANDIDATE graph equal components over the uncapped one (every
+    member stays hub-adjacent → diameter ≤ 2 — pinned by
     test_embedding_lsh_pair_cap_default_binds_mega_cluster), but the
-    VERIFIED pair output becomes a truncated-flagged LOWER BOUND of the
-    uncapped output — a member–member pair inside a capped bucket
-    survives only if some other table emits it uncapped, while every
-    surviving score is still the exact cosine. Signature-identical
-    duplicates keep guaranteed CANDIDATE recall (hub star spans the
-    bucket) but not guaranteed pairwise emission. Pass
+    VERIFIED pair output remains a truncated-flagged LOWER BOUND of the
+    uncapped output — a member–member pair inside a capped bucket is
+    emitted iff its locality-order rank distance is ≤ c in some
+    emitting bucket, while every surviving score is still the exact
+    cosine. Signature-identical duplicates keep guaranteed CANDIDATE
+    recall and sort adjacent (identical fine keys → id order within the
+    duplicate run), so each duplicate's c nearest run-neighbors are
+    always emitted; exhaustive pairwise emission within huge duplicate
+    groups still requires the opt-out. Pass
     ``max_pairs_per_bucket=None, pair_cap_factor=None`` to opt back
     into exhaustive pairwise emission for bounded slices."""
     if n_planes is None:
@@ -557,48 +574,46 @@ def embedding_neardup_lsh(
     buckets = hyperplane_buckets(
         df, id_col, vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
     )
-    ids_arr = F.col("ids")
-    all_combos = F.flatten(
+    # Locality keys for hub-anchored chain emission (pair_emission.py):
+    # each
+    # (id, table) row carries the next two OTHER tables' signatures —
+    # already computed, so the key is FREE modulo one groupBy(id)
+    # shuffle of n·n_tables signature rows (tiny next to the projection
+    # stage). Similar vectors agree per signature bit w.p. 1 − angle/π,
+    # so they share fine-key prefixes and sort adjacent inside a capped
+    # bucket — which is what makes the chain window catch them.
+    wide = buckets.groupBy("id").agg(
         F.transform(
-            ids_arr,
-            lambda x, i: F.transform(
-                F.slice(
-                    ids_arr,
-                    i + 2,
-                    F.greatest(F.size(ids_arr) - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+            F.array_sort(F.collect_list(F.struct("table", "sig"))),
+            lambda x: x["sig"],
+        ).alias("__sigs")
     )
-    g = F.size(ids_arr).cast("long")
-    full_pairs = g * (g - F.lit(1)) / F.lit(2)
-    cap_terms = []
-    if max_pairs_per_bucket is not None:
-        cap_terms.append(F.lit(float(max_pairs_per_bucket)))
-    if pair_cap_factor is not None:
-        cap_terms.append(F.lit(float(pair_cap_factor)) * g)
-    if cap_terms:
-        star = F.transform(
-            F.slice(ids_arr, 2, F.greatest(F.size(ids_arr) - 1, F.lit(0))),
-            lambda y: F.struct(
-                F.element_at(ids_arr, 1).alias("id_a"), y.alias("id_b")
-            ),
-        )
-        overflow = full_pairs > (
-            cap_terms[0] if len(cap_terms) == 1 else F.least(*cap_terms)
-        )
-        combos = F.when(overflow, star).otherwise(all_combos)
-        dropped = F.when(
-            overflow, (full_pairs - (g - F.lit(1))).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    else:
-        combos = all_combos
-        dropped = F.lit(0).cast("long")
+    bk = wide.select(
+        "id", F.posexplode("__sigs").alias("table", "sig"), "__sigs"
+    ).select(
+        "id",
+        "table",
+        "sig",
+        F.element_at("__sigs", ((F.col("table") + 1) % n_tables + 1)).alias("__f1"),
+        F.element_at("__sigs", ((F.col("table") + 2) % n_tables + 1)).alias("__f2"),
+    )
+    combos, dropped = locality_chain_combos(
+        F.col("members"), max_pairs_per_bucket, pair_cap_factor
+    )
     cands = (
-        buckets.groupBy("table", "sig")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        bk.groupBy("table", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__f1").alias("f1"),
+                        F.col("__f2").alias("f2"),
+                        F.col("id").alias("id"),
+                    )
+                )
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
         .select(F.explode(combos).alias("p"), dropped.alias("__dropped"))
         .groupBy("p.id_a", "p.id_b")
         .agg(F.max("__dropped").alias("truncated"))

@@ -274,8 +274,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Production-capped by default: buckets past the effective pair cap
     (least of 10k absolute and 8·g size-relative — the size term binds
-    at g>17, VERDICT r8 item 2) star-collapse (candidate-component-
-    identical, linear output) and the `truncated` audit column flags
+    at g>17, VERDICT r8 item 2) emit the locality-ordered chain-c
+    (candidate-component-identical, ≤ cap output; r11,
+    operators/pair_emission.py) and the `truncated` audit column flags
     affected pairs — 0 at every test SF (documents' LSH buckets max at
     g=4), so results here are exhaustive."""
     d = load_table(spark, sf_dir, "documents")
@@ -289,7 +290,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup funnel: MinHash-LSH candidates verified by
     exact 3-gram Jaccard ≥ 0.8 — the production corpus-dedup pipeline as
     one composed operator. Output carries the `truncated` audit column:
-    when a pair's LSH bucket was star-collapsed by the pair cap the
+    when a pair's LSH bucket was capped (chain-c emission, r11) the
     verified pair set is a documented lower bound (dedup_funnel's recall
     accounting); constant 0 at every test SF, where results are exact."""
     from etl4s_spark.operators.dedup import dedup_funnel
@@ -425,8 +426,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak mark): it binds only at bucket g>129 while this config's
     largest test-SF bucket is g=74, so this query's output is exhaustive
     (truncated = 0 on every row) at every test SF; at corpus scale
-    overflowing buckets star-collapse to a truncated-flagged lower
-    bound, bounding emission linearly (see operator docstring)."""
+    overflowing buckets emit the locality-ordered chain-c (r11) — a
+    truncated-flagged lower bound, bounding emission at cap × buckets
+    (see operator docstring)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(
         e, "vec_id", "embedding", dim=64, threshold=0.4, n_planes=6, n_tables=8

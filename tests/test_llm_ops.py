@@ -84,10 +84,13 @@ def test_minhash_cap_noop_below_threshold(docs):
 
 def test_minhash_pair_cap_bounds_mega_cluster(spark):
     """VERDICT r7 item 2: a planted boilerplate mega-cluster (200
-    identical docs) must emit a LINEAR pair set under the cap — the
-    star of the hub doc — with a non-zero truncated audit, while
-    connected components over the capped pairs equal components over
-    the exhaustive pairs (clique and spanning star share components)."""
+    identical docs) must emit a BOUNDED pair set under the cap — the
+    hub-anchored locality chain (r11; c = max(1, cap//g), pure hub star
+    before r11 and still exactly that at the c=1 floor) — with a
+    non-zero truncated audit, while connected components over the
+    capped pairs equal components over the exhaustive pairs (every
+    member stays adjacent to the hub → diameter ≤ 2, so min-label CC
+    converges exactly as before)."""
     from etl4s_spark.operators.dedup import connected_components_contracted
 
     g = 200
@@ -100,9 +103,10 @@ def test_minhash_pair_cap_bounds_mega_cluster(spark):
     capped = minhash_lsh_candidates(
         mega, "doc_id", "text", max_pairs_per_bucket=100
     ).collect()
-    # star of the min-id hub: g-1 pairs instead of g(g-1)/2 = 19,900
+    # cap 100 < 2g → connectivity floor c=1: window c−1=0, pure hub
+    # star — byte-identical to the pre-r11 emission
     assert len(capped) == g - 1
-    assert all(r.id_a == 0 for r in capped)
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, i) for i in range(1, g)}
     assert all(r.truncated > 0 for r in capped)
 
     uncapped = minhash_lsh_candidates(
@@ -125,17 +129,18 @@ def test_minhash_pair_cap_bounds_mega_cluster(spark):
         ).collect()
     }
     assert comp_capped == comp_full
-    # the default cap also guards this cluster (19,900 > min(10k, 8*200))
-    assert (
-        minhash_lsh_candidates(mega, "doc_id", "text").count() == g - 1
-    )
+    # the default cap also guards this cluster (19,900 > min(10k, 8*200)
+    # → c = 1600//200 = 8: chain-7 + hub star tail, emitted
+    # = 8·200 − 8·9/2 = 1564 ≤ 1600)
+    assert minhash_lsh_candidates(mega, "doc_id", "text").count() == 1564
 
 
 def test_capped_funnel_semantics(spark):
     """VERDICT r9 item 3 / ADVICE r8: pin what a consumer may conclude
     from dedup_funnel output when the pair cap BINDS. Planted mega
     cluster: 30 identical docs (full pairs 435 > the default effective
-    cap min(10k, 8·30) = 240 → star-collapse) plus two unrelated docs.
+    cap min(10k, 8·30) = 240 → chain-c with c = 240//30 = 8, emitting
+    8·30 − 8·9/2 = 204 pairs) plus two unrelated docs.
 
     (a) candidate-graph invariant: connected components over DEFAULT-
         capped candidate pairs == components over uncapped pairs;
@@ -161,7 +166,7 @@ def test_capped_funnel_semantics(spark):
     uncapped_cands = minhash_lsh_candidates(
         mega, "doc_id", "text", max_pairs_per_bucket=None, pair_cap_factor=None
     )
-    assert capped_cands.count() == g - 1  # star, not clique
+    assert capped_cands.count() == 204  # chain-8, not the 435-pair clique
     assert uncapped_cands.count() == g * (g - 1) // 2
     comp = lambda df: {  # noqa: E731
         (r.id, r.component)
@@ -200,10 +205,16 @@ def test_embedding_lsh_pair_cap_default_binds_mega_cluster(spark):
     pair cap now defaults ON — least(10k, 64·g), binding at g>129 —
     with the text funnel's truncated/lower-bound contract. Planted
     mega-cluster of 135 identical vectors (full pairs 9045 > effective
-    cap min(10k, 64·135 = 8640) → star-collapse in EVERY table):
+    cap min(10k, 64·135 = 8640) → hub-anchored chain in EVERY table,
+    c = 64):
 
-    (a) default emits exactly the hub star (g−1 pairs, min-id hub),
-        every pair flagged truncated > 0 with exact cosine scores;
+    (a) default emits exactly the hub-anchored locality chain —
+        identical vectors share every fine key, so the order is id
+        order and the pair set is the window pairs
+        {(i, j) : 0 < j − i ≤ 63} plus the hub's star tail
+        {(0, j) : j > 63}, totalling 64·135 − 64·65/2 = 6560 pairs ≤
+        the 8640 cap — every pair flagged truncated > 0 with exact
+        cosine scores;
     (b) opt-out (None, None) emits all g(g−1)/2 pairs, truncated = 0;
     (c) lower-bound contract: capped pairs ⊂ uncapped pairs, surviving
         scores identical;
@@ -224,8 +235,13 @@ def test_embedding_lsh_pair_cap_default_binds_mega_cluster(spark):
     capped = embedding_neardup_lsh(
         e, "vec_id", "embedding", dim=64, threshold=0.99
     ).collect()
-    assert len(capped) == g - 1  # (a) star, not the 9045-pair clique
-    assert all(r.id_a == 0 and r.truncated > 0 for r in capped)
+    c = 64
+    want = {(i, j) for i in range(g) for j in range(i + 1, min(i + c, g))} | {
+        (0, j) for j in range(c, g)
+    }
+    assert len(capped) == c * g - c * (c + 1) // 2  # (a) 6560 pairs
+    assert {(r.id_a, r.id_b) for r in capped} == want
+    assert all(r.truncated > 0 for r in capped)
     assert all(r.cos_sim == 1.0 for r in capped)
 
     uncapped = embedding_neardup_lsh(
@@ -1241,6 +1257,8 @@ def test_pin_slots_bound_cached_storage(spark, sf_dir):
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     release_all()
+    baseline = n_cached()  # other tests' leftover blocks in the shared
+    # session (localCheckpoint RDDs etc.) — measure GROWTH, not absolutes
     docs = load_table(spark, sf_dir, "documents").limit(40)
     embs = load_table(spark, sf_dir, "embeddings").limit(40)
     counts = []
@@ -1252,11 +1270,13 @@ def test_pin_slots_bound_cached_storage(spark, sf_dir):
             embs.filter(F.col("vec_id") % 3 != i), "vec_id", "embedding", n_clusters=4
         ).count()
         counts.append(n_cached())
-    # one live pin per operator (evicted pins may linger briefly in the
-    # RDD map until the non-blocking unpersist lands — allow slack 2×,
-    # but growth across calls is the defect and must be ZERO)
-    assert counts[-1] <= counts[0], counts
-    assert counts[-1] <= 4, counts
+    # the pre-r11 leak added 2 pins per iteration (counts[-1] would read
+    # counts[0] + 4); with slot eviction growth across iterations must
+    # be ~zero — slack 1 for a non-blocking unpersist still in flight
+    assert counts[-1] - counts[0] <= 1, (baseline, counts)
+    # and the operators themselves hold at most one pin per slot (2)
+    # plus an in-flight evictee above whatever the session already had
+    assert counts[-1] - baseline <= 3, (baseline, counts)
     release_all()
 
 

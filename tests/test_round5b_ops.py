@@ -446,6 +446,34 @@ def test_kcore_empty_when_graph_too_sparse(spark):
     assert k_core(df, k=3).count() == 0
 
 
+def test_kcore_planted_cascade_generator(spark):
+    """The GRAPH_SCALING planted lane's construction contract (VERDICT
+    r10 item 4), pinned at probe-independent small scale: the triangle-
+    chain graph's 3-core peel needs EXACTLY CHAIN_LEN cascade rounds
+    (+1 fixpoint confirm — round_sizes carries the measured counts) and
+    the surviving 3-core is exactly the circulant core. If either
+    drifts, the probe's decade ratios measure the wrong thing."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from etl4s_spark.operators.graph import k_core
+    from tools.graph_scaling_probe import CHAIN_LEN, planted_cascade_edges
+
+    edges, n_core = planted_cascade_edges(spark, 2_000)
+    rounds: list[int] = []
+    out = k_core(edges, k=3, round_sizes=rounds)
+    rows = out.collect()
+    assert len(rows) == n_core
+    assert {r.id for r in rows} == set(range(n_core))
+    assert all(r.core_degree >= 3 for r in rows)
+    # CHAIN_LEN strictly-shrinking peel rounds, then one confirm round
+    assert len(rounds) == CHAIN_LEN + 1, rounds
+    assert rounds[-1] == rounds[-2] == n_core
+    assert all(
+        a > b for a, b in zip(rounds[: CHAIN_LEN - 1], rounds[1:CHAIN_LEN])
+    ), rounds
+
+
 def test_kcore_query_sentinel_nonvacuous(spark, sf_dir):
     """q_graph_kcore's planted 4-clique sentinel (VERDICT r5 #2: the r5
     driver row was spark_rows=0, proving nothing) guarantees a non-empty

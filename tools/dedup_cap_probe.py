@@ -24,7 +24,7 @@ k x-replicated documents:
 
 Truncation accounting (ADVICE r8): the operator's per-pair `truncated`
 column is the MAX single-bucket drop the pair witnessed — an audit
-signal, NOT additive across pairs (every star pair of a capped bucket
+signal, NOT additive across pairs (every emitted pair of a capped bucket
 repeats that bucket's drop count). The probe therefore records
 `pairs_with_truncation` (how many emitted pairs are flagged) and
 `truncated_max` (the largest single-bucket drop seen), never a sum.
@@ -211,8 +211,14 @@ def main() -> None:
         "scales": [1, 10, 100],
         "note": "text: three cap lanes over k x-replicated documents; the "
         "effective cap least(abs, factor*g) binds when a bucket's g(g-1)/2 "
-        "exceeds it (g ~= k copies per doc). A bound lane must show "
-        "pairs_with_truncation > 0, ~linear pairs, and decade-2 wall <= 10; "
+        "exceeds it (g ~= k copies per doc). Since r11 a capped bucket "
+        "emits the hub-anchored locality chain (pair_emission.py): the "
+        "budget c*g - c(c+1)/2 <= cap is SPENT, not the star's g-1, so "
+        "capped-lane pair counts sit at the size-relative budget "
+        "(factor*g per bucket, linear in n) instead of sub-linear hub "
+        "stars — compare pairs vs the uncapped quadratic baseline. A "
+        "bound lane must show "
+        "pairs_with_truncation > 0, pairs at ~the budget, decade-2 wall <= 10; "
         "the uncapped lane is the output-bound quadratic baseline the "
         "r7/r8 SCALING_100X adjudications describe. abs_10k_only is the "
         "retired r8 default, kept to show WHY it was retired (it never "
