@@ -22,8 +22,17 @@ its own window. Properties:
 
 - BUDGET: emitted = (c−1-chain) + (star tail) = c·g − c(c+1)/2 ≤ c·g
   ≤ cap (the star spent g−1 of the same budget). The c=1 connectivity
-  floor (cap < 2g, only reachable with user-set knobs) degrades to
-  exactly the pre-r11 pure star.
+  floor (cap < 2g) degrades to exactly the pre-r11 pure star — and is
+  unreachable under shipped defaults, for a reason OUTSIDE this
+  module: both funnels drop buckets over ``max_bucket_size`` (1000)
+  before emission, and for kept buckets the effective cap keeps c
+  comfortably ≥ 2 — text ``least(10k, 8g)`` gives c=8 at every kept
+  g ≤ 1000; embedding ``least(10k, 64g)`` gives c ≥ ⌊10k/1000⌋ = 10.
+  Reaching c=1 requires user-set knobs (a small ``max_pairs_per_bucket``
+  or a raised ``max_bucket_size``); DEDUP_CAP_PROBE's megagroup lanes
+  measure the shipped posture for g > 1000 groups instead (bucket
+  dropped ⇒ zero funnel pairs; exact-dedup-first is the designed
+  composition for boilerplate mega-groups).
 - COMPONENTS + DIAMETER: every member is adjacent to the hub (via its
   chain window or the star tail), so the capped bucket subgraph has
   DIAMETER ≤ 2 — connected components over capped candidate pairs

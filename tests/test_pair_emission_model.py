@@ -31,10 +31,10 @@ def _model(ids_sorted, max_pairs, factor):
     g = len(ids_sorted)
     full = g * (g - 1) // 2
     caps = [c for c in (max_pairs, None if factor is None else factor * g) if c is not None]
-    all_pairs = {
-        (min(a, b), max(a, b)) for a, b in itertools.combinations(ids_sorted, 2)
-    }
     if not caps or full <= min(caps):
+        all_pairs = {
+            (min(a, b), max(a, b)) for a, b in itertools.combinations(ids_sorted, 2)
+        }
         return all_pairs, 0
     cap_eff = min(caps)
     c = max(1, cap_eff // g)
@@ -63,6 +63,16 @@ GRID = [
     for g in (0, 1, 2, 3, 5, 13, 50, 200)
     for mp in (None, 1, 5, 100, 10_000)
     for pf in (None, 1, 8, 64)
+] + [
+    # default cap knobs at mega-bucket sizes — reachable only when a
+    # caller raises max_bucket_size past 1000 (the operators' skew
+    # guard drops such buckets under shipped defaults): the shrinking
+    # chain band (c = 10k//2000 = 5) and the c=1 floor past g=5000,
+    # where emission must be byte-identical to the pure hub star
+    (2_000, 10_000, 8),
+    (6_000, 10_000, 8),
+    (2_000, 10_000, 64),
+    (6_000, 10_000, 64),
 ]
 
 

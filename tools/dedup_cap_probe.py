@@ -80,18 +80,26 @@ def planted_text_recall(spark, sf_dir: str, k: int, n_plant: int = 200) -> dict:
     default least(10k, 8g) cap), then plant ``n_plant`` NEAR-DUP
     partners — the original text with every 12th word replaced by a
     unique marker, so 3-gram Jaccard lands ~0.55-0.75: near-threshold,
-    NOT a signature-identical copy. A partner that co-buckets with its
-    dup group is pairwise-emitted under the r11 hub-anchored chain iff
-    it sits within a window of some member (locality keys put it at the
-    dup run's edge, adjacent to members) or meets the hub; under the
-    retired pure star it needed to BE hub-adjacent — analytically ~1/g
-    per co-bucket, a few percent at g=100.
+    NOT a signature-identical copy.
 
     Returns connectivity rates: ``candidate`` = fraction of partners
     with ≥1 candidate pair into their group (propose-stage — cap-
     independent component signal), ``verified`` = fraction with ≥1
     funnel-verified pair ≥ 0.5 into their group (what a pairwise
-    consumer actually sees)."""
+    consumer actually sees). The ceiling on both is the banding
+    probability (the partner must share ≥1 band hash with its group).
+
+    HONEST-CONTRAST CORRECTION (of this lane's first r11 emission,
+    which claimed the retired star held the partner to an ~1/g
+    hub-adjacency bound): group-connectivity is hub-ROBUST — the star
+    also emitted (hub, partner) whenever the partner co-bucketed, and
+    the hub is a same-doc replica w.h.p., so the star would score
+    comparably on THIS metric. The star's measured deficit is
+    PAIR-level emission of non-hub pairs (EMB_DEFAULT_SCALING
+    pair_emitted_95: 0.209 star → 0.8105 chain, a planted-PAIR lane).
+    This lane's value is pinning the text funnel's end-to-end
+    connectivity under a binding cap (propose → capped emission →
+    exact verify), not a star-vs-chain A/B."""
     from etl4s_spark.operators.dedup import dedup_funnel, minhash_lsh_candidates
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -150,6 +158,134 @@ def planted_text_recall(spark, sf_dir: str, k: int, n_plant: int = 200) -> dict:
     }
 
 
+def planted_text_recall_megagroup(
+    spark, sf_dir: str, g: int, n_groups: int = 50, dedup_first: bool = False
+) -> dict:
+    """Planted-partner connectivity next to mega dup groups — the
+    shipped default's posture ACROSS the max_bucket_size boundary.
+
+    Under text defaults the pair cap keeps c=8 at every KEPT bucket
+    (least(10k, 8g)//g = 8 for g ≤ max_bucket_size = 1000) — the c=1
+    floor is unreachable — but buckets past max_bucket_size are
+    DROPPED WHOLESALE before emission (the funnels' skew guard), so a
+    g > 1000 boilerplate group emits NO pairs and a near-dup partner
+    next to it is funnel-orphaned. The designed composition for that
+    regime is exact-dedup FIRST: collapsing identical replicas to one
+    representative shrinks the group's buckets back under the guard,
+    after which the partner connects normally; ``dedup_first=True``
+    measures exactly that composition (text-hash collapse → funnel).
+
+    Unlike planted_text_recall (whole-corpus k×-replication), only
+    ``n_groups`` sampled docs are replicated g× — via ONE
+    explode(sequence) projection, not k unions — against the original
+    corpus as background, keeping the planted corpus ~n_groups·g docs
+    at any g."""
+    from etl4s_spark.operators.dedup import dedup_funnel, minhash_lsh_candidates
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    unit = base.agg(F.max("doc_id")).first()[0] + 1
+    n_docs = base.count()
+    stride = max(n_docs // n_groups, 1)
+    picks = base.filter(F.col("doc_id") % stride == 1).limit(n_groups)
+    replicas = picks.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.explode(F.sequence(F.lit(1), F.lit(g - 1))).alias("r"),
+    ).select((F.col("doc_id") + F.col("r") * unit).alias("doc_id"), "text")
+    p_base = (g + 2) * unit
+    partners = picks.select(
+        (F.col("doc_id") + p_base).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    i % 12 == 11, F.concat(F.lit("ptkq"), F.col("doc_id"))
+                ).otherwise(w),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    planted = (
+        base.unionByName(replicas).unionByName(partners).localCheckpoint(eager=True)
+    )
+    n_partners = partners.count()
+
+    def connected(pairs_df) -> int:
+        p = pairs_df.select("id_a", "id_b")
+        return (
+            p.filter((F.col("id_b") >= p_base) & (F.col("id_a") < p_base))
+            .filter((F.col("id_a") % unit) == (F.col("id_b") - p_base))
+            .select(F.col("id_b").alias("pid"))
+            .distinct()
+            .count()
+        )
+
+    t0 = time.monotonic()
+    inp = planted
+    if dedup_first:
+        # the designed composition: exact-collapse identical replicas to
+        # their min-id representative (the original doc, id < unit — the
+        # connected() group test is unchanged), THEN run the funnel
+        inp = planted.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    cands = minhash_lsh_candidates(inp, "doc_id", "text")
+    cand = connected(cands)
+    cand_pairs = cands.count()
+    verified = connected(dedup_funnel(inp, "doc_id", "text", min_jaccard=0.5))
+    return {
+        "group_size_g": g,
+        "n_groups": n_groups,
+        "n_partners": n_partners,
+        "dedup_first": dedup_first,
+        "bucket_guard": (
+            "kept (g <= max_bucket_size=1000, chain c=8)"
+            if g <= 1000 or dedup_first
+            else "dropped (g > max_bucket_size=1000: no pairs emitted)"
+        ),
+        "candidate_connected": round(cand / n_partners, 4),
+        "verified_connected": round(verified / n_partners, 4),
+        "candidate_pairs_total": cand_pairs,
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+
+
+def _megagroup_section(spark, sf_dir: str) -> dict:
+    """The shipped default's mega-group posture, measured on both sides
+    of the max_bucket_size boundary plus the designed exact-dedup-first
+    composition; shared by the full run and --megagroup-only merge."""
+    out: dict[str, dict | str] = {}
+    for key, g, df_first in (
+        ("g500_kept", 500, False),
+        ("g2000_dropped", 2_000, False),
+        ("g8000_dropped", 8_000, False),
+        ("g8000_dedup_first", 8_000, True),
+    ):
+        lane = planted_text_recall_megagroup(spark, sf_dir, g, dedup_first=df_first)
+        out[key] = lane
+        print(f"# planted_megagroup {key}: {lane}", file=sys.stderr)
+    out["adjudication"] = (
+        "the shipped default's posture for boilerplate mega-groups, "
+        "measured rather than argued. KEPT band (g <= max_bucket_size = "
+        "1000): the pair cap keeps chain c=8 at every kept bucket "
+        "(least(10k, 8g)//g = 8), so a near-threshold partner connects "
+        "at ~the banding-probability ceiling (g500_kept; the c=1 floor "
+        "of pair_emission.py is UNREACHABLE under defaults). DROPPED "
+        "band (g > 1000): the funnels' skew guard drops the bucket "
+        "WHOLESALE before emission — candidate_connected 0.0 at "
+        "g2000/g8000 is the guard working as designed (bounding any "
+        "task's bucket at 1000 members), NOT a cap-emission recall "
+        "property; the cost is that a near-dup partner of an "
+        "UNCOLLAPSED mega-group is funnel-orphaned. The designed "
+        "composition for that regime is exact-dedup FIRST (the engine's "
+        "standard pipeline order: q_dedup_exact collapses identical "
+        "replicas, shrinking the group's buckets back under the guard) "
+        "— g8000_dedup_first measures that composition end-to-end and "
+        "restores partner connectivity to the kept-band level. "
+        "Raising max_bucket_size is the explicit knob when mega-buckets "
+        "of DISTINCT texts must pair directly."
+    )
+    return out
+
+
 def _trunc_stats(df) -> dict:
     agg = df.agg(
         F.count(F.lit(1)).alias("pairs"),
@@ -173,6 +309,13 @@ def main() -> None:
         "baseline is output-bound quadratic by design",
     )
     ap.add_argument("-o", "--out", default=None)
+    ap.add_argument(
+        "--megagroup-only",
+        action="store_true",
+        help="run ONLY the mega-group recall lanes and MERGE the "
+        "planted_text_recall_megagroup key into the existing -o artifact "
+        "(a full probe re-run would discard the other sections' walls)",
+    )
     args = ap.parse_args()
 
     from etl4s_spark.operators.dedup import minhash_lsh_candidates
@@ -181,6 +324,16 @@ def main() -> None:
 
     spark = get_spark("dedup_cap_probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.megagroup_only:
+        mega = _megagroup_section(spark, args.sf)
+        with open(args.out) as f:
+            doc = json.load(f)
+        doc["planted_text_recall_megagroup"] = mega
+        with open(args.out, "w") as f:
+            f.write(json.dumps(doc, indent=1, sort_keys=True))
+        print(json.dumps({k: v for k, v in mega.items() if k != "adjudication"}))
+        return
 
     # lane -> (max_pairs_per_bucket, pair_cap_factor)
     lanes = {
@@ -287,6 +440,7 @@ def main() -> None:
     # pair_emitted_95 (see planted_text_recall docstring)
     planted = planted_text_recall(spark, args.sf, k=100)
     print(f"# planted_text_recall @ 100x: {planted}", file=sys.stderr)
+    mega = _megagroup_section(spark, args.sf)
 
     doc = {
         "sf_base": args.sf,
@@ -321,20 +475,23 @@ def main() -> None:
         "semdedup_lanes": sem_rows,
         "planted_text_recall_100x": {
             **planted,
-            "adjudication": "text analog of EMB_DEFAULT_SCALING's "
-            "pair_emitted_95: near-threshold partners (3-gram Jaccard "
+            "adjudication": "end-to-end text-funnel connectivity under a "
+            "BINDING cap: near-threshold partners (3-gram Jaccard "
             "~0.55-0.75 — every-12th-word markers, NOT copies) planted "
             "next to g=100 dup groups whose buckets overflow the default "
             "least(10k, 8g) cap. candidate_connected is the propose-stage "
-            "component signal; verified_connected is what a PAIRWISE "
-            "funnel consumer sees under the r11 hub-anchored chain "
-            "(locality keys put the partner at its dup run's edge, inside "
-            "some member's window). Under the retired pure star the "
-            "partner had to be hub-adjacent: analytically ~1/g = ~1% per "
-            "co-bucket at g=100, a few percent overall — the chain's "
-            "verified_connected is the measured improvement at the SAME "
-            "emission budget.",
+            "component signal (ceiling = banding probability); "
+            "verified_connected is what a PAIRWISE funnel consumer sees. "
+            "candidate == verified means every proposed partner survived "
+            "capped emission + exact verification. CORRECTION of this "
+            "lane's first r11 emission: group-connectivity is hub-robust "
+            "(the retired star also emitted (hub, partner), hub a "
+            "same-doc replica w.h.p.), so this lane does NOT A/B "
+            "star-vs-chain — the chain's measured pair-level win is "
+            "EMB_DEFAULT_SCALING's planted-PAIR lane (pair_emitted_95 "
+            "0.209 star -> 0.8105 chain).",
         },
+        "planted_text_recall_megagroup": mega,
         "semdedup_adjudication": "OUTPUT is linear (one (id, cell, keep) "
         "row per input), but the r9 wide probe showed WALL is O(n²/k) at "
         "a fixed k (q_dedup_semdedup: 27x/decade at k=8) — the old "
