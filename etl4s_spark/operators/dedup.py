@@ -306,6 +306,18 @@ def dedup_funnel(
     hub-anchored locality chain (r11, pair_emission.py — ≤ cap pairs), so
     the verifier's input — and therefore the funnel's output — stays
     bounded at cap × buckets regardless of duplicate-group size.
+    Groups LARGER than ``max_bucket_size`` (1000) never reach pair
+    emission at all — the skew guard drops their buckets wholesale, so
+    an uncollapsed boilerplate mega-group emits no pairs and a near-dup
+    of it is funnel-orphaned (measured: DEDUP_CAP_PROBE
+    planted_text_recall_megagroup, connectivity 0.0 at g=2000/8000).
+    The designed composition is exact-dedup FIRST (collapse identical
+    texts to one representative — the standard pipeline order), which
+    shrinks such groups back under the guard and restores partner
+    connectivity to the kept-band level (same probe: 0.90 at g=8000
+    after collapse, vs the 0.94 banding-probability ceiling); raise
+    ``max_bucket_size`` only when mega-buckets of DISTINCT texts must
+    pair directly.
 
     RECALL ACCOUNTING UNDER A BINDING CAP (VERDICT r8 item 3 / ADVICE
     r8): hub-anchored chain emission preserves connected COMPONENTS of the raw

@@ -474,8 +474,11 @@ def embedding_neardup_lsh(
     (SCALING_100X r9) and DEDUP_CAP_PROBE's uncapped embedding lane
     reads 47×/decade. ``max_bucket_size`` already bounds any ONE
     bucket's pairs at max_bucket_size²/2 (dropping boilerplate
-    mega-buckets outright), but mid-size duplicate groups still emit
-    quadratically. The ``max_pairs_per_bucket`` / ``pair_cap_factor``
+    mega-buckets outright — so an identical-vector group larger than
+    the guard emits NO pairs; collapse exact duplicates first, e.g. by
+    vector hash, the same exact-dedup-first composition
+    DEDUP_CAP_PROBE's megagroup lanes measure on the text side), but
+    mid-size duplicate groups still emit quadratically. The ``max_pairs_per_bucket`` / ``pair_cap_factor``
     knobs apply the same hub-anchored chain emission as minhash_lsh_candidates
     (r11, operators/pair_emission.py — previously the hub star, which
     spent only g−1 of a ~cap budget and measured 0.209 pairwise
