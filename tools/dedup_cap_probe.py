@@ -248,10 +248,83 @@ def planted_text_recall_megagroup(
     }
 
 
-def _megagroup_section(spark, sf_dir: str) -> dict:
+def planted_emb_megagroup(
+    spark, emb_sf: str, g: int, n_groups: int = 20, dedup_first: bool = False
+) -> dict:
+    """Embedding-side analog of planted_text_recall_megagroup: the
+    hyperplane funnel's skew guard (similarity.py — a DISTINCT code
+    path from the text guard) drops buckets over max_bucket_size, so a
+    g > 1000 identical-vector group emits no pairs and its planted
+    near-identical partner (one perturbed component, cosine ≈ 0.999 —
+    it lands INSIDE the mega bucket, identical signature w.h.p.) is
+    funnel-orphaned; exact-collapse by vector value first
+    (``dedup_first=True``) shrinks the group under the guard and
+    restores connectivity."""
+    from etl4s_spark.operators.similarity import embedding_neardup_lsh
+
+    base = spark.read.parquet(f"{emb_sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    unit = base.agg(F.max("vec_id")).first()[0] + 1
+    n_vecs = base.count()
+    stride = max(n_vecs // n_groups, 1)
+    picks = base.filter(F.col("vec_id") % stride == 1).limit(n_groups)
+    replicas = picks.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(F.sequence(F.lit(1), F.lit(g - 1))).alias("r"),
+    ).select((F.col("vec_id") + F.col("r") * unit).alias("vec_id"), "embedding")
+    p_base = (g + 2) * unit
+    partners = picks.select(
+        (F.col("vec_id") + p_base).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x * F.lit(1.05) + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    planted = (
+        base.unionByName(replicas).unionByName(partners).localCheckpoint(eager=True)
+    )
+    n_partners = partners.count()
+
+    def connected(pairs_df) -> int:
+        p = pairs_df.select("id_a", "id_b")
+        return (
+            p.filter((F.col("id_b") >= p_base) & (F.col("id_a") < p_base))
+            .filter((F.col("id_a") % unit) == (F.col("id_b") - p_base))
+            .select(F.col("id_b").alias("pid"))
+            .distinct()
+            .count()
+        )
+
+    t0 = time.monotonic()
+    inp = planted
+    if dedup_first:
+        inp = planted.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    cands = embedding_neardup_lsh(inp, "vec_id", "embedding", dim=64, threshold=0.9)
+    cand = connected(cands)
+    cand_pairs = cands.count()
+    return {
+        "group_size_g": g,
+        "n_groups": n_groups,
+        "n_partners": n_partners,
+        "dedup_first": dedup_first,
+        "bucket_guard": (
+            "kept (post-collapse buckets under max_bucket_size=1000)"
+            if dedup_first
+            else "dropped (identical-signature mega bucket > 1000)"
+        ),
+        "candidate_connected": round(cand / n_partners, 4),
+        "candidate_pairs_total": cand_pairs,
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+
+
+def _megagroup_section(spark, sf_dir: str, emb_sf: str) -> dict:
     """The shipped default's mega-group posture, measured on both sides
     of the max_bucket_size boundary plus the designed exact-dedup-first
-    composition; shared by the full run and --megagroup-only merge."""
+    composition — on BOTH funnels (the guards are distinct code
+    paths); shared by the full run and --megagroup-only merge."""
     out: dict[str, dict | str] = {}
     for key, g, df_first in (
         ("g500_kept", 500, False),
@@ -260,6 +333,13 @@ def _megagroup_section(spark, sf_dir: str) -> dict:
         ("g8000_dedup_first", 8_000, True),
     ):
         lane = planted_text_recall_megagroup(spark, sf_dir, g, dedup_first=df_first)
+        out[key] = lane
+        print(f"# planted_megagroup {key}: {lane}", file=sys.stderr)
+    for key, g, df_first in (
+        ("emb_g2000_dropped", 2_000, False),
+        ("emb_g2000_dedup_first", 2_000, True),
+    ):
+        lane = planted_emb_megagroup(spark, emb_sf, g, dedup_first=df_first)
         out[key] = lane
         print(f"# planted_megagroup {key}: {lane}", file=sys.stderr)
     out["adjudication"] = (
@@ -281,7 +361,12 @@ def _megagroup_section(spark, sf_dir: str) -> dict:
         "— g8000_dedup_first measures that composition end-to-end and "
         "restores partner connectivity to the kept-band level. "
         "Raising max_bucket_size is the explicit knob when mega-buckets "
-        "of DISTINCT texts must pair directly."
+        "of DISTINCT texts must pair directly. The emb_* lanes repeat "
+        "the drop/restore pair on the EMBEDDING funnel (its guard is a "
+        "distinct code path in similarity.py): an identical-vector "
+        "mega-group swallows its near-identical partner into the "
+        "dropped bucket (connectivity 0), and exact-collapse by vector "
+        "value restores it — same posture, both funnels, measured."
     )
     return out
 
@@ -326,7 +411,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.megagroup_only:
-        mega = _megagroup_section(spark, args.sf)
+        mega = _megagroup_section(spark, args.sf, args.emb_sf)
         with open(args.out) as f:
             doc = json.load(f)
         doc["planted_text_recall_megagroup"] = mega
@@ -440,7 +525,7 @@ def main() -> None:
     # pair_emitted_95 (see planted_text_recall docstring)
     planted = planted_text_recall(spark, args.sf, k=100)
     print(f"# planted_text_recall @ 100x: {planted}", file=sys.stderr)
-    mega = _megagroup_section(spark, args.sf)
+    mega = _megagroup_section(spark, args.sf, args.emb_sf)
 
     doc = {
         "sf_base": args.sf,
