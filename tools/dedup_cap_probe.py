@@ -248,6 +248,124 @@ def planted_text_recall_megagroup(
     }
 
 
+def planted_text_pair_emission(
+    spark, sf_dir: str, k: int = 100, n_pairs: int = 200
+) -> dict:
+    """Text-side PAIR-level emission recall — the metric that actually
+    discriminates chain from star (see planted_text_recall's
+    HONEST-CONTRAST CORRECTION: group-connectivity is hub-robust, so it
+    can't A/B emission strategies). For each of ``n_pairs`` sampled
+    docs, plant TWO distinct near-threshold variants (different marker
+    phases → mutually near-dup, both non-identical to the doc's g=k
+    replica group), so each variant pair co-buckets inside the group's
+    overflowing capped buckets. A pair is counted iff the pair ITSELF
+    (v1, v2) is candidate-emitted — under the retired hub star that
+    required one variant to BE the bucket hub (≈ 2/(g+2) per co-bucket;
+    the text analog of EMB's pair_emitted_95 0.209); under the r11
+    chain it needs rank distance ≤ c−1 = 7 in some bucket's locality
+    order, and the variants' similar signatures sort them adjacent.
+    The UNCAPPED control run emits EVERY co-bucketing pair, so
+    ``emission_recall = pair_emitted_capped / pair_emitted_uncapped``
+    cancels the banding probability (variants differ from the base doc
+    at every 24th word with different phases → mutual 3-gram Jaccard
+    ≈ 0.6, per-band agreement ≈ 0.16, co-bucket ceiling ≈ 0.93) and
+    isolates what the cap's emission strategy keeps. ``pair_verified``
+    is the capped funnel at min_jaccard 0.3 (non-binding for these
+    variants), so it equals capped emission when verification loses
+    nothing."""
+    from etl4s_spark.operators.dedup import dedup_funnel, minhash_lsh_candidates
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    unit = base.agg(F.max("doc_id")).first()[0] + 1
+    n_docs = base.count()
+    stride = max(n_docs // n_pairs, 1)
+    corpus = replicated(spark, sf_dir, "documents", "doc_id", "text", k)
+    p_base = 10 * unit * k
+
+    def variant(phase: int):
+        return base.filter(F.col("doc_id") % stride == 1).select(
+            (F.col("doc_id") + p_base * (phase + 1)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, i: F.when(
+                        i % 24 == (11 if phase == 0 else 23),
+                        F.concat(F.lit(f"pv{phase}q"), F.col("doc_id")),
+                    ).otherwise(w),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    v0, v1 = variant(0), variant(1)
+    planted = corpus.unionByName(v0).unionByName(v1).localCheckpoint(eager=True)
+    n_planted = v0.count()
+
+    def pair_hits(pairs_df) -> int:
+        # canonical order puts v0 (ids in [p_base, 2·p_base)) as id_a
+        # and v1 (ids in [2·p_base, 3·p_base)) as id_b
+        p = pairs_df.select("id_a", "id_b")
+        return (
+            p.filter(
+                (F.col("id_a") >= p_base)
+                & (F.col("id_a") < 2 * p_base)
+                & (F.col("id_b") >= 2 * p_base)
+            )
+            .filter((F.col("id_a") % unit) == (F.col("id_b") % unit))
+            .select(F.col("id_a").alias("pid"))
+            .distinct()
+            .count()
+        )
+
+    t0 = time.monotonic()
+    emitted = pair_hits(minhash_lsh_candidates(planted, "doc_id", "text"))
+    emitted_uncapped = pair_hits(
+        minhash_lsh_candidates(
+            planted,
+            "doc_id",
+            "text",
+            max_pairs_per_bucket=None,
+            pair_cap_factor=None,
+        )
+    )
+    verified = pair_hits(dedup_funnel(planted, "doc_id", "text", min_jaccard=0.3))
+    return {
+        "k": k,
+        "group_size_g": k,
+        "n_planted_pairs": n_planted,
+        "pair_emitted_capped": round(emitted / n_planted, 4),
+        "pair_emitted_uncapped": round(emitted_uncapped / n_planted, 4),
+        "emission_recall": (
+            round(emitted / emitted_uncapped, 4) if emitted_uncapped else None
+        ),
+        "pair_verified_capped": round(verified / n_planted, 4),
+        "star_analytic_bound_per_bucket": round(2 / (k + 2), 4),
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+
+
+def _pair_emission_section(spark, sf_dir: str) -> dict:
+    """planted_text_pair_emission + its in-artifact adjudication."""
+    lane = planted_text_pair_emission(spark, sf_dir)
+    print(f"# planted_text_pair_emission: {lane}", file=sys.stderr)
+    return {
+        **lane,
+        "adjudication": (
+            "the text analog of EMB_DEFAULT_SCALING's pair_emitted_95 — "
+            "the PAIR-level metric that discriminates emission "
+            "strategies (unlike group-connectivity, which is hub-robust "
+            "— see planted_text_recall_100x's correction). "
+            "emission_recall divides the capped run by the uncapped "
+            "control, cancelling banding probability: it is exactly the "
+            "fraction of co-bucketing planted pairs the hub-anchored "
+            "chain keeps under the binding default cap. The retired "
+            "star's per-bucket analytic bound for the same pairs is "
+            "star_analytic_bound_per_bucket = 2/(g+2) (one of the two "
+            "variants must BE the hub)."
+        ),
+    }
+
+
 def planted_emb_megagroup(
     spark, emb_sf: str, g: int, n_groups: int = 20, dedup_first: bool = False
 ) -> dict:
@@ -412,12 +530,14 @@ def main() -> None:
 
     if args.megagroup_only:
         mega = _megagroup_section(spark, args.sf, args.emb_sf)
+        pe = _pair_emission_section(spark, args.sf)
         with open(args.out) as f:
             doc = json.load(f)
         doc["planted_text_recall_megagroup"] = mega
+        doc["planted_text_pair_emission_100x"] = pe
         with open(args.out, "w") as f:
             f.write(json.dumps(doc, indent=1, sort_keys=True))
-        print(json.dumps({k: v for k, v in mega.items() if k != "adjudication"}))
+        print(json.dumps({k: v for k, v in pe.items() if k != "adjudication"}))
         return
 
     # lane -> (max_pairs_per_bucket, pair_cap_factor)
@@ -526,6 +646,7 @@ def main() -> None:
     planted = planted_text_recall(spark, args.sf, k=100)
     print(f"# planted_text_recall @ 100x: {planted}", file=sys.stderr)
     mega = _megagroup_section(spark, args.sf, args.emb_sf)
+    pe = _pair_emission_section(spark, args.sf)
 
     doc = {
         "sf_base": args.sf,
@@ -577,6 +698,7 @@ def main() -> None:
             "0.209 star -> 0.8105 chain).",
         },
         "planted_text_recall_megagroup": mega,
+        "planted_text_pair_emission_100x": pe,
         "semdedup_adjudication": "OUTPUT is linear (one (id, cell, keep) "
         "row per input), but the r9 wide probe showed WALL is O(n²/k) at "
         "a fixed k (q_dedup_semdedup: 27x/decade at k=8) — the old "
