@@ -47,7 +47,10 @@ quantizer optimum; strict linearity = the embedding-LSH route).
 Usage:
     python tools/dedup_cap_probe.py [--sf /root/testdata/sf0.1]
         [--emb-sf /root/testdata/sf0.01] [-o DEDUP_CAP_PROBE.json]
-        # ~5-10 min, run ALONE
+        # full run ~20-30 min, run ALONE
+    python tools/dedup_cap_probe.py --megagroup-only -o DEDUP_CAP_PROBE.json
+        # ~5 min: re-runs ONLY the megagroup + pair-emission recall
+        # lanes and MERGES their keys into the existing artifact
 """
 
 from __future__ import annotations
