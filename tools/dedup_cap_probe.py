@@ -347,10 +347,102 @@ def planted_text_pair_emission(
     }
 
 
+def planted_text_pair_emission_megagroup(
+    spark, sf_dir: str, g: int, n_groups: int = 50
+) -> dict:
+    """Pair-level emission recall at LARGER kept-band g — the open
+    question the 100× lane can't answer: with more identical replicas
+    between them in a bucket's locality order, do the two planted
+    variants still land within a window of each other in SOME emitting
+    band? (Identical replicas share identical locality keys, so the
+    variants sort at the run's edges; whether they sort on the SAME
+    edge varies per band with their own band hashes.) Megagroup-style
+    construction (explode-sequence replicas of ``n_groups`` picked
+    docs against the unreplicated corpus) keeps the planted corpus
+    ~n_groups·g docs at any g ≤ max_bucket_size."""
+    from etl4s_spark.operators.dedup import minhash_lsh_candidates
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    unit = base.agg(F.max("doc_id")).first()[0] + 1
+    n_docs = base.count()
+    stride = max(n_docs // n_groups, 1)
+    picks = base.filter(F.col("doc_id") % stride == 1).limit(n_groups)
+    replicas = picks.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.explode(F.sequence(F.lit(1), F.lit(g - 1))).alias("r"),
+    ).select((F.col("doc_id") + F.col("r") * unit).alias("doc_id"), "text")
+    p_base = (g + 2) * unit
+
+    def variant(phase: int):
+        return picks.select(
+            (F.col("doc_id") + p_base * (phase + 1)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, i: F.when(
+                        i % 24 == (11 if phase == 0 else 23),
+                        F.concat(F.lit(f"pv{phase}q"), F.col("doc_id")),
+                    ).otherwise(w),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    v0, v1 = variant(0), variant(1)
+    planted = (
+        base.unionByName(replicas)
+        .unionByName(v0)
+        .unionByName(v1)
+        .localCheckpoint(eager=True)
+    )
+    n_planted = v0.count()
+
+    def pair_hits(pairs_df) -> int:
+        p = pairs_df.select("id_a", "id_b")
+        return (
+            p.filter(
+                (F.col("id_a") >= p_base)
+                & (F.col("id_a") < 2 * p_base)
+                & (F.col("id_b") >= 2 * p_base)
+            )
+            .filter((F.col("id_a") % unit) == (F.col("id_b") % unit))
+            .select(F.col("id_a").alias("pid"))
+            .distinct()
+            .count()
+        )
+
+    t0 = time.monotonic()
+    emitted = pair_hits(minhash_lsh_candidates(planted, "doc_id", "text"))
+    emitted_uncapped = pair_hits(
+        minhash_lsh_candidates(
+            planted,
+            "doc_id",
+            "text",
+            max_pairs_per_bucket=None,
+            pair_cap_factor=None,
+        )
+    )
+    return {
+        "group_size_g": g,
+        "n_planted_pairs": n_planted,
+        "pair_emitted_capped": round(emitted / n_planted, 4),
+        "pair_emitted_uncapped": round(emitted_uncapped / n_planted, 4),
+        "emission_recall": (
+            round(emitted / emitted_uncapped, 4) if emitted_uncapped else None
+        ),
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+
+
 def _pair_emission_section(spark, sf_dir: str) -> dict:
     """planted_text_pair_emission + its in-artifact adjudication."""
     lane = planted_text_pair_emission(spark, sf_dir)
     print(f"# planted_text_pair_emission: {lane}", file=sys.stderr)
+    for g in (500, 1000):
+        mg = planted_text_pair_emission_megagroup(spark, sf_dir, g)
+        lane[f"kept_band_g{g}"] = mg
+        print(f"# planted_text_pair_emission g={g}: {mg}", file=sys.stderr)
     return {
         **lane,
         "adjudication": (
@@ -364,7 +456,20 @@ def _pair_emission_section(spark, sf_dir: str) -> dict:
             "chain keeps under the binding default cap. The retired "
             "star's per-bucket analytic bound for the same pairs is "
             "star_analytic_bound_per_bucket = 2/(g+2) (one of the two "
-            "variants must BE the hub)."
+            "variants must BE the hub). kept_band_g500/g1000 repeat the "
+            "capped/uncapped pair at the TOP of the kept band, where "
+            "ever more identical replicas sit between the variants in a "
+            "bucket's locality order. Reading: g=500 emission_recall "
+            "1.0 — window-hit recall holds across the kept band (the "
+            "variants sort at the identical-run's edges and meet within "
+            "a window in some band). g=1000 reads 0/0 on BOTH runs: "
+            "the group+variants bucket is 1002 members, past "
+            "max_bucket_size — the uncapped 0 proves this is the skew "
+            "GUARD, not cap emission (the variants cannot co-bucket "
+            "without the replicas: their shared shingles are a subset "
+            "of the base doc's, so any band they agree on, a replica "
+            "agrees too) — the guard-edge orphaning the megagroup "
+            "section documents, seen at pair level."
         ),
     }
 
