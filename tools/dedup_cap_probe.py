@@ -44,6 +44,15 @@ its WALL at a fixed k is O(n²/k) — the wide two-decade probe measured
 against the r9 auto default k = ceil(sqrt(n)) (O(n^1.5), the flat-
 quantizer optimum; strict linearity = the embedding-LSH route).
 
+Planted recall sections (r11): `planted_text_recall_100x` (end-to-end
+partner→group connectivity under the binding cap, ceiling = banding
+probability), `planted_text_pair_emission_100x` (+ kept_band_g500/g1000
+sub-lanes — PAIR-level emission recall with an uncapped control
+cancelling banding; the metric that discriminates chain from star),
+and `planted_text_recall_megagroup` (the g > max_bucket_size guard
+posture on BOTH funnels: wholesale drop, exact-dedup-first restore).
+Each carries its own in-artifact adjudication.
+
 Usage:
     python tools/dedup_cap_probe.py [--sf /root/testdata/sf0.1]
         [--emb-sf /root/testdata/sf0.01] [-o DEDUP_CAP_PROBE.json]
