@@ -24,7 +24,13 @@ Repeats are ADAPTIVE only in degree: a query whose first run is already ≥
 replays / iterative algorithms) gets exactly ONE more warm run instead of
 the full ``n_runs``, bounding total bench wall time near the two-run
 envelope while never reporting a cold-only figure (the r3 harness bug:
-the most expensive queries were recorded from a single cold run).
+the most expensive queries were recorded from a single cold run). At the
+other end, a query whose cold run is < ``SPARK_GRAFT_BENCH_MICRO_BELOW``
+seconds (default 1.5) gets ``SPARK_GRAFT_BENCH_MICRO_RUNS`` total runs
+(default 5, i.e. 4 warm): sub-second medians over 2 warm runs were noise-
+defined — ±0.3 s spread produced seven false >2× flags on the driver's
+r11 bench (VERDICT r11 item 3) — and the extra runs cost sub-seconds each
+by construction.
 """
 
 from __future__ import annotations
@@ -128,6 +134,16 @@ def main() -> None:
     # exactly one more warm run; NO query is reported from a cold-only
     # sample (the r3 harness artifact that faked 3 regressions).
     repeat_below_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_BELOW", "2.0"))
+    # Sub-second signal quality (VERDICT r11 item 3): seven sub-1.3 s
+    # queries read 2.0–2.6× on the driver's r11 bench purely through
+    # ±0.3 s warm-run spread (absolute deltas < 1 s, untouched code).
+    # Queries whose cold run lands under SPARK_GRAFT_BENCH_MICRO_BELOW
+    # seconds get 5 total runs (4 warm) so their median sheds one
+    # contended slice instead of being defined by it. Costs ~2 extra
+    # sub-second runs for the short tail only — the multi-second queries
+    # keep the two-run envelope above.
+    micro_below_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MICRO_BELOW", "1.5"))
+    micro_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_RUNS", "5")))
     # Contention guard (VERDICT r4 item 4: the driver's r4 bench ran on a
     # loaded box and recorded 166 s for a reproducible-94 s engine). Two
     # defenses: (a) record the 1-min loadavg at the start of EVERY run so
@@ -173,6 +189,8 @@ def main() -> None:
                 break
             if i == 0 and samples[0] >= repeat_below_sec:
                 target_runs = min(n_runs, 2)
+            elif i == 0 and samples[0] < micro_below_sec:
+                target_runs = micro_runs
             # spread-rerun: warm samples disagreeing by >spread_rerun×, or
             # a warm run SLOWER than the cold run (compile+cache landed on
             # the cold one, so warm>cold×1.5 means the box got busy), both
@@ -217,6 +235,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "adaptive_repeat_below_sec": repeat_below_sec,
+        "micro_repeat_below_sec": micro_below_sec,
+        "micro_runs": micro_runs,
         "spread_rerun_threshold": spread_rerun,
         "spread_rerun_queries": respread,
         "median_rule": "warm runs only (run 0 = cold, excluded when >=2 runs)",

@@ -37,6 +37,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Long-session driver hygiene (OPTIMIZATION_r12 — the r11 verdict's
+        # q_sql_scripting weak mark: per-statement/per-job latency grew ~4×
+        # late in a 366-query bench session). The status listeners retain
+        # per-job/stage/task and per-SQL-execution state even with the UI
+        # off (they feed the status API); at 1000 retained executions ×
+        # full plan graphs a many-query session accumulates hundreds of MB
+        # of driver heap, and GC pressure taxes exactly the many-small-jobs
+        # queries (SQL scripting probes, iterative graph sweeps). Bounds
+        # are generous for debugging one query, tiny for 366.
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        # Reference-process RDD/broadcast cleanup (localCheckpoint blocks,
+        # broadcast joins) otherwise waits for a natural full GC — force
+        # one every 5 min instead of the 30-min default so block-manager
+        # residue from hundreds of queries cannot pile up.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
