@@ -33,9 +33,22 @@ from etl4s_spark.sources.batch import (
 from etl4s_spark.sources.tables import load_table
 
 
+# Root for the sink round-trips' transient output files. Prefer tmpfs
+# over disk-backed /tmp: the files are bounded (each sink writes a test-SF
+# slice), rewritten every run, and the round-trip READ is part of the
+# timed query — RAM-backed scratch removes the fsync/page-cache tax
+# without changing a byte of what is written or read back.
+# SPARK_GRAFT_SINK_TMP points a cluster at its real scratch mount.
+_SINK_ROOT = os.environ.get("SPARK_GRAFT_SINK_TMP") or (
+    "/dev/shm/etl4s_spark_sinks"
+    if os.path.isdir("/dev/shm")
+    else "/tmp/etl4s_spark_sinks"
+)
+
+
 def _sink_dir(sf_dir: str, name: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return f"/tmp/etl4s_spark_sinks/{tag}/{name}"
+    return f"{_SINK_ROOT}/{tag}/{name}"
 
 
 def _drop_table_fully(spark: SparkSession, table: str) -> None:

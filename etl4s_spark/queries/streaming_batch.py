@@ -23,6 +23,21 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _DUCK_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
 
+def _replay_tmpdir(prefix: str) -> str:
+    """Scratch dir for staged replay micro-batch files (and upsert/bitmap
+    sink targets). Prefer the tmpfs over disk-backed /tmp: the files are
+    bounded by construction (every replay slices event_id < 20000), live
+    only for the duration of one query, and the file-stream source
+    re-reads them once per micro-batch. SPARK_GRAFT_REPLAY_TMP overrides
+    (e.g. a cluster's fast scratch mount)."""
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_REPLAY_TMP") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 @query(
     "q_window_tumbling_batch",
     oracle=f"""
@@ -127,7 +142,7 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_replay_")
+    replay_dir = _replay_tmpdir("etl4s_stream_replay_")
     # one Spark scan; 4 ordered micro-batch files staged driver-side
     tbl = ev.toArrow()
     n = tbl.num_rows
@@ -249,7 +264,7 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded slice: replay cost is micro-batch/state-store overhead, not
     # data volume — 20k events exercise identical semantics at any sf
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_wm_replay_")
+    replay_dir = _replay_tmpdir("etl4s_wm_replay_")
 
     # ONE Spark scan; the replay files are tiny and written driver-side
     # (this is test-harness staging, not a data path)
@@ -458,7 +473,7 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_sess_replay_")
+    replay_dir = _replay_tmpdir("etl4s_sess_replay_")
     tbl = ev.toArrow()
     # empty corpus: max is NULL — any fixed base works (see the
     # watermark replay's sentinel note)
@@ -550,7 +565,7 @@ def q_stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_slide_replay_")
+    replay_dir = _replay_tmpdir("etl4s_slide_replay_")
     tbl = ev.toArrow()
     n = tbl.num_rows
     step = (n + 1) // 2
@@ -627,7 +642,7 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.streaming.core import stream_stream_join
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_ssj_replay_")
+    replay_dir = _replay_tmpdir("etl4s_ssj_replay_")
     _stage_replay_files([ev.toArrow()], replay_dir)
 
     stream = spark.readStream.schema(ev.schema).parquet(replay_dir)
@@ -692,7 +707,7 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_sdedup_replay_")
+    replay_dir = _replay_tmpdir("etl4s_sdedup_replay_")
     tbl = ev.toArrow()
     _stage_replay_files([tbl, tbl], replay_dir)  # duplicates across batches
 
@@ -772,7 +787,7 @@ def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_micros"),
         )
     )
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_state_replay_")
+    replay_dir = _replay_tmpdir("etl4s_state_replay_")
     tbl = ev.toArrow()
     n = tbl.num_rows
     step = (n + 1) // 2
@@ -841,8 +856,8 @@ def q_stream_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") < 20000)
         .select("event_id", "user_id", F.round("value", 4).alias("value"))
     )
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_sink_replay_src_")
-    out_dir = tempfile.mkdtemp(prefix="etl4s_sink_replay_out_") + "/out"
+    replay_dir = _replay_tmpdir("etl4s_sink_replay_src_")
+    out_dir = _replay_tmpdir("etl4s_sink_replay_out_") + "/out"
     tbl = ev.toArrow()
     n = tbl.num_rows
     step = (n + 1) // 2
@@ -990,7 +1005,7 @@ def q_stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
     )
 
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_ss_static_replay_")
+    replay_dir = _replay_tmpdir("etl4s_ss_static_replay_")
     tbl = ev.select("event_id", "ts", "user_id", "value").toArrow()
     n = tbl.num_rows
     step = (n + 1) // 2
@@ -1071,8 +1086,8 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_upsert_replay_src_")
-    target_base = tempfile.mkdtemp(prefix="etl4s_upsert_target_")
+    replay_dir = _replay_tmpdir("etl4s_upsert_replay_src_")
+    target_base = _replay_tmpdir("etl4s_upsert_target_")
     tbl = ev.select("event_id", "ts", "user_id", "value").toArrow()
     n = tbl.num_rows
     step = (n + 1) // 2
@@ -1152,7 +1167,7 @@ def q_stream_dedup_wm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.streaming.core import stateful_dedup
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_wmdedup_replay_")
+    replay_dir = _replay_tmpdir("etl4s_wmdedup_replay_")
     tbl = ev.select("event_id", "ts", "user_id", "event_type").toArrow()
     _stage_replay_files([tbl, tbl], replay_dir)  # duplicates across batches
 
@@ -1528,7 +1543,7 @@ def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_stream_topk_")
+    replay_dir = _replay_tmpdir("etl4s_stream_topk_")
     tbl = ev.toArrow()
     n = tbl.num_rows
     step = (n + 3) // 4
@@ -1632,8 +1647,8 @@ def q_stream_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    replay_dir = tempfile.mkdtemp(prefix="etl4s_bitmap_replay_src_")
-    target_base = tempfile.mkdtemp(prefix="etl4s_bitmap_target_")
+    replay_dir = _replay_tmpdir("etl4s_bitmap_replay_src_")
+    target_base = _replay_tmpdir("etl4s_bitmap_target_")
     tbl = ev.select("event_id", "event_type", "user_id").toArrow()
     n = tbl.num_rows
     step = (n + 2) // 3
