@@ -64,17 +64,32 @@ def cosine_topk(
     shuffle). Self-matches (same id) are excluded.
     """
     query_id_col = query_id_col or id_col
+    # Norms are hoisted to per-ROW columns before the pair fan-out: the
+    # inline cosine() re-derives both norms per PAIR (O(dim) interpreted
+    # HOF work ×3 per candidate), the hoisted form derives each exactly
+    # once per row — the identical left-fold float sequence, so cos_sim
+    # is bit-identical. The corpus side is widened: the broadcast join
+    # fuses into the (often single-split) corpus scan, serializing the
+    # whole pair sweep otherwise (guide §2/§4; no-op on wide scans).
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv"))
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = widen(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+        ),
+        "neighbor_id",
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -210,9 +225,17 @@ def ivf_topk(
     if refine_sweeps:
         cents = ivf_refine_centroids(corpus, vec_col, cents, sweeps=refine_sweeps)
     cmat = centroid_matrix_frame(spark, cents)
+    # corpus is widened before the n·k assignment dots (they fuse into a
+    # single-split scan otherwise — guide §2), and both norms are hoisted
+    # to per-ROW columns so the candidate stage pays only the pair dot
+    # (identical left-fold float sequence → cos_sim bit-identical).
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+        widen(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                as_double(F.col(vec_col)).alias("__cv"),
+            ),
+            "neighbor_id",
         )
         .crossJoin(F.broadcast(cmat))
         .select(
@@ -220,6 +243,7 @@ def ivf_topk(
             "__cv",
             F.element_at(rank_cells(F.col("__cv")), 1).alias("__cell"),
         )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
     )
     q = (
         queries.select(
@@ -231,6 +255,7 @@ def ivf_topk(
             "__qv",
             F.explode(F.slice(rank_cells(F.col("__qv")), 1, n_probe)).alias("__cell"),
         )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
     )
     scored = (
         c.join(q, "__cell")
@@ -238,7 +263,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -266,9 +294,12 @@ def embedding_neardup_pairs(
     raw table, exactly like ngram_jaccard_pairs vs minhash_lsh_candidates.
     """
     # Norms are computed once per ROW before the join (n of them), so the
-    # O(n²) pair stage only pays for the dot product.
-    a = df.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("__va")
+    # O(n²) pair stage only pays for the dot product. The streamed side
+    # is widened: against a broadcast right, the whole O(n²) sweep fuses
+    # into the left scan — one task on a single-split input (guide §2).
+    a = widen(
+        df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("__va")),
+        "id_a",
     ).withColumn("__na", l2_norm(F.col("__va")))
     b = df.select(
         F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("__vb")
@@ -681,19 +712,24 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # norms hoisted per ROW (inline cosine() re-derived both per PAIR —
+    # identical left-fold float sequence, bit-identical cos_sim)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -1076,21 +1112,24 @@ def pq_topk(
         .filter(F.col("rn") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
+    # norms hoisted per ROW (the inline cosine() re-derived both per
+    # shortlist PAIR; identical left-fold float sequence → bit-identical)
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     qvecs = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     reranked = (
         shortlist.join(vecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            # cosine of RAW vectors ≡ dot of normalized ones, with each
-            # norm evaluated once at the top level (no lambda-body agg)
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("approx_cos"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("approx_cos"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

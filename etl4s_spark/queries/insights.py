@@ -2346,9 +2346,11 @@ def q_sample_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is THE error-bar recipe: the fan-out is ×R on the
     map side with map-side combine, never a second pass over the
     fact table."""
+    from etl4s_spark.operators.parallelism import widen
+
     o = load_table(spark, sf_dir, "orders")
     reps = spark.range(0, 20).select(F.col("id").cast("int").alias("r"))
-    u = F.conv(
+    u_expr = F.conv(
         F.substring(
             F.md5(
                 F.concat(
@@ -2365,18 +2367,29 @@ def q_sample_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     wt = (
-        F.when(u < 1580030168, 0)
-        .when(u < 3160060337, 1)
-        .when(u < 3950075421, 2)
-        .when(u < 4213413783, 3)
-        .when(u < 4279248373, 4)
-        .when(u < 4292415291, 5)
+        F.when(F.col("__u") < 1580030168, 0)
+        .when(F.col("__u") < 3160060337, 1)
+        .when(F.col("__u") < 3950075421, 2)
+        .when(F.col("__u") < 4213413783, 3)
+        .when(F.col("__u") < 4279248373, 4)
+        .when(F.col("__u") < 4292415291, 5)
         .otherwise(6)
     )
-    w = o.join(F.broadcast(reps)).select(
-        "r",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        wt.alias("wt"),
+    # widen BEFORE the ×20 replicate fan-out: one small file arrives as
+    # one scan split, and the broadcast fan-out + 20·n md5 draws + the
+    # partial aggregation all fuse into that single task (guide §2 —
+    # single-split collapse; no-op at scale where the scan is wide).
+    # __u is materialized as a column so the md5 chain is evaluated ONCE
+    # per (row, replicate), not once per CASE branch.
+    w = (
+        widen(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
+        .join(F.broadcast(reps))
+        .withColumn("__u", u_expr)
+        .select(
+            "r",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            wt.alias("wt"),
+        )
     )
     rep_means = w.groupBy("r").agg(
         F.round(

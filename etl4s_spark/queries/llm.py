@@ -50,6 +50,7 @@ from etl4s_spark.operators.text import (
     word_count,
     words,
 )
+from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
@@ -2843,7 +2844,12 @@ def q_dedup_embedding_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
         )
     )
-    el = e.select(
+    from etl4s_spark.operators.parallelism import widen
+
+    # widen before the ×64 posexplode ×32 plane fan-out: fused into the
+    # single-split scan it runs the whole 1M-row integer dot expansion on
+    # one core (guide §2; no-op on wide scans)
+    el = widen(e.select("vec_id", "embedding"), "vec_id").select(
         "vec_id", F.posexplode("embedding").alias("d", "v")
     ).select(
         "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
@@ -2871,11 +2877,15 @@ def q_dedup_embedding_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFra
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    x = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    y = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    # norms hoisted per ROW (same left-fold float sequence per vector →
+    # bit-identical cos), so the verify stage pays one dot per pair
+    x = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("__na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    y = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("__nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(F.broadcast(x), "id_a")
         .join(F.broadcast(y), "id_b")
@@ -3147,7 +3157,12 @@ def q_sim_ann_lsh_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
         "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
     )
-    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+    # widen before the ×64 posexplode × plane fan-out: fused into the
+    # single-split scan the integer-dot expansion runs on one core
+    # (guide §2; no-op on wide scans)
+    el = widen(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
         "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
     )
     bands = (
@@ -3346,21 +3361,29 @@ def q_eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact. Output is O(labels²), independent of corpus size."""
     from pyspark.sql.window import Window as W
 
+    from etl4s_spark.operators.parallelism import widen
+
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("label").alias("true_label"),
-    )
-    c = e.filter(F.col("vec_id") >= 50).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
-        F.col("label").alias("pred_label"),
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    # norms hoisted to per-ROW columns (the inline form re-derived both
+    # per PAIR — 3× the interpreted HOF work; same left-fold float
+    # sequence, so cos is bit-identical), and the corpus side widened so
+    # the broadcast pair sweep does not fuse into the single-split scan
+    # (guide §2/§4).
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("true_label"),
+    ).withColumn("__na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    c = widen(
+        e.filter(F.col("vec_id") >= 50).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+            F.col("label").alias("pred_label"),
+        ),
+        "cid",
+    ).withColumn("__nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     best = (
         c.join(F.broadcast(q))
         .withColumn("cos", cos)
@@ -3429,20 +3452,24 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("label").alias("ql"),
-    )
-    c = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
-        F.col("label").alias("cl"),
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    # norms hoisted per ROW + corpus side widened (guide §2/§4: the
+    # broadcast pair sweep otherwise fuses into the single-split scan
+    # and re-derives both norms per pair; bit-identical cos)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    ).withColumn("__na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    c = widen(
+        e.filter(F.col("vec_id") >= 20).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+            F.col("label").alias("cl"),
+        ),
+        "cid",
+    ).withColumn("__nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     ranked = (
         c.join(F.broadcast(q))
         .withColumn("rel", (F.col("ql") == F.col("cl")).cast("int"))
@@ -3582,20 +3609,23 @@ def q_eval_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("label").alias("ql"),
-    )
-    c = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
-        F.col("label").alias("cl"),
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    # norms hoisted per ROW + corpus side widened (guide §2/§4;
+    # bit-identical cos — see q_eval_ndcg)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    ).withColumn("__na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    c = widen(
+        e.filter(F.col("vec_id") >= 20).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+            F.col("label").alias("cl"),
+        ),
+        "cid",
+    ).withColumn("__nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     perq = (
         c.join(F.broadcast(q))
         .withColumn("rel", (F.col("ql") == F.col("cl")).cast("int"))
@@ -3683,20 +3713,23 @@ def q_pipeline_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.core.node import node
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
-        F.col("label").alias("ql"),
-    )
-    c = e.filter(F.col("vec_id") >= 20).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
-        F.col("label").alias("cl"),
-    )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    # norms hoisted per ROW + corpus side widened (guide §2/§4;
+    # bit-identical cos — see q_eval_ndcg)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"),
+        F.col("label").alias("ql"),
+    ).withColumn("__na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    c = widen(
+        e.filter(F.col("vec_id") >= 20).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("eb"),
+            F.col("label").alias("cl"),
+        ),
+        "cid",
+    ).withColumn("__nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
 
     def build_ranked(_: DataFrame) -> DataFrame:
         return (
@@ -4105,7 +4138,12 @@ def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
         "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
     )
-    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+    # widen before the ×64 posexplode × plane fan-out: fused into the
+    # single-split scan the integer-dot expansion runs on one core
+    # (guide §2; no-op on wide scans)
+    el = widen(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
         "vec_id", "d", F.round(F.col("v").cast("double") * 1000).cast("long").alias("q")
     )
     bands = (
@@ -4662,7 +4700,10 @@ def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('pl:', CAST(id div 64 AS STRING), ':', "
         "CAST(id % 64 AS STRING))), 1, 8), 16, 10) AS BIGINT) - 2147483648 AS coeff",
     )
-    el = e.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+    # widen before the ×64 posexplode × plane fan-out (guide §2)
+    el = widen(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select(
         "vec_id",
         "d",
         F.round(F.col("v").cast("double") * 1000).cast("long").alias("q"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl4s_spark.functions.exact import d38
+from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.operators.ranking import one_part
 from etl4s_spark.queries import query
 from etl4s_spark.queries.analytics import _PAIRS_SQL, _neardup_pairs
@@ -117,8 +118,13 @@ def q_stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"r_{col}"),
         )
 
+    # widen the fact frame before the rank attach: the three broadcast
+    # joins + six Decimal(38) moment products fuse into the (single-split)
+    # scan stage otherwise — 600k exact decimal multiplies on one core at
+    # sf0.1 (guide §2 single-split collapse; no-op on a wide scan).
     j = (
-        f.join(F.broadcast(rank_map("q")), "q")
+        widen(f, "q")
+        .join(F.broadcast(rank_map("q")), "q")
         .join(F.broadcast(rank_map("d")), "d")
         .join(F.broadcast(rank_map("t")), "t")
     )
