@@ -203,9 +203,15 @@ def exact_quartiles_cents(
     (dyadic rational, exact in doubles), matching both engines'
     percentile_cont bit-for-bit. Returns (group, p25, median, p75, n)
     in CENTS (callers scale/round for display)."""
-    cnt = df.groupBy(F.col(group_col).alias("g"), F.col(cents_col).alias("p")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # widen on the histogram key (guide §2): the partial aggregation
+    # otherwise fuses into a single-split upstream and counts every fact
+    # row on one core; integer counts are merge-order-independent and at
+    # scale (wide upstream) this is a no-op
+    from etl4s_spark.operators.parallelism import widen
+
+    cnt = widen(
+        df.select(F.col(group_col).alias("g"), F.col(cents_col).alias("p")), "g", "p"
+    ).groupBy("g", "p").agg(F.count(F.lit(1)).alias("c"))
     # one_part("p") rides along in every partition spec: callers that
     # pass a LITERAL group (F.lit(1).alias("g")) would otherwise have
     # the g attribute constant-folded away by FoldablePropagation,

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl4s_spark.operators.parallelism import widen
 from etl4s_spark.queries import query
 from etl4s_spark.sources.tables import load_table
 
@@ -184,8 +185,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's accuracy contract becomes part of the hash-matched result
     instead of an unchecked rows-only pass."""
     li = load_table(spark, sf_dir, "lineitem")
+    # widen before the aggregate (guide §2): partial distinct-set and HLL
+    # register state both depend only on the value SET — merge-order-
+    # independent; no-op at scale
     return (
-        li.groupBy("l_returnflag")
+        widen(li.select("l_returnflag", "l_partkey"), "l_partkey")
+        .groupBy("l_returnflag")
         .agg(
             F.count_distinct("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
@@ -225,13 +230,31 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1% — the sketch's contract becomes hash-matched instead of
     rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
+    # widen before the aggregate: the partial percentile buffers (a
+    # value→count map per group) otherwise build on the single-split
+    # scan's ONE core (guide §2; exact percentile and the GK sketch are
+    # both merge-order-independent — the map/sketch state depends only
+    # on the value multiset). Both cuts share ONE buffer via the array
+    # form (identical per-cut arithmetic, half the per-row updates).
+    wli = widen(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey"), "l_orderkey"
+    )
     return (
-        li.groupBy("l_returnflag")
+        wli.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("exact_p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("exact_p95"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
-            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("__a95"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+            ).alias("__ex"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("__ap"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__ex", 1), 4).alias("exact_p50"),
+            F.round(F.element_at("__ex", 2), 4).alias("exact_p95"),
+            F.element_at("__ap", 1).alias("__a50"),
+            F.element_at("__ap", 2).alias("__a95"),
         )
         .select(
             "l_returnflag",
@@ -674,9 +697,25 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB swap F.percentile for approx_percentile and re-verify
     bounds-only — the plan shape is identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    # bounds pass widened + one shared percentile buffer for both cuts
+    # (exact percentile state is a value→count map — merge-order-
+    # independent, identical p05/p95). The CLIPPED pass is deliberately
+    # left on the narrow scan: its float sum/avg would change summation
+    # order under a repartition (the FIXTURES §C 4-dp half-boundary
+    # class), and it is the cheaper of the two aggregates.
+    bounds = (
+        widen(li.select("l_returnflag", "l_extendedprice", "l_orderkey"), "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("__b")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("__b", 1).alias("p05"),
+            F.element_at("__b", 2).alias("p95"),
+        )
     )
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
@@ -788,10 +827,17 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights/cents are exact BIGINTs, so the defining inequality
     2·cumw ≥ total is integer arithmetic in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    cw = li.groupBy(
-        F.col("l_returnflag").alias("g"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
-    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    # widen on the histogram key (guide §2; exact BIGINT weights —
+    # merge-order-independent; no-op at scale)
+    cw = widen(
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+            F.round("l_quantity").cast("long").alias("__q"),
+        ),
+        "g",
+        "p",
+    ).groupBy("g", "p").agg(F.sum("__q").alias("w"))
     wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.partitionBy("g")
     cum = cw.select(
@@ -888,9 +934,17 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle; per-group state bounded by the cents
     domain."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    # widen ON the histogram key: locally this turns the (single-split)
+    # partial aggregation into one parallel exchange the groupBy reuses;
+    # at scale it is a no-op and the usual map-side combine stands
+    # (guide §2; integer counts — merge-order-independent)
+    cents = widen(
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        ),
+        "g",
+        "p",
     )
     hist = cents.groupBy("g", "p").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
@@ -958,10 +1012,17 @@ def q_agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cut is one integer cross-multiplication (4·cumw ≥ q·total) —
     three FILTERed mins share the same cumulative pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    cw = li.groupBy(
-        F.col("l_returnflag").alias("g"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
-    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    # widen on the histogram key (guide §2; exact BIGINT weights —
+    # merge-order-independent; no-op at scale)
+    cw = widen(
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+            F.round("l_quantity").cast("long").alias("__q"),
+        ),
+        "g",
+        "p",
+    ).groupBy("g", "p").agg(F.sum("__q").alias("w"))
     wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.partitionBy("g")
     cum = cw.select(
