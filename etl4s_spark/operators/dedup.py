@@ -685,17 +685,23 @@ def min_neighbor_contract(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # symmetrize BEFORE the self-loop filter and persist THAT frame: the
-    # node set (mapping keys) must include nodes that appear only in
-    # self-pairs (a, a) — filtering first would drop them from the
-    # mapping and break the "same output rows as connected_components"
-    # contract (plain CC keeps them as singletons). One materialization
-    # of the (possibly expensive) upstream pair plan — mapping AND
-    # contracted both read the persisted frame, never the raw join again.
-    sym = _persist(
-        raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    )
+    # Materialize the DIRECTED pair list BEFORE symmetrizing: a union's
+    # two legs are planned independently (only broadcast/shuffle
+    # exchanges are reused), so union-then-persist ran the (possibly
+    # expensive) upstream pair plan TWICE inside the one materialization
+    # — measured on the sf0.1 blocked-levenshtein ER graph: the sym
+    # materialization cost 5.0 s against 2.8 s for the pair plan itself;
+    # checkpoint-then-union reads the checkpoint twice instead (3.0 s).
+    # sym itself is no longer persisted: both its readers (the mapping
+    # groupBy, the contracted-edges join) now re-derive it from the raw
+    # checkpoint with two cheap scans each.
+    raw = _persist(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    # symmetrize BEFORE the self-loop filter: the node set (mapping
+    # keys) must include nodes that appear only in self-pairs (a, a) —
+    # filtering first would drop them from the mapping and break the
+    # "same output rows as connected_components" contract (plain CC
+    # keeps them as singletons).
+    sym = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = sym.where(F.col("src") != F.col("dst"))
     # min over dst INCLUDING a possible self-loop is harmless:
     # least(id, min(dst ∪ {id})) == least(id, min(dst \ {id})), and for a

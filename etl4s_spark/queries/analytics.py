@@ -1039,36 +1039,88 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         "p",
+        "c",
         (F.sum("c").over(wdom) - F.col("c")).alias("cum_start"),
         F.sum("c").over(Window.partitionBy("l_returnflag", "l_linestatus")).alias("n_total"),
     )
-    wrank = Window.partitionBy("l_returnflag", "l_linestatus", "p").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
-    idxed = (
-        cents.withColumn("rn", F.row_number().over(wrank))
-        .join(hist, ["l_returnflag", "l_linestatus", "p"])
-        .withColumn("idx", F.col("cum_start") + F.col("rn"))
-    )
-    # ntile(4): first (n mod 4) buckets hold (n div 4)+1 rows
+    # The output is PER-BUCKET aggregates (n, lo, hi, sum_cents), and all
+    # rows tied on (group, p) contribute identically to every one of
+    # them — the ntile tie-break (l_orderkey, l_linenumber) only decides
+    # WHICH tied row lands in which bucket, never the aggregate. So the
+    # per-row rank window + fact-side join back (a 600k-row shuffle+sort
+    # and an SMJ, ~half the query's work) are unnecessary: each histogram
+    # row covers the contiguous index range [cum_start+1, cum_start+c],
+    # which overlaps at most 4 ntile buckets; explode that row over its
+    # overlapped buckets with exact integer overlap counts. Bucket
+    # boundaries are the same ntile(4) closed form as before (first
+    # n mod 4 buckets hold (n div 4)+1 rows), so the result is
+    # arithmetically identical — the oracle stays the literal ntile.
     q = F.col("n_total") % 4  # extra-row bucket count
-    bucket = F.when(
-        F.col("idx") <= q * (F.expr("n_total div 4") + 1),
-        F.expr("(idx + (n_total div 4)) div ((n_total div 4) + 1)"),
+    #   bucket_of(i): the bucket holding 1-based group index i
+    bucket_lo = F.when(
+        (F.col("cum_start") + 1) <= q * (F.expr("n_total div 4") + 1),
+        F.expr("((cum_start + 1) + (n_total div 4)) div ((n_total div 4) + 1)"),
     ).otherwise(
         F.expr(
-            "(n_total % 4) + ((idx - (n_total % 4) * ((n_total div 4) + 1)) "
+            "(n_total % 4) + (((cum_start + 1) - (n_total % 4) * ((n_total div 4) + 1)) "
             "+ (n_total div 4) - 1) div (n_total div 4)"
         )
     )
+    bucket_hi = F.when(
+        (F.col("cum_start") + F.col("c")) <= q * (F.expr("n_total div 4") + 1),
+        F.expr("((cum_start + c) + (n_total div 4)) div ((n_total div 4) + 1)"),
+    ).otherwise(
+        F.expr(
+            "(n_total % 4) + (((cum_start + c) - (n_total % 4) * ((n_total div 4) + 1)) "
+            "+ (n_total div 4) - 1) div (n_total div 4)"
+        )
+    )
+    spanned = (
+        hist.withColumn("__b1", bucket_lo)
+        .withColumn("__b2", bucket_hi)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "p",
+            "c",
+            "cum_start",
+            "n_total",
+            F.explode(F.sequence("__b1", "__b2")).alias("bucket"),
+        )
+        # closed-form 1-based index range of this bucket within the group
+        .withColumn(
+            "__bstart",
+            F.when(
+                F.col("bucket") <= q,
+                F.expr("(bucket - 1) * ((n_total div 4) + 1) + 1"),
+            ).otherwise(
+                F.expr(
+                    "(n_total % 4) * ((n_total div 4) + 1) "
+                    "+ (bucket - 1 - (n_total % 4)) * (n_total div 4) + 1"
+                )
+            ),
+        )
+        .withColumn(
+            "__bend",
+            F.col("__bstart")
+            + F.when(F.col("bucket") <= q, F.expr("n_total div 4")).otherwise(
+                F.expr("(n_total div 4) - 1")
+            ),
+        )
+        .withColumn(
+            "__overlap",
+            F.least(F.col("__bend"), F.col("cum_start") + F.col("c"))
+            - F.greatest(F.col("__bstart"), F.col("cum_start") + 1)
+            + 1,
+        )
+    )
     return (
-        idxed.withColumn("bucket", bucket)
-        .groupBy("l_returnflag", "l_linestatus", "bucket")
+        spanned.groupBy("l_returnflag", "l_linestatus", "bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__overlap").cast("long").alias("n"),
             F.round(F.min("p") / 100, 2).alias("lo"),
             F.round(F.max("p") / 100, 2).alias("hi"),
-            F.sum("p").cast("long").alias("sum_cents"),
+            F.sum(F.col("p") * F.col("__overlap")).cast("long").alias("sum_cents"),
         )
         .select(
             "l_returnflag",
