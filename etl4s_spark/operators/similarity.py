@@ -653,12 +653,22 @@ def embedding_neardup_lsh(
         .agg(F.max("__dropped").alias("truncated"))
     )
     # AQE coalesces the distinct's exchange by BYTES, but the verify
-    # stage downstream (vectors broadcast in, exact cosine per pair) is
-    # compute-bound per row — a 2-task coalesce serializes it. Widen the
-    # candidate frame explicitly; user repartitions are AQE-exempt.
-    from etl4s_spark.operators.parallelism import widen
-
-    cands = widen(cands, "id_a")
+    # stage downstream (vectors joined back in, exact cosine per pair)
+    # is compute-bound per row — a 2-task coalesce serializes it. NOT
+    # widen(): its .rdd partition probe on this post-shuffle frame
+    # finalizes the AQE plan, which EXECUTES the whole propose pipeline
+    # once before the real job runs it again (measured: the full funnel
+    # 3.6 → 2.8 s warm at sf0.1 when the probe went away). An
+    # unconditional keyed
+    # repartition to the shuffle target is AQE-exempt (user-specified),
+    # and the verify join on id_a needs exactly this partitioning, so at
+    # scale it REPLACES the join's exchange instead of adding one — the
+    # shuffled rows are (id_a, id_b, truncated) key metadata, never
+    # vector payloads.
+    cands = cands.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col("id_a"),
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")).withColumn(
         "__na", l2_norm(F.col("__va"))
     )
