@@ -53,10 +53,12 @@ def _neardup_pairs(
     # assortativity moments) reference the frame 2-5 times — self-joins
     # cannot share a lazy broadcast-NL subplan, so each reference would
     # re-evaluate the O(n²) dot products. The materialized pair list
-    # itself is tiny (tens of rows per 500 docs). Consumers that read
-    # the pairs exactly ONCE into their own materialization (k_core
-    # symmetrizes+checkpoints immediately) pass materialize=False to
-    # skip the redundant barrier.
+    # itself is tiny (tens of rows per 500 docs). materialize=False is
+    # for consumers that read the pairs EXACTLY once before their own
+    # barrier — and "once" must count union legs: symmetrize() plans its
+    # two legs independently, so even symmetrize-then-checkpoint
+    # evaluates a lazy upstream twice (r12: pagerank and k_core moved
+    # back to the default for exactly this reason).
     pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
         "id_a", "id_b"
     )
@@ -807,10 +809,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # cache the SYMMETRIZED edge list (distinct by construction: neardup
     # pairs are unique and oriented) so all 4 passes — degree + 3
-    # iterations — reuse one materialized frame
-    sym = symmetrize(_neardup_pairs(spark, sf_dir, materialize=False)).localCheckpoint(
-        eager=True
-    )
+    # iterations — reuse one materialized frame. The pairs themselves
+    # are materialized FIRST: symmetrize is a union whose two legs are
+    # planned independently, so feeding it the lazy sweep would run the
+    # O(n²) cosine plan twice inside the sym checkpoint (the §11
+    # contraction lesson applied here).
+    sym = symmetrize(_neardup_pairs(spark, sf_dir)).localCheckpoint(eager=True)
     out = (
         pagerank_edges(sym, iterations=3, damping_pct=85)
         .orderBy(F.col("rank_e6").desc(), "id")
@@ -1162,7 +1166,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)],
         "id_a long, id_b long",
     )
-    pairs = _neardup_pairs(spark, sf_dir, materialize=False).select(
+    # materialize the pairs BEFORE k_core's symmetrize union: its two
+    # legs are planned independently, so the lazy O(n²) sweep would run
+    # twice inside the edge checkpoint (the §11 contraction lesson)
+    pairs = _neardup_pairs(spark, sf_dir).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
     return (
