@@ -479,9 +479,14 @@ def connected_components(
     def _persist(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the directed pairs BEFORE the symmetrizing union: its
+    # two legs are planned independently, so a lazy (possibly expensive)
+    # upstream pair plan would execute twice inside the edges
+    # materialization — the same double-evaluation min_neighbor_contract
+    # fixed (r12); the union then reads the checkpoint twice, cheaply
+    raw = _persist(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = _persist(edges)
 
