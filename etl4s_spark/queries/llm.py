@@ -1640,8 +1640,11 @@ def q_sample_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score ONCE into a 2-column frame (~16 B/doc): without the
     # materialization the regex-heavy score expression re-evaluated in
     # every branch of the rank (4 scans, 10x-probe ratio 7.6); with it
-    # the corpus is read once and the rank passes read doc_id+q only
-    scored = d.select(
+    # the corpus is read once and the rank passes read doc_id+q only.
+    # widen BEFORE the scoring projection: it otherwise fuses into the
+    # single-split scan and the eager checkpoint regexes every doc on
+    # one core (guide §2; no-op on wide scans)
+    scored = widen(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", quality_score(F.col("text")).alias("q")
     ).localCheckpoint(eager=True)
     ranked = global_index(
@@ -4429,7 +4432,10 @@ def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.operators.text import lang_id
 
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
+    # widen BEFORE the heavy projection: md5 + the lang_id word-filter
+    # chain otherwise fuse into the single-split scan and the eager
+    # checkpoint computes them on one core (guide §2; no-op on wide scans)
+    base = widen(d.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.md5("text").alias("fp"),
         lang_id(F.col("text")).alias("pl"),
     ).localCheckpoint(eager=True)
