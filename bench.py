@@ -109,7 +109,8 @@ def _data_stats(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs_env = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    n_runs = max(1, int(n_runs_env or "3"))
 
     # The driver parses stdout as JSON (BENCH_r01 recorded parsed:null —
     # JVM/log4j noise had leaked onto fd 1). Point fd 1 at stderr for the
@@ -143,11 +144,14 @@ def main() -> None:
     # sub-second runs for the short tail only — the multi-second queries
     # keep the two-run envelope above.
     micro_below_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MICRO_BELOW", "1.5"))
-    # never overrides an EXPLICIT single-run smoke (n_runs == 1)
+    # The micro-run escalation applies only when the run count is the
+    # DEFAULT: an explicitly requested SPARK_GRAFT_BENCH_RUNS (e.g. a
+    # 2-run smoke) is honored verbatim (ADVICE r12), and
+    # SPARK_GRAFT_BENCH_MICRO_RUNS=0 disables escalation outright.
     micro_runs = (
         max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_RUNS", "5")))
-        if n_runs > 1
-        else 1
+        if n_runs_env is None
+        else n_runs
     )
     # Contention guard (VERDICT r4 item 4: the driver's r4 bench ran on a
     # loaded box and recorded 166 s for a reproducible-94 s engine). Two
@@ -229,7 +233,14 @@ def main() -> None:
     total = round(sum(ok), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rnd = _next_round()
-    detail_name = f"BENCH_DETAIL_r{rnd:02d}.json"
+    # Include the core count in the detail filename: the driver runs the
+    # bench twice per round (32-core, then an 8-core scaling run), and a
+    # round-only name made the second run OVERWRITE the first's per-query
+    # detail (r12: the 8c run clobbered the 32c detail, destroying the
+    # driver's per-query scaling comparison — VERDICT r12 item 3).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    cpu_tag = f"_c{cpus}" if cpus else ""
+    detail_name = f"BENCH_DETAIL_r{rnd:02d}{cpu_tag}.json"
     detail = {
         # schema_version 2 = noop-write full-plan measurement (r6+).
         # Version 1 (implicit/absent) = count()-based medians (r<=5),

@@ -203,15 +203,18 @@ def exact_quartiles_cents(
     (dyadic rational, exact in doubles), matching both engines'
     percentile_cont bit-for-bit. Returns (group, p25, median, p75, n)
     in CENTS (callers scale/round for display)."""
-    # widen on the histogram key (guide §2): the partial aggregation
-    # otherwise fuses into a single-split upstream and counts every fact
-    # row on one core; integer counts are merge-order-independent and at
-    # scale (wide upstream) this is a no-op
-    from etl4s_spark.operators.parallelism import widen
-
-    cnt = widen(
-        df.select(F.col(group_col).alias("g"), F.col(cents_col).alias("p")), "g", "p"
-    ).groupBy("g", "p").agg(F.count(F.lit(1)).alias("c"))
+    # No pre-aggregation widen here: the partial (map-side) aggregation
+    # collapses the fact rows to the bounded (g, p) histogram BEFORE the
+    # exchange, so the aggregation's own shuffle moves only histogram
+    # rows. A repartition of the raw rows below the partial aggregate
+    # costs a full raw-row shuffle and forfeits map-side combine
+    # (guide §2.3 "aggregate before you shuffle"; measured +0.6-1.1 s on
+    # q_anomaly_mad / weighted_median / percentile_disc in round 12).
+    cnt = (
+        df.select(F.col(group_col).alias("g"), F.col(cents_col).alias("p"))
+        .groupBy("g", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     # one_part("p") rides along in every partition spec: callers that
     # pass a LITERAL group (F.lit(1).alias("g")) would otherwise have
     # the g attribute constant-folded away by FoldablePropagation,

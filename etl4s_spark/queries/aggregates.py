@@ -827,17 +827,19 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights/cents are exact BIGINTs, so the defining inequality
     2·cumw ≥ total is integer arithmetic in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    # widen on the histogram key (guide §2; exact BIGINT weights —
-    # merge-order-independent; no-op at scale)
-    cw = widen(
+    # no pre-aggregation widen: map-side combine collapses the fact rows
+    # to the (flag, cents) histogram before the exchange; repartitioning
+    # raw rows below the partial aggregate shuffles the whole fact table
+    # for nothing (guide §2.3; round-12 regression, reverted)
+    cw = (
         li.select(
             F.col("l_returnflag").alias("g"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
             F.round("l_quantity").cast("long").alias("__q"),
-        ),
-        "g",
-        "p",
-    ).groupBy("g", "p").agg(F.sum("__q").alias("w"))
+        )
+        .groupBy("g", "p")
+        .agg(F.sum("__q").alias("w"))
+    )
     wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.partitionBy("g")
     cum = cw.select(
@@ -934,17 +936,13 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined shuffle; per-group state bounded by the cents
     domain."""
     li = load_table(spark, sf_dir, "lineitem")
-    # widen ON the histogram key: locally this turns the (single-split)
-    # partial aggregation into one parallel exchange the groupBy reuses;
-    # at scale it is a no-op and the usual map-side combine stands
-    # (guide §2; integer counts — merge-order-independent)
-    cents = widen(
-        li.select(
-            F.col("l_returnflag").alias("g"),
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
-        ),
-        "g",
-        "p",
+    # no pre-aggregation widen: map-side combine collapses raw rows to
+    # the bounded histogram before the exchange (guide §2.3; the
+    # round-12 raw-row repartition below the partial aggregate cost
+    # +0.4 s on both boxes and was reverted)
+    cents = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
     hist = cents.groupBy("g", "p").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
@@ -1012,17 +1010,18 @@ def q_agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cut is one integer cross-multiplication (4·cumw ≥ q·total) —
     three FILTERed mins share the same cumulative pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    # widen on the histogram key (guide §2; exact BIGINT weights —
-    # merge-order-independent; no-op at scale)
-    cw = widen(
+    # no pre-aggregation widen: see q_agg_weighted_median — map-side
+    # combine beats a raw-row repartition below the partial aggregate
+    # (guide §2.3; round-12 regression, reverted)
+    cw = (
         li.select(
             F.col("l_returnflag").alias("g"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
             F.round("l_quantity").cast("long").alias("__q"),
-        ),
-        "g",
-        "p",
-    ).groupBy("g", "p").agg(F.sum("__q").alias("w"))
+        )
+        .groupBy("g", "p")
+        .agg(F.sum("__q").alias("w"))
+    )
     wo = Window.partitionBy("g").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.partitionBy("g")
     cum = cw.select(

@@ -36,7 +36,16 @@ def get_spark(
     # where every scratch byte is bounded by the test SFs.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/etl4s_spark_local"
+        # Capacity gate (ADVICE r12): containers commonly cap /dev/shm at
+        # 64 MB, and shuffle spill lands here precisely when memory is
+        # tight — only prefer the tmpfs when it has real headroom (>= 4
+        # GiB free), else keep Spark's disk-backed default.
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 4 << 30:
+                local_dir = "/dev/shm/etl4s_spark_local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
     builder = (
