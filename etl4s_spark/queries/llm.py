@@ -2734,19 +2734,27 @@ def q_dedup_minhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    sh = widen(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    return _minhash_checkable_pairs(sh).orderBy("id_a", "id_b")
+
+
+def _minhash_checkable_pairs(sh: DataFrame) -> DataFrame:
+    """Banding candidates from an exploded (doc_id, s) shingle relation —
+    the body of q_dedup_minhash_checkable, factored out so
+    q_audit_lsh_recall can feed its ALREADY-CHECKPOINTED shingle relation
+    instead of re-scanning + re-shingling the corpus (the exploded rows
+    are identical by construction: same normalize/shingle expression)."""
     # production shape (operators/dedup.py): explode shingles to ROWS,
     # then a FLAT 64-column projection + min-aggregation — higher-order
     # lambdas are interpreted per element, and projection collapse
     # inlines the md5 chain into every permutation (measured 40+ s at
     # sf0.1); the flat form stays in whole-stage codegen (~3 s)
-    exploded = (
-        widen(d.select("doc_id", "text"), "doc_id")
-        .select("doc_id", F.explode(shingles).alias("s"))
-        .selectExpr(
-            "doc_id",
-            "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % 2147483647 AS h1",
-            "CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) % 2147483647 AS h2",
-        )
+    exploded = sh.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % 2147483647 AS h1",
+        "CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT) % 2147483647 AS h2",
     )
     sig_df = (
         exploded.selectExpr(
@@ -2756,6 +2764,9 @@ def q_dedup_minhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(*[F.expr(f"min(h{p}) AS h{p}") for p in range(64)])
     )
+    # (r13 note: a 4-BIGINT join key — provably equivalent to this
+    # injective concat — probed consistently ~0.3 s SLOWER than the
+    # single string key on interleaved A/B, so the string form stays.)
     band_structs = ", ".join(
         "named_struct('band_idx', {b}, 'band_key', concat_ws(',', {cols}))".format(
             b=b, cols=", ".join(f"h{b * 4 + i}" for i in range(4))
@@ -2776,7 +2787,6 @@ def q_dedup_minhash_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < F.col("id_b"))
         .groupBy(F.col("doc_id").alias("id_a"), "id_b")
         .agg(F.count_distinct("band_idx").cast("long").alias("n_shared_bands"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -4015,7 +4025,6 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup corpora sit far above J=0.5 where recall → 1."""
     from etl4s_spark.operators.parallelism import widen
     from etl4s_spark.operators.text import normalize_text
-    from etl4s_spark.queries import QUERIES
 
     d = load_table(spark, sf_dir, "documents")
     w = F.split(normalize_text(F.col("text")), " ")
@@ -4028,8 +4037,8 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # the shingle explosion feeds three consumers (sizes + both sides of
-    # the self-join) — materialize once instead of re-exploding per ref.
+    # the shingle explosion feeds FOUR consumers (sizes, both sides of
+    # the self-join, and the banding candidates) — materialize once.
     # DISK_ONLY: the explosion is docs×shingles-sized, and deserialized
     # MEMORY_AND_DISK block *construction* needs each partition resident
     # in heap — at 100x corpus (~750M rows) 32 concurrent tasks OOM'd the
@@ -4051,16 +4060,27 @@ def q_audit_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .filter(2 * F.col("n_inter") >= F.col("na") + F.col("nb") - F.col("n_inter"))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
     )
-    proposed = (
-        QUERIES["q_dedup_minhash_checkable"](spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    # the banding candidates re-derive from the SAME checkpointed shingle
+    # relation instead of re-scanning + re-shingling the corpus (the
+    # r12-identified residue: `proposed` was ~half this query's wall).
+    # Truth and proposed then meet in ONE full-outer join + aggregate —
+    # each side is consumed exactly once, so the two eager pair
+    # checkpoints and the three separate count() actions collapse into a
+    # single job (guide §5: fewer driver round-trips / actions). The
+    # final-row arithmetic (Python round) is unchanged bit-for-bit.
+    proposed = _minhash_checkable_pairs(sh).select("id_a", "id_b")
+    both = truth.withColumn("__t", F.lit(1)).join(
+        proposed.withColumn("__p", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
-    hits = truth.join(proposed, ["id_a", "id_b"]).count()
-    n_truth = truth.count()
-    n_proposed = proposed.count()
+    row = both.agg(
+        F.sum("__t").alias("n_truth"),
+        F.sum("__p").alias("n_proposed"),
+        F.sum(F.col("__t") * F.col("__p")).alias("hits"),
+    ).collect()[0]
+    n_truth = int(row["n_truth"] or 0)
+    n_proposed = int(row["n_proposed"] or 0)
+    hits = int(row["hits"] or 0)
     return spark.createDataFrame(
         [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
         "n_truth long, n_proposed long, n_hits long, recall double",
@@ -4336,14 +4356,8 @@ def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, never all pairs."""
     from etl4s_spark.operators.parallelism import widen
     from etl4s_spark.operators.text import normalize_text
-    from etl4s_spark.queries import QUERIES
 
     d = load_table(spark, sf_dir, "documents")
-    proposed = (
-        QUERIES["q_dedup_minhash_checkable"](spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
     w = F.split(normalize_text(F.col("text")), " ")
     shingles = F.when(
         F.size(w) >= 3,
@@ -4363,6 +4377,12 @@ def q_dedup_funnel_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles).alias("s"))
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # banding candidates from the SAME checkpointed shingle relation —
+    # no second corpus scan / shingle pass (r13; same move as
+    # q_audit_lsh_recall). `proposed` is consumed once by the verify
+    # join, and _minhash_checkable_pairs checkpoints its band relation
+    # internally, so no extra eager checkpoint is needed here.
+    proposed = _minhash_checkable_pairs(sh).select("id_a", "id_b")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         proposed.join(sh.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
