@@ -371,6 +371,28 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair's levenshtein serially — measured 56 s → 2 s at sf0.1)
     a = p.repartition(32).alias("a")
     b = p.alias("b")
+    # Two DP-cost disciplines added in r13 (guide §1.2 per-task work):
+    # 1. The `dist >= 0` filter applied ABOVE the projection used to be
+    #    pushed into the JOIN condition as its FIRST conjunct — the
+    #    O(k·n) DP ran on every same-block ordered pair BEFORE the cheap
+    #    partkey/length-band conjuncts pruned anything (two levenshtein
+    #    sites, the join-side one unguarded — r13 before-plan line 58).
+    #    The DP now sits in the ON clause as the LAST conjunct (authored
+    #    conjunct order is preserved and short-circuits), so it runs
+    #    only on length-band survivors; the projection re-evaluates it
+    #    only for the few matching pairs that reach the output.
+    # 2. Both names start with their block token (split_part's first
+    #    field is by construction a prefix of the name, and the join
+    #    requires a.blk == b.blk), and levenshtein is invariant under
+    #    stripping a common prefix (the DP's first row/column), so the
+    #    band runs on the ~20%-shorter suffixes — same exact distance.
+    #    Exactly length(blk) chars are stripped — never the following
+    #    space, which a single-token name would not have.
+    dist_once = F.levenshtein(
+        F.expr("substring(a.p_name, length(a.blk) + 1)"),
+        F.expr("substring(b.p_name, length(b.blk) + 1)"),
+        4,
+    ).cast("int")
     return (
         a.join(
             b,
@@ -379,18 +401,16 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
                 <= 4
-            ),
+            )
+            & (dist_once >= 0),
         )
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
-            .cast("int")
-            .alias("dist"),
+            dist_once.alias("dist"),
         )
-        .filter(F.col("dist") >= 0)
         .orderBy("dist", "key_a", "key_b")
         .limit(30)
     )
@@ -449,17 +469,28 @@ def q_er_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = p.repartition(32).alias("a")
     b = p.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2),
-        )
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0)
-        .select(
-            F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
-        )
+    # Same two DP disciplines as q_fuzzy_pairs (r13): the banded DP is
+    # the LAST conjunct of the ON clause (a bare post-join filter merges
+    # into the join condition as its FIRST conjunct — the DP then ran
+    # before partkey/length-band pruned), and it runs on the suffixes
+    # after the provably-common block prefix (levenshtein is
+    # prefix-strip invariant). No projection re-evaluation here — the
+    # pair list only needs the keys, so the DP runs exactly once.
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2)
+        & (
+            F.levenshtein(
+                F.expr("substring(a.p_name, length(a.blk) + 1)"),
+                F.expr("substring(b.p_name, length(b.blk) + 1)"),
+                2,
+            )
+            >= 0
+        ),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b")
     )
     comp = connected_components_contracted(pairs)
     return (
