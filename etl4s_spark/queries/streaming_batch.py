@@ -23,6 +23,19 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _DUCK_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
 
+def _stream_parts() -> str:
+    """Shuffle/state partition count for the bounded replay streams.
+    State-store commit cost is per (micro-batch × partition) and the
+    replayed slices are bounded by construction (every replay filters
+    event_id < 20000), so a SMALL fixed count wins locally: r13 probes
+    read 8 partitions ≈ 1.85 s vs 2 partitions ≈ 1.6-1.8 s per replay
+    with identical results (complete-mode final state is partition-count
+    independent). A cluster deployment sizes this to key cardinality via
+    SPARK_GRAFT_STREAM_SHUFFLE — the local default is NOT a throughput
+    setting, it bounds per-batch fixed cost."""
+    return os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+
+
 def _replay_tmpdir(prefix: str) -> str:
     """Scratch dir for staged replay micro-batch files (and upsert/bitmap
     sink targets). Prefer the tmpfs over disk-backed /tmp: the files are
@@ -164,7 +177,7 @@ def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -316,7 +329,7 @@ def q_stream_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions are plenty for a bounded replay and cut wall time ~3×.
     # (A real cluster deployment would size this to the key cardinality.)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -509,7 +522,7 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"sess_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -584,7 +597,7 @@ def q_stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"slide_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -668,7 +681,7 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"ssj_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             joined.writeStream.format("memory")
@@ -721,7 +734,7 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"sdedup_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             deduped.writeStream.format("memory")
@@ -801,7 +814,7 @@ def q_stream_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     running = stateful_running_agg(stream, ["user_id"], "value_micros")
     sink = f"state_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             running.writeStream.format("memory")
@@ -1027,7 +1040,7 @@ def q_stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"ss_static_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1183,7 +1196,7 @@ def q_stream_dedup_wm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
     sink = f"wmdedup_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             deduped.writeStream.format("memory")
@@ -1558,7 +1571,7 @@ def q_stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     sink = f"topk_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1753,7 +1766,7 @@ def q_stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"pyds_replay_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_parts())
     try:
         q = (
             agg.writeStream.format("memory")
