@@ -238,13 +238,17 @@ def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate shuffle), so the range sort's sampling pass re-ran the
     whole hash computation — measured ~1.5x at sf0.1; the compare is
     order-insensitive."""
+    from etl4s_spark.operators.parallelism import widen
     from etl4s_spark.operators.text import rolling_fingerprint
 
-    d = (
+    # widen before the per-character hash chain (guide §2, r12 §16's
+    # class): fused into the single-split scan it ran on ONE core
+    d = widen(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
-        .withColumn("__norm", normalize_text(F.col("text")))
-    )
+        .select("doc_id", "text"),
+        "doc_id",
+    ).withColumn("__norm", normalize_text(F.col("text")))
     return d.select(
         "doc_id", rolling_fingerprint(F.col("__norm")).alias("rolling_fp")
     )
@@ -895,6 +899,10 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         >> node(lambda df: train_val_test_split(df, "doc_id", seed=7))
     )
+    # (r13 note: a widen() before the quality-filter chain probed
+    # slightly SLOWER here — the filters are highly selective, so
+    # shuffling the full text payload first costs more than the
+    # parallelism buys. Left narrow deliberately.)
     out = pipeline.run(load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", "source", "split").orderBy("doc_id")
 
@@ -2341,10 +2349,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the original 250-doc slice held NO ≥0.3 containment pair at
     sf0.1 (a vacuous empty-vs-empty agreement in the r6 sweep); at
     1000 docs the result is non-empty at every SF (56/50/16 rows)."""
+    from etl4s_spark.operators.parallelism import widen
+
     sh = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 1000)
-        .select("doc_id", F.col("text"))
+        widen(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 1000)
+            .select("doc_id", F.col("text")),
+            "doc_id",
+        )
         .withColumn("__norm", normalize_text(F.col("text")))
         .withColumn("__w", F.split(F.col("__norm"), " "))
         .select(
@@ -4273,11 +4286,16 @@ def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in 'und', how zh — which the stopword heuristic cannot see —
     distributes). Pure expression scoring + one shuffle on the
     (actual, predicted) pair; O(langs²) output."""
+    from etl4s_spark.operators.parallelism import widen
     from etl4s_spark.operators.text import lang_id
 
     d = load_table(spark, sf_dir, "documents")
+    # widen before the lang_id regex/token chain (guide §2, r12 §16's
+    # class): fused into the single-split docs scan it ran on ONE core;
+    # no-op at scale where scans are already wide
     return (
-        d.select(
+        widen(d.select("doc_id", "lang", "text"), "doc_id")
+        .select(
             F.col("lang").alias("actual_lang"),
             lang_id(F.col("text")).alias("pred_lang"),
         )
