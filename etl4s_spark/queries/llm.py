@@ -4163,10 +4163,8 @@ def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl4s_spark.operators.similarity import embedding_neardup_pairs
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    truth = (
-        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    truth = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).select(
+        "id_a", "id_b"
     )
     planes = spark.range(32 * 64).selectExpr(
         "CAST(id div 64 AS INT) AS p",
@@ -4198,11 +4196,22 @@ def q_audit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("id_b"))
         .select(F.col("vec_id").alias("id_a"), "id_b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    hits = truth.join(proposed, ["id_a", "id_b"]).count()
-    n_truth = truth.count()
-    n_proposed = proposed.count()
+    # ONE full-outer join + aggregate instead of two pair checkpoints +
+    # three count() actions (r13; same move as q_audit_lsh_recall) —
+    # each side is consumed exactly once, the final-row Python
+    # arithmetic is unchanged bit-for-bit
+    both = truth.withColumn("__t", F.lit(1)).join(
+        proposed.withColumn("__p", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    row = both.agg(
+        F.sum("__t").alias("n_truth"),
+        F.sum("__p").alias("n_proposed"),
+        F.sum(F.col("__t") * F.col("__p")).alias("hits"),
+    ).collect()[0]
+    n_truth = int(row["n_truth"] or 0)
+    n_proposed = int(row["n_proposed"] or 0)
+    hits = int(row["hits"] or 0)
     return spark.createDataFrame(
         [(n_truth, n_proposed, hits, round(hits / max(1.0, n_truth), 6))],
         "n_truth long, n_proposed long, n_hits long, recall double",
@@ -4774,7 +4783,9 @@ def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_prop = proposed.count()
+    # n_prop rides along as a broadcast one-row join instead of a
+    # separate driver count() action (r13): identical double value
+    np = proposed.agg(F.count(F.lit(1)).cast("double").alias("__np"))
     ths = spark.createDataFrame([(0.3,), (0.4,), (0.5,), (0.6,)], "th double")
     truth = F.broadcast(ths).join(scored, F.col("cos_sim") >= F.col("th")).select(
         "th", "id_a", "id_b"
@@ -4788,6 +4799,7 @@ def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ths.join(nt, "th", "left")
         .join(hits, "th", "left")
+        .join(F.broadcast(np))
         .select(
             F.round("th", 1).alias("threshold"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_truth"),
@@ -4798,7 +4810,7 @@ def q_audit_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
             F.round(
-                F.coalesce("h", F.lit(0)) / F.greatest(F.lit(1.0), F.lit(float(n_prop))),
+                F.coalesce("h", F.lit(0)) / F.greatest(F.lit(1.0), F.col("__np")),
                 6,
             ).alias("precision_at_th"),
         )
